@@ -1,0 +1,19 @@
+"""data_quality_automated_evaluator_ray — a Ray-Data-native data-quality engine.
+
+A from-scratch rebuild of the capabilities of
+``dspetukhov/data-quality-automated-evaluator`` (see /root/reference, SURVEY.md)
+re-expressed as streaming Ray Data pipelines:
+
+* a quality-filter pipeline over Parquet tables of source-code files
+  (language-ID, n-gram perplexity, heuristic rules, PII/toxicity scrubbing,
+  keep/drop labeling),
+* the reference's interval-aggregation + IQR/Z-score outlier semantics
+  (reference preprocess.py:175-235, evaluate.py:37-115) re-keyed to
+  per-(repo, lang) partitions,
+* large-scale training-data operators: exact & near dedup (MinHash-LSH,
+  SimHash, n-gram Jaccard), similarity search, text analysis.
+
+Everything here is built on public Ray Data / PyArrow APIs only.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,111 @@
+"""Descriptive statistics + IQR / Z-score outlier detection (drift flags).
+
+Driver-side math over the small collected metrics table — a faithful
+re-implementation of the reference's evaluation step:
+
+* describe_series — mean/std/quantiles/range/IQR (reference evaluate.py:37-53)
+* z_score_outliers — |x-mu|/sigma > threshold, sigma==0 → none
+  (reference evaluate.py:91-97)
+* iqr_bounds / iqr_outliers — [q1-k*IQR, q3+k*IQR] (reference
+  evaluate.py:99-103)
+* outlier_percentage (reference evaluate.py:54-55)
+* criterion_bounds — bounds per configured criterion (reference
+  evaluate.py:106-115)
+
+Defaults k=1.5, z=3.0 match the reference (evaluate.py:96,100-101). In the
+rebuilt engine these become *drift flags* over per-(repo,lang) partition
+metrics instead of per-time-interval statistics.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .. import rules
+
+
+def describe_series(x: np.ndarray) -> dict:
+    x = np.asarray(x, dtype=np.float64)
+    x = x[~np.isnan(x)]
+    if x.size == 0:
+        return {"n": 0}
+    q1, q3 = np.percentile(x, [25, 75])
+    return {
+        "n": int(x.size),
+        "mean": float(x.mean()),
+        "std": float(x.std(ddof=1)) if x.size > 1 else 0.0,
+        "min": float(x.min()),
+        "max": float(x.max()),
+        "range": float(x.max() - x.min()),
+        "q1": float(q1),
+        "q3": float(q3),
+        "iqr": float(q3 - q1),
+    }
+
+
+def z_score_outliers(x: np.ndarray, threshold: float = rules.Z_SCORE_THRESHOLD) -> np.ndarray:
+    x = np.asarray(x, dtype=np.float64)
+    mu = np.nanmean(x)
+    sigma = np.nanstd(x, ddof=1) if np.sum(~np.isnan(x)) > 1 else 0.0
+    if sigma == 0 or np.isnan(sigma):
+        return np.zeros(x.shape, dtype=bool)
+    return np.abs((x - mu) / sigma) > threshold
+
+
+def iqr_bounds(x: np.ndarray, k: float = rules.IQR_MULTIPLIER) -> tuple[float, float]:
+    x = np.asarray(x, dtype=np.float64)
+    x = x[~np.isnan(x)]
+    q1, q3 = np.percentile(x, [25, 75])
+    iqr = q3 - q1
+    return float(q1 - k * iqr), float(q3 + k * iqr)
+
+
+def iqr_outliers(x: np.ndarray, k: float = rules.IQR_MULTIPLIER) -> np.ndarray:
+    lo, hi = iqr_bounds(x[~np.isnan(np.asarray(x, dtype=np.float64))], k)
+    x = np.asarray(x, dtype=np.float64)
+    return (x < lo) | (x > hi)
+
+
+def outlier_percentage(mask: np.ndarray) -> float:
+    mask = np.asarray(mask, dtype=bool)
+    return 100.0 * mask.sum() / mask.size if mask.size else 0.0
+
+
+def criterion_bounds(x: np.ndarray, criterion: str | None) -> tuple[float | None, float | None]:
+    if criterion == "IQR":
+        return iqr_bounds(x)
+    if criterion == "Z-score":
+        x = np.asarray(x, dtype=np.float64)
+        mu, sigma = np.nanmean(x), (np.nanstd(x, ddof=1) if np.sum(~np.isnan(x)) > 1 else 0.0)
+        return float(mu - rules.Z_SCORE_THRESHOLD * sigma), float(mu + rules.Z_SCORE_THRESHOLD * sigma)
+    return None, None
+
+
+def drift_flags(metrics: pd.DataFrame, criterion: str = "IQR",
+                key_cols: tuple[str, ...] = ("repo", "lang")) -> pd.DataFrame:
+    """Flag partitions whose metric value is an outlier across partitions.
+
+    Returns long-form rows: (key..., metric, value, lower, upper, is_outlier).
+    """
+    rows = []
+    metric_cols = [c for c in metrics.columns
+                   if c not in key_cols and pd.api.types.is_numeric_dtype(metrics[c])]
+    for m in metric_cols:
+        x = metrics[m].to_numpy(dtype=np.float64)
+        valid = ~np.isnan(x)
+        if valid.sum() < 4:
+            continue
+        if criterion == "Z-score":
+            mask = z_score_outliers(x)
+            lo, hi = criterion_bounds(x, "Z-score")
+        else:
+            lo, hi = iqr_bounds(x[valid])
+            mask = (x < lo) | (x > hi)
+        for i in np.flatnonzero(mask & valid):
+            rec = {k: metrics[k].iloc[i] for k in key_cols}
+            rec.update({"metric": m, "value": float(x[i]),
+                        "lower": lo, "upper": hi, "is_outlier": True})
+            rows.append(rec)
+    cols = list(key_cols) + ["metric", "value", "lower", "upper", "is_outlier"]
+    return pd.DataFrame(rows, columns=cols)

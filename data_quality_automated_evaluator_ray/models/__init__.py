@@ -1,0 +1,4 @@
+from .langid import LangIdModel
+from .ngram_lm import NgramLM
+
+__all__ = ["LangIdModel", "NgramLM"]

@@ -1,0 +1,102 @@
+"""From-scratch character-trigram language-ID model (fastText-lid style).
+
+No external artifacts: the model is trained deterministically, at import-time
+cost of a few hundred ms, on clean samples drawn from the same per-language
+snippet grammars the corpus generator uses (sources/codegen.py). It plays the
+role the north rule assigns to a fastText lid.176 model — loaded ONCE per
+actor (stages/model_stages.py) and applied per batch.
+
+Scoring is a smoothed per-trigram log-likelihood: for each language we keep
+the top-K trigram log-probabilities (add-one smoothed); unseen trigrams pay
+that language's OOV penalty. Confidence is the softmax of total log-likelihood
+across languages. All numpy; deterministic across runs and processes.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..rules import LANGUAGES
+
+_CHAR_SPACE = 1_114_112  # max unicode codepoint + 1
+_TRAIN_SAMPLES = 150
+_TOP_K = 4000
+_MAX_SCORE_CHARS = 600
+
+
+def _trigram_codes(text: str) -> np.ndarray:
+    """Vectorized trigram→int64 codes for a (truncated) string."""
+    if len(text) < 3:
+        return np.empty(0, dtype=np.int64)
+    a = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    return (a[:-2] * _CHAR_SPACE + a[1:-1]) * _CHAR_SPACE + a[2:]
+
+
+@dataclass
+class _LangProfile:
+    codes: np.ndarray   # sorted int64 trigram codes
+    logp: np.ndarray    # matching log-probs
+    oov: float          # log-prob for unseen trigrams
+
+
+class LangIdModel:
+    """Deterministic trigram profile classifier over ``rules.LANGUAGES``."""
+
+    _singleton: "LangIdModel | None" = None
+
+    def __init__(self) -> None:
+        from ..sources.codegen import clean_content
+
+        self.langs = list(LANGUAGES)
+        self.profiles: dict[str, _LangProfile] = {}
+        for lang in self.langs:
+            counts: dict[int, int] = {}
+            for k in range(_TRAIN_SAMPLES):
+                rng = random.Random(f"langid-train:{lang}:{k}")
+                for c in _trigram_codes(clean_content(lang, rng)):
+                    c = int(c)
+                    counts[c] = counts.get(c, 0) + 1
+            items = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:_TOP_K]
+            total = sum(v for _, v in items)
+            vocab = len(items)
+            codes = np.array(sorted(c for c, _ in items), dtype=np.int64)
+            cnt = {c: v for c, v in items}
+            logp = np.array([math.log((cnt[int(c)] + 1) / (total + vocab + 1))
+                             for c in codes], dtype=np.float64)
+            oov = math.log(1.0 / (total + vocab + 1))
+            self.profiles[lang] = _LangProfile(codes, logp, oov)
+
+    @classmethod
+    def get(cls) -> "LangIdModel":
+        if cls._singleton is None:
+            cls._singleton = cls()
+        return cls._singleton
+
+    def score(self, text: str | None) -> tuple[str, float]:
+        """→ (predicted language, softmax confidence). Deterministic.
+
+        Empty/None → ("unknown", 0.0).
+        """
+        if not text:
+            return "unknown", 0.0
+        doc = _trigram_codes(text[:_MAX_SCORE_CHARS])
+        if doc.size == 0:
+            return "unknown", 0.0
+        totals = np.empty(len(self.langs), dtype=np.float64)
+        for i, lang in enumerate(self.langs):
+            p = self.profiles[lang]
+            idx = np.searchsorted(p.codes, doc)
+            idx_c = np.minimum(idx, p.codes.size - 1)
+            matched = p.codes[idx_c] == doc
+            totals[i] = p.logp[idx_c[matched]].sum() + (doc.size - matched.sum()) * p.oov
+        # average log-likelihood per trigram, softmax over languages
+        avg = totals / doc.size
+        avg -= avg.max()
+        w = np.exp(avg * 8.0)  # temperature sharpens the margin into a usable confidence
+        w /= w.sum()
+        best = int(np.argmax(w))
+        return self.langs[best], float(w[best])

@@ -1,0 +1,110 @@
+"""From-scratch interpolated token-bigram language models (KenLM-style role).
+
+One LM per language, trained deterministically on clean samples from the
+corpus generator's grammars — no external artifacts. Perplexity is reported
+as bits/token under the *declared* language's LM:
+
+    P(t_i | t_{i-1}) = 0.70 * P_bigram + 0.25 * P_unigram + 0.05 / (V + 1)
+
+Gibberish (shuffled token soup in the right vocabulary) keeps the unigram term
+but destroys the bigram term, pushing bits/token past
+``rules.MAX_PERPLEXITY_BITS``; clean code stays well under it.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+import re
+
+from ..rules import LANGUAGES, TOKEN_PATTERN
+
+_TRAIN_SAMPLES = 200
+_CALIB_SAMPLES = 30
+_MAX_CHARS = 4000
+_MAX_TOKENS = 512
+_L_BI, _L_UNI, _L_FLOOR = 0.80, 0.15, 0.05
+_BOS = "\x00"
+
+_TOKEN_RE = re.compile(TOKEN_PATTERN)
+
+
+class NgramLM:
+    """Deterministic per-language interpolated bigram LM.
+
+    ``thresholds[lang]`` is a per-language drop threshold (bits/token)
+    calibrated at build time as the midpoint between the mean perplexity of
+    clean samples and of shuffled-token gibberish — both drawn from seeded
+    grammars, so the threshold is a deterministic model constant.
+    """
+
+    _singleton: "NgramLM | None" = None
+
+    def __init__(self) -> None:
+        from ..sources.codegen import clean_content
+
+        self.models: dict[str, tuple[dict, dict, int, int]] = {}
+        for lang in LANGUAGES:
+            uni: dict[str, int] = {}
+            bi: dict[tuple[str, str], int] = {}
+            total = 0
+            for k in range(_TRAIN_SAMPLES):
+                rng = random.Random(f"lm-train:{lang}:{k}")
+                toks = _TOKEN_RE.findall(clean_content(lang, rng))
+                prev = _BOS
+                for t in toks:
+                    uni[t] = uni.get(t, 0) + 1
+                    bi[(prev, t)] = bi.get((prev, t), 0) + 1
+                    total += 1
+                    prev = t
+            self.models[lang] = (uni, bi, total, len(uni))
+
+        self.thresholds: dict[str, float] = {}
+        for lang in LANGUAGES:
+            clean_b, gib_b = [], []
+            for k in range(_CALIB_SAMPLES):
+                rng = random.Random(f"lm-calib:{lang}:{k}")
+                c = clean_content(lang, rng)
+                toks = c.split()
+                rng.shuffle(toks)
+                gib = " ".join(toks)
+                clean_b.append(self.perplexity_bits(c, lang))
+                gib_b.append(self.perplexity_bits(gib, lang))
+            mc = sum(clean_b) / len(clean_b)
+            mg = sum(gib_b) / len(gib_b)
+            self.thresholds[lang] = mc + 0.5 * (mg - mc)
+
+    @classmethod
+    def get(cls) -> "NgramLM":
+        if cls._singleton is None:
+            cls._singleton = cls()
+        return cls._singleton
+
+    def perplexity_bits(self, text: str | None, lang: str) -> float:
+        """Bits/token of ``text`` under the LM for ``lang``.
+
+        None/empty text or unknown language → 0.0 (those rows are dropped by
+        earlier rules and never reach the perplexity rule).
+        """
+        if not text or lang not in self.models:
+            return 0.0
+        toks = _TOKEN_RE.findall(text[:_MAX_CHARS])[:_MAX_TOKENS]
+        if not toks:
+            return 0.0
+        uni, bi, total, vocab = self.models[lang]
+        floor = _L_FLOOR / (vocab + 1)
+        bits = 0.0
+        prev = _BOS
+        prev_count = total  # denominator for P(t|BOS): approximate with total
+        for t in toks:
+            p = floor
+            u = uni.get(t)
+            if u:
+                p += _L_UNI * u / total
+            b = bi.get((prev, t))
+            if b and prev_count:
+                p += _L_BI * b / prev_count
+            bits -= math.log2(p)
+            prev = t
+            prev_count = uni.get(t, 0)
+        return bits / len(toks)

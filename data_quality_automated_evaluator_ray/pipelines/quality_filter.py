@@ -1,0 +1,57 @@
+"""The flagship quality-filter pipeline, composed Ray-Data-first.
+
+    read_parquet(corpus)                                  # repo,path,commit,lang,content
+      .map_batches(compute_features, pyarrow, zero-copy)  # stateless tasks
+      .map_batches(ModelScorer, actor pool)               # langid + perplexity
+      .map_batches(scrub_and_hash, pyarrow)               # RE2 scrub + sha256
+      .map_batches(apply_rules, pyarrow)                  # keep/drop cascade
+
+Everything streams; nothing materializes the full input. The aggregate stage
+(stages/aggregate.py) is applied on a *narrow projection* (content dropped)
+so the groupby shuffle never moves file bodies.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import ray.data
+
+from ..stages.features import compute_features
+from ..stages.keep_drop import apply_rules
+from ..stages.model_stages import ModelScorer
+from ..stages.scrub import scrub_and_hash
+
+# Narrow columns that survive into the aggregate shuffle (no content).
+METRIC_COLUMNS = [
+    "repo", "lang", "keep", "drop_reason", "content_sha256",
+    "n_chars", "max_line_len", "alpha_ratio", "perplexity", "lang_conf",
+]
+
+
+def apply_quality_filter(
+    ds: "ray.data.Dataset",
+    *,
+    with_models: bool = True,
+    scorer_concurrency: Any = (1, 8),
+    batch_size: int = 1024,
+) -> "ray.data.Dataset":
+    """Append features, model scores, scrubbed content + sha256, keep/drop."""
+    ds = ds.map_batches(compute_features, batch_format="pyarrow",
+                        batch_size=batch_size, zero_copy_batch=True)
+    if with_models:
+        ds = ds.map_batches(ModelScorer, batch_format="pyarrow",
+                            batch_size=batch_size, concurrency=scorer_concurrency,
+                            num_cpus=1)
+    ds = ds.map_batches(scrub_and_hash, batch_format="pyarrow",
+                        batch_size=batch_size, zero_copy_batch=True)
+    ds = ds.map_batches(
+        lambda b: apply_rules(b, heuristics_only=not with_models),
+        batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True)
+    return ds
+
+
+def read_corpus(path: str | list[str], **kwargs) -> "ray.data.Dataset":
+    """Column-pruned Parquet read of an input_hint-shaped corpus."""
+    return ray.data.read_parquet(
+        path, columns=["repo", "path", "commit", "lang", "content"], **kwargs)

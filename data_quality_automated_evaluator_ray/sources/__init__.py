@@ -1,0 +1,3 @@
+from . import codegen
+
+__all__ = ["codegen"]

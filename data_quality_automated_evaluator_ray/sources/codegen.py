@@ -1,0 +1,350 @@
+"""Deterministic synthetic source-code corpus generator (FIXTURES.md F1).
+
+Produces the ``input_hint`` table (repo, path, commit, lang, content) with
+injected defect classes at configurable rates. Generation is a pure function
+of ``(seed, row_index)`` — every row is generated from its own
+``random.Random(f"{seed}:{i}")`` so the corpus is order-independent,
+reproducible, and could be produced in parallel shards.
+
+The per-language snippet grammars double as the *training corpus* for the
+from-scratch language-ID profiles and n-gram perplexity LMs (models/): no
+external data or model artifacts are ever fetched.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import random
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..rules import EXT_FOR_LANG, LANGUAGES, TOXICITY_LEXICON
+
+# ---------------------------------------------------------------------------
+# Vocab + per-language grammars
+# ---------------------------------------------------------------------------
+IDENTS = (
+    "count value index buffer result total cache node item queue stack token "
+    "parser config handler worker record batch stream offset limit cursor "
+    "payload metric status helper widget engine filter mapper reducer shard"
+).split()
+
+WORDS = (
+    "the data pipeline reads a batch of records and writes the result to the "
+    "output table while the scheduler keeps track of every partition and the "
+    "metrics show how many rows were kept or dropped during the run"
+).split()
+
+TOX_COMMENT = "that legacy {tox} code path is a mess"
+
+PII_SNIPPETS = [
+    'contact = "{user}@{host}.com"',
+    'phone = "+{digits}"',
+    'host_ip = "{ip}"',
+    'aws_key = "AKIA{akia}"',
+    'api_key = "{secret}"',
+]
+
+
+def _sample(rng: random.Random, seq, n):
+    return [rng.choice(seq) for _ in range(n)]
+
+
+def _phrase(rng: random.Random, n: int) -> list[str]:
+    """Contiguous slice of the WORDS sentence — keeps bigram structure intact
+    so the perplexity LM can tell prose from shuffled token soup."""
+    n = min(n, len(WORDS) - 1)
+    start = rng.randrange(len(WORDS) - n)
+    return WORDS[start:start + n]
+
+
+def _py_snip(rng):
+    a, b, fn, cls, mod = _sample(rng, IDENTS, 5)
+    n, m = rng.randrange(100), rng.randrange(100)
+    return rng.choice([
+        f"def {fn}({a}, {b}):\n    \"\"\"Compute {a} from {b}.\"\"\"\n"
+        f"    {a} = {b} + {n}\n    return {a}\n",
+        f"class {cls.capitalize()}:\n    def __init__(self):\n        self.{a} = {n}\n\n"
+        f"    def {fn}(self):\n        return self.{a} * {m}\n",
+        f"import {mod}\nfrom {mod} import {fn}\n\n{a} = {fn}({n})\n",
+        f"for {a} in range({n}):\n    if {a} % 2 == 0:\n        print({a})\n",
+        f"{a} = [{n}, {m}, {n + m}]\n{b} = {{'{fn}': {a}}}\n",
+        f"try:\n    {a} = {mod}.{fn}({n})\nexcept ValueError:\n    {a} = None\n",
+    ])
+
+
+def _js_snip(rng):
+    a, b, fn, mod = _sample(rng, IDENTS, 4)
+    n, m = rng.randrange(100), rng.randrange(100)
+    return rng.choice([
+        f"function {fn}({a}) {{\n  const {b} = {n};\n  return {a} + {b};\n}}\n",
+        f"const {a} = ({b}) => {b} * {n};\nconsole.log({a}({m}));\n",
+        f"let {a} = [{n}, {m}].map(({b}) => {b} + 1);\n",
+        f"import {{ {fn} }} from './{mod}';\nexport const {a} = {fn}({n});\n",
+        f"if ({a} === {n}) {{\n  {b} = `${{{a}}}-suffix`;\n}}\n",
+    ])
+
+
+def _go_snip(rng):
+    a, b, fn = _sample(rng, IDENTS, 3)
+    n, m = rng.randrange(100), rng.randrange(100)
+    return rng.choice([
+        f"func {fn}({a} int) int {{\n\treturn {a} + {n}\n}}\n",
+        f"package main\n\nimport \"fmt\"\n\nfunc main() {{\n\tfmt.Println({n})\n}}\n",
+        f"{a} := make([]int, {n})\nfor i := range {a} {{\n\t{a}[i] = i * {m}\n}}\n",
+        f"type {b.capitalize()} struct {{\n\t{a.capitalize()} int\n\tName string\n}}\n",
+        f"if err := {fn}(); err != nil {{\n\treturn err\n}}\n",
+    ])
+
+
+def _java_snip(rng):
+    a, b, fn, cls = _sample(rng, IDENTS, 4)
+    n, m = rng.randrange(100), rng.randrange(100)
+    return rng.choice([
+        f"public class {cls.capitalize()} {{\n    private int {a} = {n};\n"
+        f"    public int {fn}() {{\n        return {a} * {m};\n    }}\n}}\n",
+        f"List<Integer> {a} = new ArrayList<>();\n{a}.add({n});\n",
+        f"public static void main(String[] args) {{\n    System.out.println({n});\n}}\n",
+        f"private final String {b} = \"{a}-{n}\";\n",
+    ])
+
+
+def _c_snip(rng):
+    a, b, fn = _sample(rng, IDENTS, 3)
+    n, m = rng.randrange(100), rng.randrange(100)
+    return rng.choice([
+        f"#include <stdio.h>\n\nint {fn}(int {a}) {{\n    return {a} + {n};\n}}\n",
+        f"int {a}[{n}];\nfor (int i = 0; i < {n}; i++) {{\n    {a}[i] = i * {m};\n}}\n",
+        f"struct {b} {{\n    int {a};\n    char name[{n}];\n}};\n",
+        f"printf(\"%d\\n\", {fn}({m}));\n",
+        f"void *{a} = malloc(sizeof(int) * {n});\nfree({a});\n",
+    ])
+
+
+def _md_snip(rng):
+    w = _phrase(rng, 8)
+    title = rng.choice(IDENTS).capitalize()
+    return rng.choice([
+        f"# {title}\n\n{' '.join(w)}.\n",
+        f"## Usage\n\n- {w[0]} {w[1]} {w[2]}\n- {w[3]} {w[4]} {w[5]}\n",
+        f"{' '.join(w)} and {' '.join(_phrase(rng, 6))}.\n",
+        f"```\n$ run --{w[0]} {w[1]}\n```\n",
+    ])
+
+
+def _txt_snip(rng):
+    w = _phrase(rng, rng.randrange(8, 16))
+    return " ".join(w).capitalize() + ".\n"
+
+
+SNIPPET_FN = {
+    "python": _py_snip,
+    "javascript": _js_snip,
+    "go": _go_snip,
+    "java": _java_snip,
+    "c": _c_snip,
+    "markdown": _md_snip,
+    "text": _txt_snip,
+}
+
+
+def clean_content(lang: str, rng: random.Random, n_snips: int | None = None) -> str:
+    """A clean, language-typical file body. Shared with model training."""
+    if n_snips is None:
+        n_snips = rng.randrange(4, 24)
+    fn = SNIPPET_FN[lang]
+    return "\n".join(fn(rng) for _ in range(n_snips))
+
+
+# ---------------------------------------------------------------------------
+# Defect injection
+# ---------------------------------------------------------------------------
+DEFECT_RATES = [
+    ("null", 0.02),
+    ("empty", 0.01),
+    ("long_line", 0.03),
+    ("low_alpha", 0.03),
+    ("encoding", 0.02),
+    ("wrong_lang", 0.05),
+    ("gibberish", 0.03),
+    ("autogen", 0.02),
+    ("dup", 0.08),
+]
+PII_RATE = 0.06
+
+
+def _pick_defect(rng: random.Random) -> str:
+    roll = rng.random()
+    acc = 0.0
+    for name, rate in DEFECT_RATES:
+        acc += rate
+        if roll < acc:
+            return name
+    return "clean"
+
+
+def _inject_pii(content: str, rng: random.Random) -> str:
+    lines = content.split("\n")
+    for _ in range(rng.randrange(1, 3)):
+        snip = rng.choice(PII_SNIPPETS).format(
+            user=rng.choice(IDENTS),
+            host=rng.choice(IDENTS),
+            digits="".join(str(rng.randrange(10)) for _ in range(11)),
+            ip=".".join(str(rng.randrange(256)) for _ in range(4)),
+            akia="".join(rng.choice("0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ") for _ in range(16)),
+            secret="".join(rng.choice("abcdef0123456789") for _ in range(24)),
+        )
+        lines.insert(rng.randrange(len(lines) + 1), snip)
+    if rng.random() < 0.4:
+        tox = TOX_COMMENT.format(tox=rng.choice(TOXICITY_LEXICON))
+        lines.insert(rng.randrange(len(lines) + 1), "# " + tox)
+    return "\n".join(lines)
+
+
+def _defective_content(lang: str, defect: str, rng: random.Random) -> str | None:
+    if defect == "null":
+        return None
+    if defect == "empty":
+        return ""
+    if defect == "long_line":
+        base = clean_content(lang, rng, 3)
+        blob = "".join(rng.choice("abcdefASDF();,=+") for _ in range(rng.randrange(2200, 4000)))
+        return base + "\n" + blob + "\n"
+    if defect == "low_alpha":
+        n = rng.randrange(400, 1200)
+        return "".join(rng.choice("0123456789+/=\n") for _ in range(n))
+    if defect == "encoding":
+        base = clean_content(lang, rng, 4)
+        junk = "".join(chr(rng.randrange(0x01, 0x09)) for _ in range(5))
+        uni = "".join(chr(rng.randrange(0x4E00, 0x9FFF)) for _ in range(int(len(base) * 0.6)))
+        return base + junk + uni
+    if defect == "wrong_lang":
+        other = rng.choice([l for l in LANGUAGES if l != lang])
+        return clean_content(other, rng)
+    if defect == "gibberish":
+        # right keyword vocabulary, shuffled into token soup
+        base = clean_content(lang, rng, 8)
+        toks = base.split()
+        rng.shuffle(toks)
+        out, line = [], []
+        for t in toks:
+            line.append(t)
+            if len(line) >= 9:
+                out.append(" ".join(line))
+                line = []
+        if line:
+            out.append(" ".join(line))
+        return "\n".join(out) + "\n"
+    if defect == "autogen":
+        marker = rng.choice(["// DO NOT EDIT", "# DO NOT EDIT", "/* @generated */",
+                             "# Autogenerated by tool v2"])
+        return marker + "\n" + clean_content(lang, rng)
+    return clean_content(lang, rng)
+
+
+# ---------------------------------------------------------------------------
+# Repo / row assignment (Zipf repo sizes → hot repos for skew handling)
+# ---------------------------------------------------------------------------
+def _repo_weights(n_repos: int) -> np.ndarray:
+    w = 1.0 / np.arange(1, n_repos + 1) ** 1.2
+    return w / w.sum()
+
+
+def _row_repo(i: int, seed: int, cdf: np.ndarray) -> int:
+    # uniform in [0,1) from a row-keyed hash → inverse CDF over Zipf weights
+    h = hashlib.blake2b(f"{seed}:repo:{i}".encode(), digest_size=8).digest()
+    u = int.from_bytes(h, "big") / 2**64
+    return int(np.searchsorted(cdf, u, side="right"))
+
+
+def _repo_lang(repo_idx: int, seed: int) -> str:
+    rng = random.Random(f"{seed}:repolang:{repo_idx}")
+    return rng.choice(LANGUAGES)
+
+
+def _content_for(lang: str, defect: str, rng: random.Random) -> str | None:
+    """Content for a (lang, defect) pair, including the PII-plant branch.
+
+    Pure function of its inputs given the rng stream — the dup branch in
+    ``_row_record`` replays a target row's stream through this to produce an
+    exact byte-identical duplicate.
+    """
+    content = _defective_content(lang, defect, rng)
+    if content and defect in ("clean", "autogen") and rng.random() < PII_RATE / 0.9:
+        content = _inject_pii(content, rng)
+    return content
+
+
+def _row_record(i: int, seed: int, cdf: np.ndarray, n_repos: int) -> dict:
+    rng = random.Random(f"{seed}:{i}")
+    repo_idx = _row_repo(i, seed, cdf)
+    repo = f"org{repo_idx % 20}/name{repo_idx}"
+    primary = _repo_lang(repo_idx, seed)
+    lang = primary if rng.random() < 0.8 else rng.choice(LANGUAGES)
+
+    defect = _pick_defect(rng)
+    if defect == "dup" and i > 0:
+        target = rng.randrange(i)
+        trng = random.Random(f"{seed}:{target}")
+        t_primary = _repo_lang(_row_repo(target, seed, cdf), seed)
+        t_lang = t_primary if trng.random() < 0.8 else trng.choice(LANGUAGES)
+        t_defect = _pick_defect(trng)
+        if t_defect in ("dup", "null", "empty"):
+            t_defect = "clean"
+        content = _content_for(t_lang, t_defect, trng)
+    else:
+        if defect == "dup":
+            defect = "clean"
+        content = _content_for(lang, defect, rng)
+
+    path = f"src/mod_{rng.randrange(40)}/file_{i}.{EXT_FOR_LANG[lang]}"
+    commit = hashlib.sha1(f"{seed}:{repo}:{path}".encode()).hexdigest()
+    return {"repo": repo, "path": path, "commit": commit, "lang": lang,
+            "content": content}
+
+
+def generate_table(n_rows: int, seed: int = 42, n_repos: int | None = None) -> pa.Table:
+    """Generate the corpus as one pyarrow Table (driver-side, test scale)."""
+    if n_repos is None:
+        n_repos = max(10, min(500, n_rows // 40))
+    cdf = np.cumsum(_repo_weights(n_repos))
+    cols = {"repo": [], "path": [], "commit": [], "lang": [], "content": []}
+    for i in range(n_rows):
+        rec = _row_record(i, seed, cdf, n_repos)
+        for k in cols:
+            cols[k].append(rec[k])
+    return pa.table({k: pa.array(v, type=pa.string()) for k, v in cols.items()})
+
+
+def write_corpus(out_dir: str, n_rows: int, seed: int = 42,
+                 n_files: int = 8, n_repos: int | None = None) -> list[str]:
+    """Write the corpus as ``n_files`` Parquet fragments (resumable units).
+
+    Cached: if the directory already holds exactly ``n_files`` fragments for
+    the same (n_rows, seed) stamp, it is reused.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    stamp = os.path.join(out_dir, f".stamp-{n_rows}-{seed}-{n_files}")
+    paths = [os.path.join(out_dir, f"part-{j:05d}.parquet") for j in range(n_files)]
+    if os.path.exists(stamp) and all(os.path.exists(p) for p in paths):
+        return paths
+    for f in os.listdir(out_dir):
+        os.unlink(os.path.join(out_dir, f))
+    if n_repos is None:
+        n_repos = max(10, min(500, n_rows // 40))
+    cdf = np.cumsum(_repo_weights(n_repos))
+    per = (n_rows + n_files - 1) // n_files
+    for j, p in enumerate(paths):
+        lo, hi = j * per, min((j + 1) * per, n_rows)
+        cols = {"repo": [], "path": [], "commit": [], "lang": [], "content": []}
+        for i in range(lo, hi):
+            rec = _row_record(i, seed, cdf, n_repos)
+            for k in cols:
+                cols[k].append(rec[k])
+        pq.write_table(pa.table({k: pa.array(v, type=pa.string()) for k, v in cols.items()}), p)
+    with open(stamp, "w") as fh:
+        fh.write("ok")
+    return paths

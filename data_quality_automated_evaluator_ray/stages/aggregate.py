@@ -1,0 +1,130 @@
+"""Per-(repo, lang) partition metrics — the reference's aggregate family.
+
+Reproduces the reference evaluator's interval aggregation (reference
+preprocess.py:69 ``group_by(interval).agg(...)`` with the expressions built at
+preprocess.py:201-229) re-keyed from time intervals to (repo, lang)
+partitions:
+
+  A1 count, A2 target average (= keep rate), A3 n-unique (= duplicate rate via
+  sha256), A4 null proportion, A5-A9 min/max/mean/median/std per numeric
+  feature (std ddof=1 to match Polars).
+
+Two implementations behind one API:
+
+* ``partition_metrics`` — ``groupby.map_groups`` over a narrow projection
+  (content never enters the shuffle). Exact, including holistic median /
+  n-unique. The default.
+* ``partition_metrics_scalable`` — two-phase: per-batch partial aggregates
+  (count/sum/sumsq/min/max + within-batch distinct hashes) combined in a
+  small final groupby. At 100 TB the shuffle moves one partial row per
+  (key, batch) instead of one row per file. Exact for everything except
+  median (omitted; the exact path computes it), and duplicate-rate partials
+  shrink to within-batch-distinct hashes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+NUMERIC_FEATURES = ["n_chars", "max_line_len", "alpha_ratio", "perplexity", "lang_conf"]
+KEY = ["repo", "lang"]
+
+
+def _group_stats(g: pd.DataFrame) -> pd.DataFrame:
+    n = len(g)
+    rec = {
+        "repo": g["repo"].iloc[0], "lang": g["lang"].iloc[0],
+        "n_files": n,
+        "keep_rate": float(g["keep"].sum()) / n,
+        "null_rate": float(g["content_sha256"].isna().sum()) / n,
+    }
+    nonnull = g["content_sha256"].dropna()
+    rec["dup_rate"] = (1.0 - nonnull.nunique() / len(nonnull)) if len(nonnull) else 0.0
+    for c in NUMERIC_FEATURES:
+        v = g[c].dropna().to_numpy(dtype=np.float64)
+        if v.size:
+            rec[f"{c}_min"] = float(v.min())
+            rec[f"{c}_max"] = float(v.max())
+            rec[f"{c}_mean"] = float(v.mean())
+            rec[f"{c}_median"] = float(np.median(v))
+            rec[f"{c}_std"] = float(v.std(ddof=1)) if v.size > 1 else None
+        else:
+            for s in ("min", "max", "mean", "median", "std"):
+                rec[f"{c}_{s}"] = None
+    return pd.DataFrame([rec])
+
+
+def partition_metrics(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Exact per-(repo,lang) metrics; shuffle carries only narrow columns.
+
+    NOTE null_rate is measured on content_sha256, which is null iff content
+    is null (scrub preserves nulls), so `content` itself stays out of the
+    shuffle.
+    """
+    narrow = ds.select_columns(KEY + ["keep", "content_sha256"] + NUMERIC_FEATURES)
+    return narrow.groupby(KEY).map_groups(_group_stats, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Scalable two-phase path
+# ---------------------------------------------------------------------------
+def _partials(batch: pa.Table) -> pa.Table:
+    """One partial-aggregate row per (repo, lang) within this batch."""
+    df = batch.select(KEY + ["keep", "content_sha256"] + NUMERIC_FEATURES).to_pandas()
+    out = []
+    for (repo, lang), g in df.groupby(KEY, sort=False):
+        rec = {
+            "repo": repo, "lang": lang,
+            "n": len(g),
+            "keep_sum": int(g["keep"].sum()),
+            "null_sum": int(g["content_sha256"].isna().sum()),
+            # within-batch distinct: dup mass inside a batch collapses here,
+            # cross-batch dups collapse in the final combine
+            "hashes": g["content_sha256"].dropna().unique().tolist(),
+        }
+        for c in NUMERIC_FEATURES:
+            v = g[c].dropna().to_numpy(dtype=np.float64)
+            rec[f"{c}_n"] = int(v.size)
+            rec[f"{c}_sum"] = float(v.sum())
+            rec[f"{c}_sumsq"] = float((v * v).sum())
+            rec[f"{c}_min"] = float(v.min()) if v.size else None
+            rec[f"{c}_max"] = float(v.max()) if v.size else None
+        out.append(rec)
+    return pa.Table.from_pandas(pd.DataFrame(out), preserve_index=False)
+
+
+def _combine(g: pd.DataFrame) -> pd.DataFrame:
+    n = int(g["n"].sum())
+    uniq = len(set().union(*g["hashes"])) if len(g) else 0
+    nonnull = n - int(g["null_sum"].sum())
+    rec = {
+        "repo": g["repo"].iloc[0], "lang": g["lang"].iloc[0],
+        "n_files": n,
+        "keep_rate": float(g["keep_sum"].sum()) / n,
+        "null_rate": float(g["null_sum"].sum()) / n,
+        "dup_rate": (1.0 - uniq / nonnull) if nonnull else 0.0,
+    }
+    for c in NUMERIC_FEATURES:
+        cn = int(g[f"{c}_n"].sum())
+        if cn:
+            s = float(g[f"{c}_sum"].sum())
+            ss = float(g[f"{c}_sumsq"].sum())
+            mean = s / cn
+            rec[f"{c}_min"] = float(g[f"{c}_min"].min())
+            rec[f"{c}_max"] = float(g[f"{c}_max"].max())
+            rec[f"{c}_mean"] = mean
+            var = (ss - cn * mean * mean) / (cn - 1) if cn > 1 else None
+            rec[f"{c}_std"] = float(np.sqrt(max(var, 0.0))) if var is not None else None
+        else:
+            for s_ in ("min", "max", "mean", "std"):
+                rec[f"{c}_{s_}"] = None
+    return pd.DataFrame([rec])
+
+
+def partition_metrics_scalable(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    partials = ds.map_batches(_partials, batch_format="pyarrow", batch_size=4096)
+    return partials.groupby(KEY).map_groups(_combine, batch_format="pandas")

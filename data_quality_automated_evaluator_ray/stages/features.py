@@ -1,0 +1,78 @@
+"""Vectorized heuristic quality features over zero-copy Arrow batches.
+
+The reference evaluator computes per-column quality statistics with Polars
+expressions (reference preprocess.py:201-229); here the per-*record* quality
+features are computed with pyarrow.compute kernels (RE2 counting, list
+arithmetic) — no Python-level row loop anywhere in this stage. Exact parity
+with the scalar oracle (oracle.features_row) is asserted in
+tests/test_features.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .. import rules
+
+
+def _line_stats(content: pa.Array) -> tuple[pa.Array, pa.Array, pa.Array]:
+    """(n_lines, max_line_len, mean_line_len) per row, vectorized.
+
+    mean uses the identity sum(len(line)) == n_chars - (n_lines - 1); max uses
+    np.maximum.reduceat over the flattened split-list's codepoint lengths.
+    """
+    lst = pc.split_pattern(content, pattern="\n")
+    n_lines = pc.list_value_length(lst)  # null for null rows
+    flat_lens = pc.utf8_length(pc.list_flatten(lst)).to_numpy(zero_copy_only=False)
+
+    arr = lst.combine_chunks() if isinstance(lst, pa.ChunkedArray) else lst
+    offsets = arr.offsets.to_numpy(zero_copy_only=False)
+    starts, ends = offsets[:-1], offsets[1:]
+    nonempty = ends > starts
+    maxs = np.zeros(len(arr), dtype=np.int64)
+    if nonempty.any():
+        # consecutive non-empty segments tile the flat array exactly
+        maxs[nonempty] = np.maximum.reduceat(flat_lens, starts[nonempty])
+    max_line = pa.array(maxs, type=pa.int64())
+    if arr.null_count:
+        max_line = pc.if_else(pc.is_null(arr), pa.scalar(None, pa.int64()), max_line)
+
+    n_chars = pc.utf8_length(content)
+    total_line_chars = pc.subtract(n_chars, pc.subtract(n_lines, 1))
+    mean_line = pc.divide(pc.cast(total_line_chars, pa.float64()),
+                          pc.cast(n_lines, pa.float64()))
+    return n_lines, max_line, mean_line
+
+
+def _safe_ratio(count: pa.Array, n_chars: pa.Array) -> pa.Array:
+    num = pc.cast(count, pa.float64())
+    den = pc.cast(n_chars, pa.float64())
+    ratio = pc.if_else(pc.equal(den, 0.0), pa.scalar(0.0), pc.divide(num, pc.max_element_wise(den, 1.0)))
+    return ratio
+
+
+def compute_features(batch: pa.Table) -> pa.Table:
+    """map_batches fn: append rules.FEATURE_COLUMNS to an input_hint batch."""
+    content = batch.column("content")
+    n_chars = pc.cast(pc.utf8_length(content), pa.int64())
+    n_lines, max_line, mean_line = _line_stats(content)
+    alpha = pc.count_substring_regex(content, rules.ALPHA_CHAR_PATTERN)
+    non_ascii = pc.count_substring_regex(content, rules.NON_ASCII_PATTERN)
+    ctrl = pc.cast(pc.count_substring_regex(content, rules.CTRL_CHAR_PATTERN), pa.int64())
+    tokens = pc.cast(pc.count_substring_regex(content, rules.TOKEN_PATTERN), pa.int64())
+
+    out = batch
+    for name, col in [
+        ("n_chars", n_chars),
+        ("n_lines", pc.cast(n_lines, pa.int64())),
+        ("max_line_len", max_line),
+        ("mean_line_len", mean_line),
+        ("alpha_ratio", _safe_ratio(alpha, n_chars)),
+        ("non_ascii_ratio", _safe_ratio(non_ascii, n_chars)),
+        ("ctrl_chars", ctrl),
+        ("token_count", tokens),
+    ]:
+        out = out.append_column(name, col)
+    return out

@@ -1,0 +1,67 @@
+"""Keep/drop rule application — vectorized priority cascade.
+
+Mirrors oracle.decide_row exactly: the first failing rule (rules.DROP_REASONS
+order) names the drop_reason; a row passing every rule is kept. Implemented
+as boolean Arrow kernels combined with a numpy priority select — no row loop.
+
+``heuristics_only=True`` skips the two model-backed rules (lang_mismatch,
+high_perplexity) for pipelines that run without the actor-pool scorer stage.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .. import rules
+
+
+def _autogen_mask(content) -> pa.Array:
+    mask = None
+    for marker in rules.AUTOGEN_MARKERS:
+        m = pc.match_substring(content, marker)
+        mask = m if mask is None else pc.or_(mask, m)
+    return mask
+
+
+def apply_rules(batch: pa.Table, heuristics_only: bool = False) -> pa.Table:
+    content = batch.column("content")
+    is_null = pc.is_null(content)
+
+    def col_np(name, fill=0):
+        return pc.fill_null(batch.column(name), fill).to_numpy(zero_copy_only=False)
+
+    n_chars = col_np("n_chars")
+    max_line = col_np("max_line_len")
+    alpha = col_np("alpha_ratio", 0.0)
+    non_ascii = col_np("non_ascii_ratio", 0.0)
+    ctrl = col_np("ctrl_chars")
+    null_m = is_null.to_numpy(zero_copy_only=False)
+    autogen = pc.fill_null(_autogen_mask(content), False).to_numpy(zero_copy_only=False)
+
+    conds = [
+        null_m,
+        n_chars == 0,
+        max_line > rules.MAX_LINE_LEN,
+        (n_chars >= rules.MIN_CHARS_FOR_ALPHA) & (alpha < rules.MIN_ALPHA_RATIO),
+        (ctrl > rules.MAX_CTRL_CHARS) | (non_ascii > rules.MAX_NON_ASCII_RATIO),
+        autogen,
+    ]
+    reasons = list(rules.DROP_REASONS[:6])
+
+    if not heuristics_only:
+        lang = batch.column("lang").to_numpy(zero_copy_only=False)
+        pred = batch.column("lang_pred").to_numpy(zero_copy_only=False)
+        conf = batch.column("lang_conf").to_numpy(zero_copy_only=False)
+        excess = batch.column("ppl_excess").to_numpy(zero_copy_only=False)
+        conds.append((pred != "unknown") & (pred != lang)
+                     & (conf >= rules.LANGID_CONF_THRESHOLD))
+        conds.append(excess > 0.0)
+        reasons += ["lang_mismatch", "high_perplexity"]
+
+    reason = np.select(conds, reasons, default=rules.KEEP)
+    keep = reason == rules.KEEP
+    return (batch
+            .append_column("drop_reason", pa.array(reason.tolist(), pa.string()))
+            .append_column("keep", pa.array(keep.tolist(), pa.bool_())))

@@ -1,0 +1,48 @@
+"""Stateful model-scoring stage: language-ID + perplexity as an actor pool.
+
+The north-star pipeline hosts a fastText-style language-ID model and a
+KenLM-style n-gram LM in long-lived actors; here both from-scratch models are
+built ONCE per actor in ``__init__`` (deterministic, no artifacts to fetch)
+and applied per batch in ``__call__``. Use with::
+
+    ds.map_batches(ModelScorer, batch_format="pyarrow",
+                   batch_size=512, concurrency=(1, N), num_cpus=1)
+
+Model inference is inherently per-row (as it would be with fastText/KenLM);
+each row's work is a handful of numpy searchsorted / dict lookups over
+truncated content, so the loop body is cheap and the batch amortizes
+serialization.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..models import LangIdModel, NgramLM
+
+
+class ModelScorer:
+    def __init__(self) -> None:
+        self.langid = LangIdModel.get()
+        self.lm = NgramLM.get()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        contents = batch.column("content").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        preds, confs, ppls, excesses = [], [], [], []
+        score = self.langid.score
+        ppl_fn = self.lm.perplexity_bits
+        thresholds = self.lm.thresholds
+        for content, lang in zip(contents, langs):
+            pred, conf = score(content)
+            ppl = ppl_fn(content, lang)
+            th = thresholds.get(lang)
+            excesses.append((ppl - th) if (content and th is not None) else 0.0)
+            preds.append(pred)
+            confs.append(conf)
+            ppls.append(ppl)
+        return (batch
+                .append_column("lang_pred", pa.array(preds, pa.string()))
+                .append_column("lang_conf", pa.array(confs, pa.float64()))
+                .append_column("perplexity", pa.array(ppls, pa.float64()))
+                .append_column("ppl_excess", pa.array(excesses, pa.float64())))

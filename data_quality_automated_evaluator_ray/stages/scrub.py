@@ -1,0 +1,57 @@
+"""PII/toxicity scrub + content hashing.
+
+Two equivalent engines for the ordered regex passes in rules.SCRUB_PATTERNS:
+
+* ``scrub_arrow`` — pyarrow ``replace_substring_regex`` (RE2, vectorized C++);
+  the pipeline's default hot path.
+* ``scrub_python`` — Python ``re`` loop; the oracle's path.
+
+The patterns are written in the common Python-re/RE2 subset; byte-equality of
+the two engines over the fixture corpus (incl. unicode-heavy rows) is
+asserted in tests/test_scrub.py, which is what makes using RE2 in the hot
+path safe.
+
+sha256 is computed over the *scrubbed* UTF-8 bytes — the per-row invariant the
+north rule verifies against the reference implementation.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .. import rules
+
+_SCRUB_RES = [(re.compile(p), r) for p, r in rules.SCRUB_PATTERNS]
+
+
+def scrub_arrow(content: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray | pa.Array:
+    for pattern, repl in rules.SCRUB_PATTERNS:
+        content = pc.replace_substring_regex(content, pattern=pattern, replacement=repl)
+    return content
+
+
+def scrub_python(text: str | None) -> str | None:
+    if text is None:
+        return None
+    for rx, repl in _SCRUB_RES:
+        text = rx.sub(repl, text)
+    return text
+
+
+def _sha256_column(scrubbed: pa.ChunkedArray | pa.Array) -> pa.Array:
+    # hashing is per-row by nature; the loop body is a single C call
+    out = [None if s is None else hashlib.sha256(s.encode("utf-8")).hexdigest()
+           for s in scrubbed.to_pylist()]
+    return pa.array(out, pa.string())
+
+
+def scrub_and_hash(batch: pa.Table) -> pa.Table:
+    """map_batches fn: append content_scrubbed + content_sha256."""
+    scrubbed = scrub_arrow(batch.column("content"))
+    return (batch
+            .append_column("content_scrubbed", scrubbed)
+            .append_column("content_sha256", _sha256_column(scrubbed)))

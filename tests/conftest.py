@@ -1,0 +1,43 @@
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+@pytest.fixture(scope="session")
+def ray_session():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=4, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    yield
+    ray.shutdown()
+
+
+@pytest.fixture(scope="session")
+def small_corpus(tmp_path_factory):
+    """Deterministic 800-row fixture corpus written as 4 parquet fragments."""
+    from data_quality_automated_evaluator_ray.sources.codegen import write_corpus
+
+    d = tmp_path_factory.mktemp("corpus")
+    paths = write_corpus(str(d), n_rows=800, seed=42, n_files=4)
+    return str(d), paths
+
+
+@pytest.fixture(scope="session")
+def small_corpus_gold(small_corpus):
+    """Oracle evaluation of the fixture corpus (single-process ground truth)."""
+    import pyarrow.parquet as pq
+
+    from data_quality_automated_evaluator_ray import oracle
+
+    d, paths = small_corpus
+    import pyarrow as pa
+    table = pa.concat_tables([pq.read_table(p) for p in paths])
+    return oracle.evaluate_table(table)

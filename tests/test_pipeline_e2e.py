@@ -1,0 +1,58 @@
+"""End-to-end: Ray Data quality-filter pipeline vs. single-process oracle.
+
+The north-rule gates: keep/drop F1 >= 0.99 (here: exact equality) and
+byte-identical scrubbed content verified by per-row sha256 equality.
+"""
+
+import pyarrow.compute as pc
+
+from data_quality_automated_evaluator_ray.pipelines.quality_filter import (
+    apply_quality_filter, read_corpus)
+
+
+def _by_key(table, cols):
+    keys = [f"{r}|{p}" for r, p in zip(table.column("repo").to_pylist(),
+                                       table.column("path").to_pylist())]
+    out = {}
+    for c in cols:
+        vals = table.column(c).to_pylist()
+        out[c] = dict(zip(keys, vals))
+    return keys, out
+
+
+def test_e2e_matches_oracle(ray_session, small_corpus, small_corpus_gold):
+    d, _ = small_corpus
+    ds = apply_quality_filter(read_corpus(d), scorer_concurrency=2, batch_size=256)
+    result = ds.to_arrow_refs()
+    import pyarrow as pa
+    import ray
+    got = pa.concat_tables([ray.get(r) for r in result])
+    gold = small_corpus_gold
+
+    assert got.num_rows == gold.num_rows
+
+    check_cols = ["keep", "drop_reason", "content_sha256", "content_scrubbed",
+                  "lang_pred", "perplexity", "n_chars", "max_line_len"]
+    gk, gv = _by_key(got, check_cols)
+    ok, ov = _by_key(gold, check_cols)
+    assert sorted(gk) == sorted(ok)
+    for c in check_cols:
+        mism = [k for k in gk if gv[c][k] != ov[c][k]]
+        assert not mism, f"{c}: {len(mism)} mismatches, e.g. {mism[:3]}"
+
+
+def test_keep_rate_sane(small_corpus_gold):
+    keep = pc.sum(pc.cast(small_corpus_gold.column("keep"), "int64")).as_py()
+    rate = keep / small_corpus_gold.num_rows
+    assert 0.5 < rate < 0.95
+
+
+def test_determinism_two_runs(ray_session, small_corpus):
+    d, _ = small_corpus
+    shas = []
+    for _ in range(2):
+        ds = apply_quality_filter(read_corpus(d), scorer_concurrency=2)
+        t = ds.select_columns(["repo", "path", "content_sha256", "keep"]).to_pandas()
+        t = t.sort_values(["repo", "path"]).reset_index(drop=True)
+        shas.append(t)
+    assert shas[0].equals(shas[1])
