@@ -1,0 +1,28 @@
+"""Number formatting for the markdown report.
+
+Re-implements the reference's formatting behavior (reference
+report.py:322-346): ints comma-grouped; floats comma-grouped at fixed
+precision with a scientific fallback when fixed precision loses the value;
+(mu, sigma) tuples rendered as "mu ± sigma"."""
+
+from __future__ import annotations
+
+
+def format_number(value, precision: int = 4) -> str:
+    if value is None:
+        return "—"
+    if isinstance(value, tuple) and len(value) == 2:
+        return f"{format_number(value[0], precision)} ± {format_number(value[1], precision)}"
+    if isinstance(value, bool):
+        return str(value)
+    if isinstance(value, int):
+        return f"{value:,}"
+    if isinstance(value, float):
+        if value != value:  # NaN
+            return "—"
+        fixed = f"{value:,.{precision}f}"
+        # scientific fallback when fixed-point rounds a nonzero value to zero
+        if value != 0.0 and float(fixed.replace(",", "")) == 0.0:
+            return f"{value:.{precision}e}"
+        return fixed
+    return str(value)

@@ -1,0 +1,120 @@
+"""Markdown quality report over the collected partition metrics.
+
+Mirrors the reference report structure (reference report.py:12-103: TOC →
+overview section → per-column sections with transposed stat tables) applied
+to the rebuilt domain: an overview of the run (rows, keep rate, drop-reason
+tallies from lineage) followed by one section per metric family with
+descriptive statistics (functions/outliers.describe_series — the reference's
+evaluate.py:37-53 record) and IQR/Z-score drift flags.
+
+The metrics table is driver-side small (one row per (repo, lang) partition),
+so report assembly is pure Python — same shape as the reference, where the
+aggregated table is one row per time interval.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+from ..functions.formatting import format_number
+from ..functions.outliers import describe_series, drift_flags, outlier_percentage, iqr_outliers, z_score_outliers
+
+
+def _stats_table(metrics: pd.DataFrame, cols: list[str], criterion: str) -> str:
+    header = "| statistic | " + " | ".join(cols) + " |"
+    sep = "|---" * (len(cols) + 1) + "|"
+    records = {c: describe_series(metrics[c].to_numpy(dtype=np.float64)) for c in cols}
+    stat_keys = ["n", "mean", "std", "min", "q1", "q3", "max", "range", "iqr"]
+    lines = [header, sep]
+    for k in stat_keys:
+        row = [format_number(records[c].get(k)) for c in cols]
+        lines.append(f"| {k} | " + " | ".join(row) + " |")
+    pct_row = []
+    for c in cols:
+        x = metrics[c].to_numpy(dtype=np.float64)
+        valid = x[~np.isnan(x)]
+        if valid.size < 4:
+            pct_row.append("—")
+            continue
+        mask = z_score_outliers(x) if criterion == "Z-score" else iqr_outliers(x)
+        pct_row.append(format_number(float(outlier_percentage(mask[~np.isnan(x)]))) + "%")
+    lines.append("| outliers | " + " | ".join(pct_row) + " |")
+    return "\n".join(lines)
+
+
+def make_report(
+    metrics: pd.DataFrame,
+    *,
+    manifests: list[dict] | None = None,
+    criterion: str = "IQR",
+    title: str = "Data quality report",
+    key_cols: tuple[str, ...] = ("repo", "lang"),
+) -> str:
+    manifests = manifests or []
+    rows_in = sum(m.get("rows_in", 0) for m in manifests)
+    rows_kept = sum(m.get("rows_kept", 0) for m in manifests)
+    tallies: dict[str, int] = {}
+    for m in manifests:
+        for r, c in m.get("drop_tallies", {}).items():
+            tallies[r] = tallies.get(r, 0) + c
+
+    families: dict[str, list[str]] = {}
+    for c in metrics.columns:
+        if c in key_cols or not pd.api.types.is_numeric_dtype(metrics[c]):
+            continue
+        fam = c.rsplit("_", 1)[0] if c.rsplit("_", 1)[-1] in (
+            "min", "max", "mean", "median", "std") else "overview"
+        families.setdefault(fam, []).append(c)
+
+    parts = [f"# {title}", ""]
+    parts.append("## Contents")
+    parts.append("- [Run overview](#run-overview)")
+    for fam in families:
+        parts.append(f"- [{fam}](#{fam.replace('_', '-')})")
+    parts.append("")
+
+    parts.append("## Run overview")
+    parts.append("")
+    parts.append(f"- partitions (repo, lang): {format_number(len(metrics))}")
+    if manifests:
+        parts.append(f"- rows in: {format_number(rows_in)}")
+        parts.append(f"- rows kept: {format_number(rows_kept)}"
+                     + (f" ({format_number(100.0 * rows_kept / rows_in, 2)}%)" if rows_in else ""))
+        for r, c in sorted(tallies.items(), key=lambda kv: -kv[1]):
+            parts.append(f"- dropped · {r}: {format_number(c)}")
+    parts.append("")
+
+    for fam, cols in families.items():
+        parts.append(f"## {fam}")
+        parts.append("")
+        parts.append(_stats_table(metrics, sorted(cols), criterion))
+        parts.append("")
+
+    flags = drift_flags(metrics, criterion=criterion, key_cols=key_cols)
+    parts.append("## Drift flags")
+    parts.append("")
+    if len(flags):
+        parts.append(f"{format_number(len(flags))} (partition, metric) outliers by {criterion}:")
+        parts.append("")
+        parts.append("| " + " | ".join(flags.columns) + " |")
+        parts.append("|---" * len(flags.columns) + "|")
+        for _, row in flags.head(50).iterrows():
+            parts.append("| " + " | ".join(
+                format_number(v) if isinstance(v, float) else str(v) for v in row) + " |")
+        if len(flags) > 50:
+            parts.append(f"| … {format_number(len(flags) - 50)} more | | | | | |")
+    else:
+        parts.append("No drift flags.")
+    parts.append("")
+    return "\n".join(parts)
+
+
+def write_report(md: str, out_dir: str, name: str = "quality_report") -> str:
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, f"{name}.md")
+    with open(path, "w") as fh:
+        fh.write(md)
+    return path

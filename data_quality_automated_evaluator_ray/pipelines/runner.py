@@ -1,0 +1,100 @@
+"""Resumable, lineage-tracked execution of the quality-filter pipeline.
+
+Partitions the input fragment (file) list into work partitions; each partition
+runs the full streaming pipeline as its own Ray Data job slice and commits
+atomically (output dir rename, then lineage manifest). A rerun after a crash
+skips every committed partition — no double-writes, byte-identical final
+output (asserted in tests/test_resume.py).
+
+At 100 TB scale a work partition is a few hundred GB of input fragments; the
+driver loop adds negligible overhead per partition while bounding the blast
+radius of a failure to one partition. Within a partition, execution is fully
+streaming (read → map_batches → write) with Ray Data backpressure.
+"""
+
+from __future__ import annotations
+
+import os
+
+import ray.data
+
+from ..state import lineage
+from .quality_filter import apply_quality_filter
+
+OUTPUT_COLUMNS = [
+    "repo", "path", "commit", "lang", "content_scrubbed", "content_sha256",
+    "n_chars", "token_count",
+]
+MODEL_COLUMNS = ["lang_pred", "lang_conf", "perplexity"]
+
+
+def plan_partitions(fragments: list[str], partition_size: int) -> list[list[str]]:
+    frags = sorted(fragments)
+    return [frags[i:i + partition_size] for i in range(0, len(frags), partition_size)]
+
+
+def run_resumable(
+    fragments: list[str],
+    out_dir: str,
+    *,
+    partition_size: int = 2,
+    config_fingerprint: str = "v1",
+    with_models: bool = True,
+    scorer_concurrency=(1, 8),
+    fail_after: int | None = None,
+) -> dict:
+    """Run (or resume) the quality filter over ``fragments``.
+
+    ``fail_after=k`` injects a crash after k committed partitions (test hook).
+    Returns a summary dict {partitions_run, partitions_skipped, rows_kept}.
+    """
+    parts = plan_partitions(fragments, partition_size)
+    token = lineage.checkpoint_token(fragments, config_fingerprint)
+    lineage_dir = os.path.join(out_dir, "lineage")
+    run, skipped, kept_total = 0, 0, 0
+
+    for idx, frag_group in enumerate(parts):
+        final_dir = os.path.join(out_dir, f"part-{idx:05d}")
+        if lineage.is_committed(lineage_dir, idx, token):
+            skipped += 1
+            continue
+        if fail_after is not None and run >= fail_after:
+            raise RuntimeError(f"injected failure before partition {idx}")
+
+        ds = ray.data.read_parquet(
+            frag_group, columns=["repo", "path", "commit", "lang", "content"])
+        ds = apply_quality_filter(ds, with_models=with_models,
+                                  scorer_concurrency=scorer_concurrency)
+
+        tmp_dir = os.path.join(out_dir, f".tmp-part-{idx:05d}")
+        if os.path.exists(tmp_dir):
+            import shutil
+            shutil.rmtree(tmp_dir)
+
+        # Materialize the evaluated partition ONCE (bounded by partition_size;
+        # spills to the object store at scale), then both the tiny tally
+        # aggregate and the kept-row write consume it without re-running the
+        # model stages.
+        evaluated = ds.materialize()
+        reason_counts = evaluated.groupby("drop_reason").count().to_pandas()
+        count_col = [c for c in reason_counts.columns if c != "drop_reason"][0]
+        rows_in = int(reason_counts[count_col].sum())
+        drop_tallies = {
+            r: int(c) for r, c in
+            zip(reason_counts["drop_reason"], reason_counts[count_col]) if r != "keep"
+        }
+        out_cols = OUTPUT_COLUMNS + (MODEL_COLUMNS if with_models else [])
+        kept = evaluated.filter(expr="keep == True").select_columns(out_cols)
+        kept.write_parquet(tmp_dir)
+        rows_kept = rows_in - sum(drop_tallies.values())
+
+        lineage.atomic_publish(tmp_dir, final_dir)
+        lineage.commit(lineage_dir, idx, fragments=frag_group, token=token,
+                       rows_in=rows_in, rows_kept=rows_kept,
+                       drop_tallies=drop_tallies)
+        run += 1
+        kept_total += rows_kept
+
+    return {"partitions_run": run, "partitions_skipped": skipped,
+            "rows_kept": kept_total, "checkpoint_token": token,
+            "n_partitions": len(parts)}

@@ -1,0 +1,109 @@
+"""Config-driven source dispatcher (reference handle_data.py:7-74 semantics).
+
+``read_source(source)`` routes a config dict to the matching Ray Data reader
+by file extension (reference handle_data.py:104-127), applies schema
+overrides (handle_data.py:142-174) as a post-read Arrow cast stage, and
+substitutes ``$ENV_VAR`` indirections in storage options
+(handle_data.py:177-222). Unsupported reference sources (XLSX, PostgreSQL,
+Iceberg) raise a clear error instead of silently degrading.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+_OVERRIDE_TYPES = {
+    "String": pa.string(),
+    "Categorical": pa.string(),   # Arrow dict-encoding happens at the Parquet layer
+    "Date": pa.date32(),
+    "Datetime": pa.timestamp("us"),
+    "Int64": pa.int64(),
+    "Float64": pa.float64(),
+}
+
+
+def substitute_env(options: dict[str, Any]) -> dict[str, Any]:
+    """Replace ``$NAME`` values with the environment variable's value
+    (reference handle_data.py:177-222). Missing variables raise KeyError."""
+    out = {}
+    for k, v in options.items():
+        if isinstance(v, str) and v.startswith("$"):
+            name = v[1:]
+            if name not in os.environ:
+                raise KeyError(f"environment variable {name} (for option {k!r}) is not set")
+            out[k] = os.environ[name]
+        else:
+            out[k] = v
+    return out
+
+
+def _cast_overrides(overrides: dict[str, str]):
+    casts = {}
+    for col, tname in overrides.items():
+        if tname not in _OVERRIDE_TYPES:
+            raise ValueError(
+                f"unsupported schema override {tname!r} for column {col!r}; "
+                f"one of {sorted(_OVERRIDE_TYPES)}")
+        casts[col] = _OVERRIDE_TYPES[tname]
+
+    def _apply(batch: pa.Table) -> pa.Table:
+        for col, typ in casts.items():
+            if col not in batch.column_names:
+                raise KeyError(f"schema_overrides column {col!r} not in data "
+                               f"(have {batch.column_names})")
+            idx = batch.column_names.index(col)
+            src = batch.column(col)
+            if pa.types.is_string(src.type) and pa.types.is_date(typ):
+                new = pc.cast(pc.strptime(src, format="%Y-%m-%d", unit="s"), typ)
+            elif pa.types.is_string(src.type) and pa.types.is_timestamp(typ):
+                new = pc.strptime(src, format="%Y-%m-%d %H:%M:%S", unit="us")
+            else:
+                new = pc.cast(src, typ)
+            batch = batch.set_column(idx, col, new)
+        return batch
+
+    return _apply
+
+
+def read_source(source: dict[str, Any]) -> "ray.data.Dataset":
+    """source = {"path": ..., "format"?: ..., "schema_overrides"?: {...},
+    "columns"?: [...], "storage_options"?: {...}}"""
+    path = source["path"]
+    fmt = source.get("format")
+    if fmt is None:
+        p = path[0] if isinstance(path, list) else path
+        ext = os.path.splitext(p.rstrip("/"))[1].lstrip(".").lower()
+        fmt = ext or "parquet"
+
+    columns = source.get("columns")
+    # storage_options validated + substituted even though local-only here
+    _ = substitute_env(source.get("storage_options", {}))
+
+    if fmt in ("parquet", "pq"):
+        ds = ray.data.read_parquet(path, columns=columns)
+    elif fmt == "csv":
+        ds = ray.data.read_csv(path)
+        if columns:
+            ds = ds.select_columns(columns)
+    elif fmt in ("json", "jsonl", "ndjson"):
+        ds = ray.data.read_json(path)
+        if columns:
+            ds = ds.select_columns(columns)
+    elif fmt in ("xlsx", "postgresql", "iceberg"):
+        raise NotImplementedError(
+            f"source format {fmt!r} is recognised (reference handle_data.py:104-127) "
+            "but not supported in this environment")
+    else:
+        raise ValueError(f"cannot infer a reader for source format {fmt!r}")
+
+    overrides = source.get("schema_overrides")
+    if overrides:
+        ds = ds.map_batches(_cast_overrides(overrides), batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return ds

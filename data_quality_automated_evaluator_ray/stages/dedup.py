@@ -1,0 +1,271 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, exact n-gram Jaccard.
+
+All hashing is content-derived (md5/sha256/blake2) — never Python ``hash()``
+— so results are deterministic across processes, runs, and cluster layouts.
+
+Scale notes (100 TB):
+* exact_dedup — hash-partitioned groupby on a 64-hex sha256; shuffle moves
+  (hash, id) only, never content.
+* minhash_lsh — shingle→minhash per batch (stateless, vectorized numpy),
+  explode to (band, band_hash, id): the groupby shuffles b rows per doc of a
+  few bytes each; candidate pairs are emitted per bucket group.
+* simhash — 64-bit signature per doc; near-dup candidates via 4×16-bit
+  band buckets (hamming ≤ 3 ⇒ at least one band matches).
+* ngram_jaccard_pairs — exact Jaccard via distinct-shingle explode +
+  per-shingle pair emission; the per-doc shingle-set sizes are broadcast via
+  ``ray.put`` (small side) instead of a shuffle join. Suited to candidate
+  verification / small corpora; use minhash_lsh to find candidates at scale.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _stable_u64(texts: list[str]) -> np.ndarray:
+    return np.array(
+        [int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
+         for t in texts], dtype=np.uint64)
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+def add_content_hash(batch: pa.Table, text_col: str = "text",
+                     out_col: str = "content_hash") -> pa.Table:
+    texts = batch.column(text_col).to_pylist()
+    hashes = [None if t is None else hashlib.sha256(t.encode("utf-8")).hexdigest()
+              for t in texts]
+    return batch.append_column(out_col, pa.array(hashes, pa.string()))
+
+
+def exact_dedup(ds: "ray.data.Dataset", text_col: str = "text",
+                id_col: str = "doc_id") -> "ray.data.Dataset":
+    """Keep exactly one row per distinct content: the minimum ``id_col``.
+
+    hash-partition + per-group first (deterministic by min id).
+    """
+    ds = ds.map_batches(lambda b: add_content_hash(b, text_col),
+                        batch_format="pyarrow", zero_copy_batch=True)
+
+    def _first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(id_col).head(1)
+
+    out = ds.groupby("content_hash").map_groups(_first, batch_format="pandas")
+    return out.drop_columns(["content_hash"])
+
+
+# ---------------------------------------------------------------------------
+# Shingling + MinHash
+# ---------------------------------------------------------------------------
+def _token_shingles(text: str, k: int) -> list[str]:
+    toks = text.split()
+    if len(toks) < k:
+        return [" ".join(toks)] if toks else []
+    return [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+
+
+def _minhash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signature(text: str, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    sh = set(_token_shingles(text, 5))
+    if not sh:
+        return np.full(a.shape, _MERSENNE, dtype=np.uint64)
+    hv = _stable_u64(sorted(sh)) % _MERSENNE
+    # (a*h + b) mod p for all perms × shingles, min over shingles
+    prod = (a[:, None] * hv[None, :] + b[:, None]) % _MERSENNE
+    return prod.min(axis=1)
+
+
+class MinHasher:
+    """Actor-pool stage: permutation params built once per actor."""
+
+    def __init__(self, num_perm: int = 64, bands: int = 16,
+                 text_col: str = "text", id_col: str = "doc_id") -> None:
+        assert num_perm % bands == 0
+        self.a, self.b = _minhash_params(num_perm)
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        """Explode each doc into one row per band: (id, band, band_hash)."""
+        ids = batch.column(self.id_col).to_pylist()
+        texts = batch.column(self.text_col).to_pylist()
+        out_id, out_band, out_hash = [], [], []
+        for i, t in zip(ids, texts):
+            if t is None:
+                continue
+            sig = minhash_signature(t, self.a, self.b)
+            for bd in range(self.bands):
+                chunk = sig[bd * self.rows_per_band:(bd + 1) * self.rows_per_band]
+                h = hashlib.md5(chunk.tobytes()).hexdigest()[:16]
+                out_id.append(i)
+                out_band.append(bd)
+                out_hash.append(h)
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "band": pa.array(out_band, pa.int32()),
+            "band_hash": pa.array(out_hash, pa.string()),
+        })
+
+
+def minhash_lsh_candidates(ds: "ray.data.Dataset", *, text_col: str = "text",
+                           id_col: str = "doc_id", num_perm: int = 64,
+                           bands: int = 16,
+                           concurrency=2) -> "ray.data.Dataset":
+    """Candidate near-duplicate pairs (id_a < id_b) from LSH band buckets."""
+    banded = ds.map_batches(
+        MinHasher, fn_constructor_kwargs=dict(num_perm=num_perm, bands=bands,
+                                              text_col=text_col, id_col=id_col),
+        batch_format="pyarrow", concurrency=concurrency, num_cpus=1)
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g["doc_id"].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64")})
+        out = [(ids[i], ids[j]) for i in range(len(ids))
+               for j in range(i + 1, len(ids))]
+        return pd.DataFrame(out, columns=["id_a", "id_b"])
+
+    pairs = banded.groupby(["band", "band_hash"]).map_groups(
+        _pairs, batch_format="pandas")
+    # distinct pairs (a pair can collide in several bands)
+    def _dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+    return pairs.groupby(["id_a", "id_b"]).map_groups(_dedup_pairs,
+                                                      batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+def simhash64(text: str) -> int:
+    toks = text.split()
+    if not toks:
+        return 0
+    hv = _stable_u64(toks)
+    bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
+    v = (2 * bits - 1).sum(axis=0)
+    return int("".join("1" if x > 0 else "0" for x in v[::-1]), 2)
+
+
+def add_simhash(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    texts = batch.column(text_col).to_pylist()
+    sims = [None if t is None else simhash64(t) for t in texts]
+    return batch.append_column("simhash", pa.array(sims, pa.uint64()))
+
+
+def simhash_candidates(ds: "ray.data.Dataset", *, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       max_hamming: int = 3) -> "ray.data.Dataset":
+    """Near-dup pairs by SimHash: 4×16-bit band buckets, verify hamming."""
+    def _band(batch: pa.Table) -> pa.Table:
+        b2 = add_simhash(batch, text_col)
+        ids = b2.column(id_col).to_pylist()
+        sims = b2.column("simhash").to_pylist()
+        oid, oband, okey, osim = [], [], [], []
+        for i, s in zip(ids, sims):
+            if s is None:
+                continue
+            for bd in range(4):
+                oid.append(i)
+                oband.append(bd)
+                okey.append((s >> (16 * bd)) & 0xFFFF)
+                osim.append(s)
+        return pa.table({"doc_id": pa.array(oid, pa.int64()),
+                         "band": pa.array(oband, pa.int32()),
+                         "key": pa.array(okey, pa.int64()),
+                         "simhash": pa.array(osim, pa.uint64())})
+
+    banded = ds.map_batches(_band, batch_format="pyarrow")
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        ids = g["doc_id"].to_numpy()
+        sims = g["simhash"].to_numpy(dtype=np.uint64)
+        out = []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                ham = int(bin(int(sims[i]) ^ int(sims[j])).count("1"))
+                if ham <= max_hamming:
+                    out.append((int(ids[i]), int(ids[j]), ham))
+        return pd.DataFrame(out, columns=["id_a", "id_b", "hamming"])
+
+    pairs = banded.groupby(["band", "key"]).map_groups(_pairs, batch_format="pandas")
+
+    def _dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return pairs.groupby(["id_a", "id_b"]).map_groups(_dedup, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard
+# ---------------------------------------------------------------------------
+def ngram_jaccard_pairs(ds: "ray.data.Dataset", *, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 3,
+                        threshold: float = 0.2) -> "ray.data.Dataset":
+    """Exact token-k-gram Jaccard similarity for all pairs ≥ threshold.
+
+    Distinct shingles explode to (shingle_hash, id); per-shingle groups emit
+    co-occurrence pairs; pair intersection counts + broadcast per-doc set
+    sizes give exact |A∩B| / |A∪B|.
+    """
+    def _shingles(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        oid, osh = [], []
+        for i, t in zip(ids, texts):
+            if t is None:
+                continue
+            for s in set(_token_shingles(t, k)):
+                oid.append(i)
+                osh.append(hashlib.md5(s.encode()).hexdigest()[:16])
+        return pa.table({"doc_id": pa.array(oid, pa.int64()),
+                         "shingle": pa.array(osh, pa.string())})
+
+    exploded = ds.map_batches(_shingles, batch_format="pyarrow")
+
+    # small side: per-doc distinct-shingle counts, broadcast to pair scoring
+    sizes_df = exploded.groupby("doc_id").count().to_pandas()
+    size_col = [c for c in sizes_df.columns if c != "doc_id"][0]
+    sizes_ref = ray.put(dict(zip(sizes_df["doc_id"].astype(int),
+                                 sizes_df[size_col].astype(int))))
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g["doc_id"].unique())
+        out = [(ids[i], ids[j]) for i in range(len(ids))
+               for j in range(i + 1, len(ids))]
+        return pd.DataFrame(out, columns=["id_a", "id_b"])
+
+    pairs = exploded.groupby("shingle").map_groups(_pairs, batch_format="pandas")
+
+    def _score(g: pd.DataFrame) -> pd.DataFrame:
+        inter = len(g)
+        sizes = ray.get(sizes_ref)
+        a, b = int(g["id_a"].iloc[0]), int(g["id_b"].iloc[0])
+        union = sizes[a] + sizes[b] - inter
+        j = inter / union if union else 0.0
+        if j < threshold:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64"),
+                                 "jaccard": pd.Series(dtype="float64")})
+        return pd.DataFrame([{"id_a": a, "id_b": b, "jaccard": j}])
+
+    return pairs.groupby(["id_a", "id_b"]).map_groups(_score, batch_format="pandas")

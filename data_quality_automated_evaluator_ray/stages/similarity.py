@@ -1,0 +1,161 @@
+"""Similarity search over embedding columns (list<float>).
+
+* ``ann_topk_bruteforce`` — exact top-k cosine: the (small) query matrix is
+  broadcast once via ``ray.put``; every batch does one numpy matmul against
+  it and emits per-batch top-k partials; a final tiny groupby merges them.
+  This is the correctness baseline and the pattern for batched model scoring.
+* ``lsh_topk`` — scale path: random-hyperplane LSH signatures bucket the
+  corpus; search runs only within the query's bucket (plus no probing —
+  documented approximation). Deterministic (seeded hyperplanes).
+* ``embedding_neardup_pairs`` — all-pairs cosine ≥ threshold against a
+  broadcast matrix (small-side join, no shuffle).
+
+Ties are broken deterministically by (−cosine, neighbor_id).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _matrix(batch_col) -> np.ndarray:
+    return np.array(batch_col.to_pylist(), dtype=np.float64)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def ann_topk_bruteforce(ds: "ray.data.Dataset", queries: np.ndarray,
+                        query_ids: list[int], k: int = 5,
+                        *, id_col: str = "vec_id",
+                        emb_col: str = "embedding") -> "ray.data.Dataset":
+    """Exact cosine top-k neighbors of each query vector over the dataset."""
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    q_ref = ray.put((qn, list(query_ids)))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        qmat, qids = ray.get(q_ref)
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        emb = _normalize(_matrix(batch.column(emb_col)))
+        sims = emb @ qmat.T  # (n, m)
+        top = min(k, sims.shape[0])
+        oq, on, oc = [], [], []
+        for j, qid in enumerate(qids):
+            col = sims[:, j]
+            order = np.lexsort((ids, -col))[:top]  # sort by (-cos, id)
+            oq.extend([qid] * len(order))
+            on.extend(ids[order].tolist())
+            oc.extend(col[order].tolist())
+        return pa.table({"query_id": pa.array(oq, pa.int64()),
+                         "neighbor_id": pa.array(on, pa.int64()),
+                         "cosine": pa.array(oc, pa.float64())})
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow")
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "neighbor_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partials.groupby("query_id").map_groups(_merge, batch_format="pandas")
+
+
+class LshIndexer:
+    """Actor stage: seeded random-hyperplane signatures (scale path for ANN)."""
+
+    def __init__(self, dim: int, n_planes: int = 12, seed: int = 13,
+                 emb_col: str = "embedding") -> None:
+        rng = np.random.RandomState(seed)
+        self.planes = rng.standard_normal((n_planes, dim))
+        self.emb_col = emb_col
+
+    def signature(self, m: np.ndarray) -> np.ndarray:
+        bits = (m @ self.planes.T) > 0
+        return (bits.astype(np.uint64) << np.arange(bits.shape[1], dtype=np.uint64)).sum(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = _normalize(_matrix(batch.column(self.emb_col)))
+        sig = self.signature(emb)
+        return batch.append_column("lsh_bucket", pa.array(sig.astype(np.int64), pa.int64()))
+
+
+def lsh_topk(ds: "ray.data.Dataset", queries: np.ndarray, query_ids: list[int],
+             k: int = 5, *, dim: int, n_planes: int = 8,
+             id_col: str = "vec_id", emb_col: str = "embedding",
+             concurrency=2) -> "ray.data.Dataset":
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+
+    Partitioning assumption: a bucket's rows co-locate via the groupby
+    shuffle; recall depends on n_planes (no multi-probe).
+    """
+    indexer = LshIndexer(dim, n_planes)
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    qsig = indexer.signature(qn)
+    q_by_bucket: dict[int, list[int]] = {}
+    for j, s in enumerate(qsig):
+        q_by_bucket.setdefault(int(s), []).append(j)
+    q_ref = ray.put((qn, list(query_ids), q_by_bucket))
+
+    bucketed = ds.map_batches(
+        LshIndexer, fn_constructor_kwargs=dict(dim=dim, n_planes=n_planes,
+                                               emb_col=emb_col),
+        batch_format="pyarrow", concurrency=concurrency, num_cpus=1)
+
+    def _bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        qmat, qids, by_bucket = ray.get(q_ref)
+        bucket = int(g["lsh_bucket"].iloc[0])
+        js = by_bucket.get(bucket)
+        if not js:
+            return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                                 "neighbor_id": pd.Series(dtype="int64"),
+                                 "cosine": pd.Series(dtype="float64"),
+                                 "rank": pd.Series(dtype="int64")})
+        ids = g[id_col].to_numpy(dtype=np.int64)
+        emb = _normalize(np.array(g[emb_col].tolist(), dtype=np.float64))
+        out = []
+        for j in js:
+            col = emb @ qmat[j]
+            order = np.lexsort((ids, -col))[:k]
+            for r, o in enumerate(order, 1):
+                out.append({"query_id": qids[j], "neighbor_id": int(ids[o]),
+                            "cosine": float(col[o]), "rank": r})
+        return pd.DataFrame(out)
+
+    return bucketed.groupby("lsh_bucket").map_groups(_bucket_topk,
+                                                     batch_format="pandas")
+
+
+def embedding_neardup_pairs(ds: "ray.data.Dataset", threshold: float = 0.9,
+                            *, id_col: str = "vec_id",
+                            emb_col: str = "embedding") -> "ray.data.Dataset":
+    """All (id_a < id_b) pairs with cosine ≥ threshold; matrix broadcast once."""
+    full = ds.select_columns([id_col, emb_col]).to_pandas()
+    all_ids = full[id_col].to_numpy(dtype=np.int64)
+    all_emb = _normalize(np.array(full[emb_col].tolist(), dtype=np.float64))
+    ref = ray.put((all_ids, all_emb))
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        ids_all, emb_all = ray.get(ref)
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        emb = _normalize(_matrix(batch.column(emb_col)))
+        sims = emb @ emb_all.T
+        oa, ob, oc = [], [], []
+        for r in range(sims.shape[0]):
+            hit = np.flatnonzero((sims[r] >= threshold) & (ids_all > ids[r]))
+            oa.extend([int(ids[r])] * len(hit))
+            ob.extend(ids_all[hit].tolist())
+            oc.extend(sims[r, hit].tolist())
+        return pa.table({"id_a": pa.array(oa, pa.int64()),
+                         "id_b": pa.array(ob, pa.int64()),
+                         "cosine": pa.array(oc, pa.float64())})
+
+    return ds.map_batches(_pairs, batch_format="pyarrow")

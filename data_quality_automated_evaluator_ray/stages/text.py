@@ -1,0 +1,141 @@
+"""Text-analysis operators over a documents table (doc_id, text, lang, ...).
+
+All per-row counting is RE2/pyarrow-vectorized; the only per-row Python is
+model inference (langid) and rolling-hash fingerprints, both of which live in
+actor-friendly callables.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from .. import rules
+
+_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "for", "on", "with"]
+_STOP_PATTERN = r"(?:^| )(?:" + "|".join(_STOPWORDS) + r")(?: |$)"
+_WS_TOKEN_PATTERN = r"[^ \t\n\r]+"
+_PUNCT_PATTERN = r"[^\sA-Za-z0-9]"
+
+
+def text_features(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """n_chars / whitespace tokens / BPE-ish tokens / lines / ratios."""
+    t = batch.column(text_col)
+    n_chars = pc.cast(pc.utf8_length(t), pa.int64())
+    ws_tokens = pc.cast(pc.count_substring_regex(t, _WS_TOKEN_PATTERN), pa.int64())
+    bpe_tokens = pc.cast(pc.count_substring_regex(t, rules.TOKEN_PATTERN), pa.int64())
+    n_lines = pc.cast(pc.list_value_length(pc.split_pattern(t, pattern="\n")), pa.int64())
+    alpha = pc.count_substring_regex(t, rules.ALPHA_CHAR_PATTERN)
+    punct = pc.count_substring_regex(t, _PUNCT_PATTERN)
+    den = pc.max_element_wise(pc.cast(n_chars, pa.float64()), 1.0)
+    out = batch
+    for name, col in [
+        ("n_chars_text", n_chars),
+        ("n_tokens", ws_tokens),
+        ("n_tokens_bpe", bpe_tokens),
+        ("n_lines", n_lines),
+        ("alpha_ratio", pc.divide(pc.cast(alpha, pa.float64()), den)),
+        ("punct_ratio", pc.divide(pc.cast(punct, pa.float64()), den)),
+    ]:
+        out = out.append_column(name, col)
+    return out
+
+
+def quality_score(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Composite heuristic quality score in [0,1]:
+    0.4·length_score + 0.3·alpha_ratio + 0.3·stopword presence score."""
+    b = text_features(batch, text_col)
+    n = b.column("n_chars_text").to_numpy(zero_copy_only=False).astype(np.float64)
+    alpha = b.column("alpha_ratio").to_numpy(zero_copy_only=False)
+    toks = b.column("n_tokens").to_numpy(zero_copy_only=False).astype(np.float64)
+    stops = pc.count_substring_regex(batch.column(text_col), _STOP_PATTERN) \
+        .to_numpy(zero_copy_only=False).astype(np.float64)
+    length_score = np.clip(n / 500.0, 0.0, 1.0)
+    stop_score = np.clip(stops / np.maximum(toks, 1.0) * 5.0, 0.0, 1.0)
+    score = 0.4 * length_score + 0.3 * alpha + 0.3 * stop_score
+    return batch.append_column("quality_score", pa.array(score, pa.float64()))
+
+
+def fingerprint(batch: pa.Table, text_col: str = "text",
+                window: int = 8) -> pa.Table:
+    """Document fingerprints: full-content sha256 + winnowing-style rolling
+    hash (min-sampled polynomial rolling hash over byte windows)."""
+    texts = batch.column(text_col).to_pylist()
+    shas, rolls = [], []
+    for t in texts:
+        if t is None:
+            shas.append(None)
+            rolls.append(None)
+            continue
+        data = t.encode("utf-8")
+        shas.append(hashlib.sha256(data).hexdigest())
+        if len(data) < window:
+            rolls.append(int.from_bytes(hashlib.md5(data).digest()[:8], "big"))
+            continue
+        arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+        base = np.uint64(257)
+        mod = np.uint64((1 << 61) - 1)
+        h = np.zeros(len(arr) - window + 1, dtype=np.uint64)
+        cur = np.uint64(0)
+        poww = np.uint64(1)
+        for _ in range(window - 1):
+            poww = (poww * base) % mod
+        for i in range(window):
+            cur = (cur * base + arr[i]) % mod
+        h[0] = cur
+        for i in range(1, len(h)):
+            cur = ((cur - arr[i - 1] * poww) % mod * base + arr[i + window - 1]) % mod
+            h[i] = cur
+        rolls.append(int(h.min()))
+    return (batch
+            .append_column("fingerprint_sha256", pa.array(shas, pa.string()))
+            .append_column("fingerprint_rolling", pa.array(rolls, pa.uint64())))
+
+
+class DocumentLangId:
+    """Actor stage: language-ID over a documents table (heuristic profile
+    classifier; the engine's from-scratch model, trained on code/markdown/text
+    grammars — over natural-language corpora it behaves as a best-effort
+    heuristic and is validated as deterministic rather than accurate)."""
+
+    def __init__(self) -> None:
+        from ..models import LangIdModel
+        self.model = LangIdModel.get()
+
+    def __call__(self, batch: pa.Table, text_col: str = "text") -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        preds, confs = [], []
+        for t in texts:
+            p, c = self.model.score(t)
+            preds.append(p)
+            confs.append(c)
+        return (batch
+                .append_column("lang_pred", pa.array(preds, pa.string()))
+                .append_column("lang_conf", pa.array(confs, pa.float64())))
+
+
+def top_tokens(ds: "ray.data.Dataset", text_col: str = "text",
+               k: int = 20) -> "ray.data.Dataset":
+    """Top-k most frequent whitespace tokens: per-batch partial counts
+    (combiner) → small groupby sum → top-k. The shuffle moves one row per
+    (batch, distinct token), not one per token occurrence."""
+    def _partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        counts: dict[str, int] = {}
+        for t in texts:
+            if not t:
+                continue
+            for tok in t.split():
+                counts[tok] = counts.get(tok, 0) + 1
+        return pa.table({"token": pa.array(list(counts.keys()), pa.string()),
+                         "n": pa.array(list(counts.values()), pa.int64())})
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+    summed = partials.groupby("token").aggregate(Sum("n", alias_name="n_total"))
+    return summed.sort(["n_total", "token"], descending=[True, False]).limit(k)

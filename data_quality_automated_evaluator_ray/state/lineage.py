@@ -1,0 +1,89 @@
+"""Per-partition lineage manifests + checkpoint tokens for resumable runs.
+
+The reference has no checkpoint/resume (its whole run is one Polars collect,
+reference main.py:9-44); the north rule mandates it for the rebuild. Design:
+
+* The unit of work is a *work partition* = a fixed slice of the sorted input
+  fragment (file) list.
+* Each completed partition commits ``lineage/part-<i>.json`` — input
+  fragments, row counts, keep/drop tallies, and a checkpoint token =
+  sha256(sorted fragment list + config fingerprint) — written AFTER the
+  partition's Parquet output directory is atomically renamed into place.
+* Resume = at plan time, skip partitions whose manifest exists AND carries the
+  same checkpoint token (a config/input change invalidates old manifests).
+
+Atomicity: output is written to ``<out>/.tmp-part-<i>`` then ``os.rename``d to
+``<out>/part-<i>``; the manifest is written last via temp-file + rename. A
+crash between the two leaves a completed directory without a manifest — the
+rerun removes and re-does it (idempotent, no double-count).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+
+
+def checkpoint_token(fragments: list[str], config_fingerprint: str) -> str:
+    h = hashlib.sha256()
+    for f in sorted(fragments):
+        h.update(f.encode())
+        h.update(b"\x00")
+    h.update(config_fingerprint.encode())
+    return h.hexdigest()
+
+
+def manifest_path(lineage_dir: str, part_idx: int) -> str:
+    return os.path.join(lineage_dir, f"part-{part_idx:05d}.json")
+
+
+def is_committed(lineage_dir: str, part_idx: int, token: str) -> bool:
+    p = manifest_path(lineage_dir, part_idx)
+    if not os.path.exists(p):
+        return False
+    try:
+        with open(p) as fh:
+            m = json.load(fh)
+        return m.get("checkpoint_token") == token
+    except (json.JSONDecodeError, OSError):
+        return False
+
+
+def commit(lineage_dir: str, part_idx: int, *, fragments: list[str], token: str,
+           rows_in: int, rows_kept: int, drop_tallies: dict[str, int]) -> dict:
+    os.makedirs(lineage_dir, exist_ok=True)
+    manifest = {
+        "partition": part_idx,
+        "fragments": sorted(fragments),
+        "checkpoint_token": token,
+        "rows_in": rows_in,
+        "rows_kept": rows_kept,
+        "rows_dropped": rows_in - rows_kept,
+        "drop_tallies": drop_tallies,
+    }
+    p = manifest_path(lineage_dir, part_idx)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    os.replace(tmp, p)
+    return manifest
+
+
+def atomic_publish(tmp_dir: str, final_dir: str) -> None:
+    """Rename a finished partition's output dir into place (idempotent)."""
+    if os.path.exists(final_dir):
+        shutil.rmtree(final_dir)
+    os.replace(tmp_dir, final_dir)
+
+
+def load_manifests(lineage_dir: str) -> list[dict]:
+    out = []
+    if not os.path.isdir(lineage_dir):
+        return out
+    for name in sorted(os.listdir(lineage_dir)):
+        if name.startswith("part-") and name.endswith(".json"):
+            with open(os.path.join(lineage_dir, name)) as fh:
+                out.append(json.load(fh))
+    return out

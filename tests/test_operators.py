@@ -1,0 +1,284 @@
+"""Operator tests: temporal aggregate, dedup suite, similarity, text, sources."""
+
+import hashlib
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# Temporal interval aggregation vs DuckDB
+# ---------------------------------------------------------------------------
+def test_interval_aggregate_matches_duckdb(ray_session):
+    import ray.data
+    from data_quality_automated_evaluator_ray.stages.temporal import interval_aggregate
+
+    ds = ray.data.read_parquet(f"{SF}/events.parquet")
+    got = interval_aggregate(
+        ds, date_col="ts", interval="1d",
+        numeric_cols=["value"], nunique_cols=["user_id"],
+        nullrate_cols=["props"],
+    ).to_pandas()
+
+    want = duckdb.sql(f"""
+        select date_trunc('day', ts) as time_interval,
+               count(*) as n_rows,
+               count(distinct user_id) as user_id_nunique,
+               avg(case when props is null then 1.0 else 0.0 end) as props_null_rate,
+               min(value) as value_min, max(value) as value_max,
+               avg(value) as value_mean, median(value) as value_median,
+               stddev_samp(value) as value_std
+        from '{SF}/events.parquet'
+        group by 1 order by 1
+    """).df()
+
+    assert len(got) == len(want)
+    pd.testing.assert_series_equal(
+        got["n_rows"].astype("int64"), want["n_rows"].astype("int64"),
+        check_names=False)
+    for c in ["user_id_nunique", "props_null_rate", "value_min", "value_max",
+              "value_mean", "value_median", "value_std"]:
+        np.testing.assert_allclose(got[c].to_numpy(dtype=float),
+                                   want[c].to_numpy(dtype=float),
+                                   rtol=1e-9, err_msg=c)
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+def _docs_with_dups(n_extra=30):
+    t = pq.read_table(f"{SF}/documents.parquet")
+    df = t.to_pandas()
+    dup = df.head(n_extra).copy()
+    dup["doc_id"] = dup["doc_id"] + 100000  # same text, new ids
+    return pd.concat([df, dup], ignore_index=True)
+
+
+def test_exact_dedup(ray_session):
+    import ray.data
+    from data_quality_automated_evaluator_ray.stages.dedup import exact_dedup
+
+    df = _docs_with_dups(30)
+    out = exact_dedup(ray.data.from_pandas(df)).to_pandas()
+    assert len(out) == 500
+    # keeper is min doc_id → none of the +100000 ids survive
+    assert (out["doc_id"] < 100000).all()
+
+
+def test_minhash_lsh_finds_planted_neardups(ray_session):
+    import ray.data
+    from data_quality_automated_evaluator_ray.stages.dedup import minhash_lsh_candidates
+
+    df = pq.read_table(f"{SF}/documents.parquet").to_pandas().head(80)
+    # plant: doc 9001 = doc of row0 with one token changed
+    toks = df["text"].iloc[0].split()
+    toks[3] = "XYZZY"
+    planted = pd.DataFrame([{"doc_id": 9001, "text": " ".join(toks)},
+                            {"doc_id": 9002, "text": df["text"].iloc[5]}])
+    alldf = pd.concat([df[["doc_id", "text"]], planted], ignore_index=True)
+    pairs = minhash_lsh_candidates(ray.data.from_pandas(alldf)).to_pandas()
+    got = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    assert (int(df["doc_id"].iloc[0]), 9001) in got
+    assert (int(df["doc_id"].iloc[5]), 9002) in got
+
+
+def test_simhash_exact_dup_distance_zero(ray_session):
+    import ray.data
+    from data_quality_automated_evaluator_ray.stages.dedup import (
+        simhash64, simhash_candidates)
+
+    df = pq.read_table(f"{SF}/documents.parquet").to_pandas().head(60)
+    planted = pd.DataFrame([{"doc_id": 7001, "text": df["text"].iloc[2]}])
+    alldf = pd.concat([df[["doc_id", "text"]], planted], ignore_index=True)
+    pairs = simhash_candidates(ray.data.from_pandas(alldf)).to_pandas()
+    hit = pairs[(pairs.id_a == int(df["doc_id"].iloc[2])) & (pairs.id_b == 7001)]
+    assert len(hit) == 1 and hit["hamming"].iloc[0] == 0
+    assert simhash64("a b c") == simhash64("a b c")
+
+
+def test_ngram_jaccard_exact(ray_session):
+    import ray.data
+    from data_quality_automated_evaluator_ray.stages.dedup import (
+        _token_shingles, ngram_jaccard_pairs)
+
+    df = pq.read_table(f"{SF}/documents.parquet").to_pandas().head(40)[["doc_id", "text"]]
+    got = ngram_jaccard_pairs(ray.data.from_pandas(df), k=3, threshold=0.05).to_pandas()
+
+    # brute-force reference
+    sets = {int(r.doc_id): set(_token_shingles(r.text, 3)) for r in df.itertuples()}
+    want = {}
+    ids = sorted(sets)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = sets[ids[i]], sets[ids[j]]
+            jac = len(a & b) / len(a | b) if a | b else 0.0
+            if jac >= 0.05:
+                want[(ids[i], ids[j])] = jac
+    got_map = {(int(r.id_a), int(r.id_b)): r.jaccard for r in got.itertuples()}
+    assert set(got_map) == set(want)
+    for k2, v in want.items():
+        assert got_map[k2] == pytest.approx(v)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+def _emb():
+    return pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+
+
+def test_ann_topk_bruteforce_exact(ray_session):
+    import ray.data
+    from data_quality_automated_evaluator_ray.stages.similarity import ann_topk_bruteforce
+
+    df = _emb()
+    q = np.array(df["embedding"].head(3).tolist())
+    got = ann_topk_bruteforce(ray.data.from_pandas(df), q, [0, 1, 2], k=5).to_pandas()
+
+    m = np.array(df["embedding"].tolist(), dtype=np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sims = mn @ qn.T
+    ids = df["vec_id"].to_numpy()
+    for j in range(3):
+        order = np.lexsort((ids, -sims[:, j]))[:5]
+        sub = got[got.query_id == j].sort_values("rank")
+        assert sub["neighbor_id"].tolist() == ids[order].tolist()
+        # BLAS summation order differs with batch shape → tiny fp noise
+        np.testing.assert_allclose(sub["cosine"].to_numpy(), sims[order, j], rtol=1e-6)
+        assert sub["rank"].iloc[0] == 1 and sub["neighbor_id"].iloc[0] == ids[j]
+
+
+def test_lsh_topk_subset_valid(ray_session):
+    import ray.data
+    from data_quality_automated_evaluator_ray.stages.similarity import lsh_topk
+
+    df = _emb()
+    q = np.array(df["embedding"].head(2).tolist())
+    got = lsh_topk(ray.data.from_pandas(df), q, [0, 1], k=5, dim=64).to_pandas()
+    assert len(got) >= 2  # each query finds at least itself in its own bucket
+    # the query vector itself must be its own rank-1 neighbor (cos≈1)
+    for j in (0, 1):
+        sub = got[got.query_id == j].sort_values("rank")
+        assert sub["neighbor_id"].iloc[0] == int(df["vec_id"].iloc[j])
+        assert sub["cosine"].iloc[0] == pytest.approx(1.0)
+
+
+def test_embedding_neardup_pairs_vs_numpy(ray_session):
+    import ray.data
+    from data_quality_automated_evaluator_ray.stages.similarity import embedding_neardup_pairs
+
+    df = _emb().head(120)
+    got = embedding_neardup_pairs(ray.data.from_pandas(df), threshold=0.3).to_pandas()
+    m = np.array(df["embedding"].tolist(), dtype=np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    ids = df["vec_id"].to_numpy()
+    want = {(int(ids[i]), int(ids[j]))
+            for i in range(len(ids)) for j in range(len(ids))
+            if ids[j] > ids[i] and sims[i, j] >= 0.3}
+    assert want, "fixture should produce at least one pair at this threshold"
+    assert set(map(tuple, got[["id_a", "id_b"]].to_numpy())) == want
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+def test_text_features_vs_duckdb(ray_session):
+    import ray.data
+    from data_quality_automated_evaluator_ray.stages.text import text_features
+
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet")
+    got = ds.map_batches(text_features, batch_format="pyarrow") \
+            .select_columns(["doc_id", "n_chars_text", "n_tokens"]) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    want = duckdb.sql(f"""
+        select doc_id, length(text) as n_chars_text,
+               len(regexp_extract_all(text, '[^ \t\n\r]+')) as n_tokens
+        from '{SF}/documents.parquet' order by doc_id
+    """).df()
+    assert got["n_chars_text"].tolist() == want["n_chars_text"].tolist()
+    assert got["n_tokens"].tolist() == want["n_tokens"].tolist()
+
+
+def test_top_tokens_vs_counter(ray_session):
+    import ray.data
+    from collections import Counter
+    from data_quality_automated_evaluator_ray.stages.text import top_tokens
+
+    df = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    got = top_tokens(ray.data.from_pandas(df), k=10).to_pandas()
+    c = Counter()
+    for t in df["text"]:
+        c.update(t.split())
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(zip(got["token"], got["n_total"])) == want
+
+
+def test_fingerprint_deterministic(ray_session):
+    from data_quality_automated_evaluator_ray.stages.text import fingerprint
+
+    t = pa.table({"text": pa.array(["hello world foo bar", None, "x"])})
+    a = fingerprint(t)
+    b = fingerprint(t)
+    assert a.column("fingerprint_rolling").to_pylist() == b.column("fingerprint_rolling").to_pylist()
+    assert a.column("fingerprint_sha256")[0].as_py() == hashlib.sha256(
+        b"hello world foo bar").hexdigest()
+    assert a.column("fingerprint_sha256")[1].as_py() is None
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+def test_multimodal_fake_backend(ray_session):
+    import ray.data
+    from data_quality_automated_evaluator_ray.stages.multimodal import (
+        ImageFeatureExtractor, make_fake_payload_table)
+
+    t = make_fake_payload_table(50)
+    ds = ray.data.from_arrow(t).map_batches(
+        ImageFeatureExtractor, fn_constructor_kwargs=dict(decode_backend="fake"),
+        batch_format="pyarrow", batch_size=16, concurrency=1)
+    out = ds.to_pandas()
+    assert len(out) == 50
+    assert "payload" not in out.columns  # payloads must not leave the stage
+    assert out["decoded_ok"].all()
+    assert out["mean_intensity"].between(0, 1).all()
+
+
+def test_multimodal_stub_raises():
+    from data_quality_automated_evaluator_ray.stages.multimodal import (
+        ImageFeatureExtractor, make_fake_payload_table)
+
+    ex = ImageFeatureExtractor()  # stub backend
+    with pytest.raises(NotImplementedError):
+        ex(make_fake_payload_table(2))
+
+
+# ---------------------------------------------------------------------------
+# Sources
+# ---------------------------------------------------------------------------
+def test_read_source_parquet_and_overrides(ray_session, monkeypatch):
+    from data_quality_automated_evaluator_ray.sources.readers import (
+        read_source, substitute_env)
+
+    ds = read_source({"path": f"{SF}/part.parquet",
+                      "columns": ["p_partkey", "p_size"],
+                      "schema_overrides": {"p_size": "Float64"}})
+    t = ds.take_batch(5, batch_format="pyarrow")
+    assert t.column_names == ["p_partkey", "p_size"]
+    assert str(t.schema.field("p_size").type) == "double"
+
+    monkeypatch.setenv("MY_KEY", "s3cret")
+    assert substitute_env({"key": "$MY_KEY", "plain": "x"}) == {
+        "key": "s3cret", "plain": "x"}
+    with pytest.raises(KeyError):
+        substitute_env({"key": "$NOPE_NOT_SET"})
+    with pytest.raises(NotImplementedError):
+        read_source({"path": "x.xlsx"})

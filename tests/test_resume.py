@@ -1,0 +1,68 @@
+"""Resume semantics: kill after k partitions → resume → identical output."""
+
+import glob
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from data_quality_automated_evaluator_ray.pipelines.runner import run_resumable
+from data_quality_automated_evaluator_ray.state import lineage
+
+
+def _read_all(out_dir):
+    files = sorted(glob.glob(os.path.join(out_dir, "part-*", "*.parquet")))
+    t = pa.concat_tables([pq.read_table(f) for f in files])
+    df = t.to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    return df
+
+
+def test_resume_identical_to_uninterrupted(ray_session, small_corpus, tmp_path):
+    d, paths = small_corpus
+
+    # uninterrupted reference run (heuristics-only: fast, deterministic)
+    full_dir = str(tmp_path / "full")
+    s1 = run_resumable(paths, full_dir, partition_size=1, with_models=False)
+    assert s1["partitions_run"] == len(paths)
+
+    # interrupted run: crash after 2 partitions, then resume
+    res_dir = str(tmp_path / "resumed")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_resumable(paths, res_dir, partition_size=1, with_models=False,
+                      fail_after=2)
+    manifests = lineage.load_manifests(os.path.join(res_dir, "lineage"))
+    assert len(manifests) == 2
+
+    s2 = run_resumable(paths, res_dir, partition_size=1, with_models=False)
+    assert s2["partitions_skipped"] == 2
+    assert s2["partitions_run"] == len(paths) - 2
+
+    a, b = _read_all(full_dir), _read_all(res_dir)
+    assert a.equals(b)
+
+
+def test_manifest_tallies_consistent(ray_session, small_corpus, tmp_path):
+    d, paths = small_corpus
+    out = str(tmp_path / "out")
+    run_resumable(paths, out, partition_size=2, with_models=False)
+    manifests = lineage.load_manifests(os.path.join(out, "lineage"))
+    rows_in = sum(m["rows_in"] for m in manifests)
+    rows_kept = sum(m["rows_kept"] for m in manifests)
+    assert rows_in == 800
+    written = _read_all(out)
+    assert len(written) == rows_kept
+    for m in manifests:
+        assert m["rows_in"] == m["rows_kept"] + sum(m["drop_tallies"].values())
+        assert m["checkpoint_token"] == manifests[0]["checkpoint_token"]
+
+
+def test_config_change_invalidates_checkpoint(ray_session, small_corpus, tmp_path):
+    d, paths = small_corpus
+    out = str(tmp_path / "out")
+    run_resumable(paths[:2], out, partition_size=1, with_models=False,
+                  config_fingerprint="v1")
+    s = run_resumable(paths[:2], out, partition_size=1, with_models=False,
+                      config_fingerprint="v2")
+    assert s["partitions_skipped"] == 0  # old manifests carry a stale token
+    assert s["partitions_run"] == 2
