@@ -1,16 +1,17 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data-native data-quality engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver initialises Ray BEFORE importing this module; nothing here (or in
+the library) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+* ``entry()`` — flagship quality-filter pipeline (features → actor-pool
+  langid/perplexity → scrub+sha256 → keep/drop) over sf0.001 documents
+  adapted to the input_hint corpus schema.
+* ``queries()`` — one callable per implemented operator family (SURVEY.md §2
+  + the large-scale training-data ops); each takes sf_dir.
+* ``oracle_sql()`` — DuckDB-runnable ANSI SQL for every SQL-expressible
+  query, with matching column names and float rounding. Model-backed and
+  hash-sketch pipelines (langid, perplexity, minhash, simhash, code-corpus
+  flagship) are deliberately omitted → rows-only checks.
 """
 
 from __future__ import annotations
@@ -20,25 +21,148 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    import pyarrow as pa
+
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.pipelines.quality_filter import (
+        apply_quality_filter)
+
+    def _adapt(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "repo": b.column("source"),
+            "path": pa.array([f"doc_{i}" for i in b.column("doc_id").to_pylist()],
+                             pa.string()),
+            "commit": pa.array(["0" * 40] * b.num_rows, pa.string()),
+            "lang": b.column("lang"),
+            "content": b.column("text"),
+        })
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    ds = ds.map_batches(_adapt, batch_format="pyarrow")
+    return apply_quality_filter(ds, scorer_concurrency=(1, 4))
+
+
+def _code_corpus_dir(sf_dir: str) -> str:
+    from data_quality_automated_evaluator_ray.sources.codegen import write_corpus
+
+    tag = sf_dir.rstrip("/").split("/")[-1]
+    n_rows = {"sf0.001": 1000, "sf0.01": 4000, "sf0.1": 20000}.get(tag, 2000)
+    out = f"/tmp/dqare_corpus_{tag}"
+    write_corpus(out, n_rows=n_rows, seed=42, n_files=8)
+    return out
+
+
+def _qf_code_corpus(sf_dir: str):
+    from data_quality_automated_evaluator_ray.pipelines.quality_filter import (
+        apply_quality_filter, read_corpus)
+
+    d = _code_corpus_dir(sf_dir)
+    ds = apply_quality_filter(read_corpus(d), scorer_concurrency=(1, 4))
+    return ds.select_columns(["repo", "path", "lang", "keep", "drop_reason",
+                              "content_sha256", "lang_pred", "perplexity"])
+
+
+def _partition_metrics_code_corpus(sf_dir: str):
+    from data_quality_automated_evaluator_ray.pipelines.quality_filter import (
+        apply_quality_filter, read_corpus)
+    from data_quality_automated_evaluator_ray.stages.aggregate import (
+        partition_metrics)
+
+    d = _code_corpus_dir(sf_dir)
+    ds = apply_quality_filter(read_corpus(d), scorer_concurrency=(1, 4))
+    return partition_metrics(ds)
+
+
+def _langid_documents(sf_dir: str):
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.text import DocumentLangId
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    return ds.map_batches(DocumentLangId, batch_format="pyarrow",
+                          concurrency=2, num_cpus=1) \
+             .select_columns(["doc_id", "lang_pred", "lang_conf"])
+
+
+def _minhash_lsh_documents(sf_dir: str):
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.dedup import (
+        minhash_lsh_candidates)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return minhash_lsh_candidates(ds)
+
+
+def _simhash_documents(sf_dir: str):
+    import pyarrow as pa
+
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.dedup import add_simhash
+
+    def _hex(b: pa.Table) -> pa.Table:
+        b2 = add_simhash(b, "text")
+        hexes = [None if s is None else f"{s:016x}"
+                 for s in b2.column("simhash").to_pylist()]
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "simhash_hex": pa.array(hexes, pa.string())})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(_hex, batch_format="pyarrow")
+
+
+def _lsh_topk_embeddings(sf_dir: str):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.similarity import lsh_topk
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    qdf = emb[emb["vec_id"] < 5].sort_values("vec_id")
+    q = np.array(qdf["embedding"].tolist(), dtype=np.float64)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_topk(ds, q, qdf["vec_id"].astype(int).tolist(), k=5, dim=64) \
+        .select_columns(["query_id", "neighbor_id", "rank"])
+
+
+def _multimodal_features(sf_dir: str):
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.multimodal import (
+        ImageFeatureExtractor, make_fake_payload_table)
+
+    t = make_fake_payload_table(200)
+    return ray.data.from_arrow(t).map_batches(
+        ImageFeatureExtractor, fn_constructor_kwargs=dict(decode_backend="fake"),
+        batch_format="pyarrow", batch_size=64, concurrency=1)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from data_quality_automated_evaluator_ray.pipelines.queries import SQL_QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[str], Any]] = {
+        name: fn for name, (fn, _sql) in SQL_QUERIES.items()
+    }
+    out.update({
+        # model-backed / sketch pipelines: rows-only checks (non-SQL-expressible)
+        "qf_code_corpus": _qf_code_corpus,
+        "partition_metrics_code_corpus": _partition_metrics_code_corpus,
+        "langid_documents": _langid_documents,
+        "minhash_lsh_documents": _minhash_lsh_documents,
+        "simhash_documents": _simhash_documents,
+        "lsh_topk_embeddings": _lsh_topk_embeddings,
+        "multimodal_features": _multimodal_features,
+    })
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from data_quality_automated_evaluator_ray.pipelines.queries import SQL_QUERIES
+
+    return {name: sql for name, (_fn, sql) in SQL_QUERIES.items()}

@@ -1,0 +1,44 @@
+"""Float-parity helpers for oracle (DuckDB) comparison.
+
+Cross-engine float aggregation differs in summation order; these helpers make
+the Ray-side numbers land on the same doubles DuckDB produces:
+
+* fsum_mean / fsum_std — math.fsum is correctly rounded, so whenever the true
+  sum is exactly representable (decimal-ish data, the case where rounding
+  boundaries actually occur) it equals DuckDB's sequential sum.
+* round_half_away — DuckDB's round() on DOUBLE is std::round(x * 10^r) /
+  10^r (half away from zero); numpy.round is half-to-even. Apply the same
+  rule on both sides so boundary values agree.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+
+def fsum_mean(x) -> float:
+    x = [float(v) for v in x]
+    return math.fsum(x) / len(x) if x else float("nan")
+
+
+def fsum_std(x, ddof: int = 1) -> float | None:
+    x = [float(v) for v in x]
+    n = len(x)
+    if n <= ddof:
+        return None
+    m = math.fsum(x) / n
+    var = math.fsum((v - m) ** 2 for v in x) / (n - ddof)
+    return math.sqrt(var)
+
+
+def round_half_away(x, r: int):
+    """Element-wise DuckDB-compatible rounding (half away from zero)."""
+    scale = 10.0 ** r
+    a = np.asarray(x, dtype=np.float64)
+    out = np.where(np.isnan(a), a,
+                   np.sign(a) * np.floor(np.abs(a) * scale + 0.5) / scale)
+    if np.isscalar(x) or getattr(x, "ndim", 1) == 0:
+        return float(out)
+    return out

@@ -27,6 +27,8 @@ import pyarrow.compute as pc
 
 import ray.data
 
+from ..functions.parity import fsum_mean, fsum_std
+
 _UNIT_FOR_INTERVAL = {"1h": "hour", "1d": "day", "1w": "week", "1mo": "month"}
 
 
@@ -78,11 +80,14 @@ def interval_aggregate(
             rec[f"{c}_null_rate"] = float(g[c].isna().mean())
         for c in numeric_cols:
             v = g[c].dropna().to_numpy(dtype=np.float64)
+            # fsum-based mean/std + interpolated median: bit-parity with the
+            # DuckDB oracle (avg / stddev_samp / quantile_cont), see
+            # functions/parity.py
             rec[f"{c}_min"] = float(v.min()) if v.size else None
             rec[f"{c}_max"] = float(v.max()) if v.size else None
-            rec[f"{c}_mean"] = float(v.mean()) if v.size else None
-            rec[f"{c}_median"] = float(np.median(v)) if v.size else None
-            rec[f"{c}_std"] = float(v.std(ddof=1)) if v.size > 1 else None
+            rec[f"{c}_mean"] = fsum_mean(v) if v.size else None
+            rec[f"{c}_median"] = float(np.percentile(v, 50)) if v.size else None
+            rec[f"{c}_std"] = fsum_std(v) if v.size > 1 else None
         return pd.DataFrame([rec])
 
     out = ds.drop_columns([date_col]) if date_col != "time_interval" else ds

@@ -18,7 +18,10 @@ import ray.data
 from .. import rules
 
 _STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "for", "on", "with"]
-_STOP_PATTERN = r"(?:^| )(?:" + "|".join(_STOPWORDS) + r")(?: |$)"
+# \b form: identical non-overlapping match counts in RE2 (pyarrow & DuckDB);
+# separator-consuming forms like "(?:^| )word(?: |$)" resume differently
+# across the two RE2 frontends and must not be used.
+_STOP_PATTERN = r"\b(?:" + "|".join(_STOPWORDS) + r")\b"
 _WS_TOKEN_PATTERN = r"[^ \t\n\r]+"
 _PUNCT_PATTERN = r"[^\sA-Za-z0-9]"
 

@@ -1,0 +1,98 @@
+"""Mimic the driver's correctness gate locally: every queries() entry with an
+oracle_sql() runs on sf0.001 and must match DuckDB on row count, column set,
+and order-insensitive values."""
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _to_pandas(result):
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        return result.to_pandas()
+    if isinstance(result, pd.DataFrame):
+        return result
+    return result.to_pandas()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith("float"):
+            df[c] = df[c].astype("float64")
+        elif str(df[c].dtype).startswith(("int", "uint")):
+            df[c] = df[c].astype("int64")
+        elif str(df[c].dtype) == "bool":
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _compare(name, ray_df, sql_df):
+    assert len(ray_df) == len(sql_df), (
+        f"{name}: row count {len(ray_df)} vs oracle {len(sql_df)}")
+    assert sorted(ray_df.columns) == sorted(sql_df.columns), (
+        f"{name}: columns {sorted(ray_df.columns)} vs {sorted(sql_df.columns)}")
+    a, b = _canon(ray_df), _canon(sql_df)
+    for c in a.columns:
+        av, bv = a[c].tolist(), b[c].tolist()
+        for i, (x, y) in enumerate(zip(av, bv)):
+            if isinstance(x, float):
+                ok = (math.isnan(x) and math.isnan(y)) or x == y
+            else:
+                ok = x == y
+            assert ok, f"{name}.{c}[{i}]: {x!r} != {y!r}"
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"create view {t} as select * from '{SF}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def _all_sql_queries():
+    from data_quality_automated_evaluator_ray.pipelines.queries import SQL_QUERIES
+    return sorted(SQL_QUERIES)
+
+
+@pytest.mark.parametrize("name", _all_sql_queries())
+def test_query_matches_oracle(ray_session, ddb, name):
+    from data_quality_automated_evaluator_ray.pipelines.queries import SQL_QUERIES
+
+    fn, sql = SQL_QUERIES[name]
+    ray_df = _to_pandas(fn(SF))
+    sql_df = ddb.execute(sql).df()
+    _compare(name, ray_df, sql_df)
+
+
+def test_entry_smoke(ray_session):
+    import __ray_entry__ as e
+
+    ds = e.entry()
+    df = _to_pandas(ds)
+    assert len(df) >= 0
+    assert {"keep", "drop_reason", "content_sha256"} <= set(df.columns)
+
+
+def test_rows_only_queries_run(ray_session):
+    import __ray_entry__ as e
+
+    q = e.queries()
+    oracles = e.oracle_sql()
+    rows_only = [k for k in q if k not in oracles]
+    assert rows_only, "expected some rows-only queries"
+    for name in ["simhash_documents", "multimodal_features", "lsh_topk_embeddings"]:
+        df = _to_pandas(q[name](SF))
+        assert len(df) > 0, name
