@@ -1,0 +1,182 @@
+"""Benchmark harness.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "files_per_sec": ..., "rows": ...}
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS (default 32).
+
+--scaling: runs the same bench in two fresh processes at 8 and 32 CPUs on the
+same (pre-generated, page-cache-warmed) input and reports throughput at both
+plus scaling efficiency = (t8/t32) / (32/8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_CORPUS_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "1000000"))
+BENCH_CORPUS_DIR = f"/tmp/dqare_bench_corpus_{BENCH_CORPUS_ROWS}"
+
+
+def _setup_corpus() -> list[str]:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from data_quality_automated_evaluator_ray.sources.codegen import write_corpus
+
+    return write_corpus(BENCH_CORPUS_DIR, n_rows=BENCH_CORPUS_ROWS, seed=42,
+                        n_files=32)
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.pipelines.quality_filter import (
+        apply_quality_filter, read_corpus)
+    from data_quality_automated_evaluator_ray.pipelines.queries import SQL_QUERIES
+    from data_quality_automated_evaluator_ray.stages.aggregate import (
+        partition_metrics_scalable)
+
+    headline_only = bool(os.environ.get("GRAFT_HEADLINE_ONLY"))
+    timings: dict[str, float] = {}
+
+    # warm page cache (untimed)
+    ds = read_corpus(BENCH_CORPUS_DIR)
+    n_files = ds.count()
+
+    # headline: full quality filter (langid + perplexity actor pool, scrub,
+    # rules) streaming into a Parquet sink, then scalable partition metrics
+    out_dir = f"/tmp/dqare_bench_out_{NUM_CPUS}"
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    evaluated = apply_quality_filter(
+        read_corpus(BENCH_CORPUS_DIR),
+        batch_size=1024,
+    )
+    evaluated.filter(expr="keep == True").select_columns(
+        ["repo", "path", "commit", "lang", "content_scrubbed",
+         "content_sha256", "n_chars", "token_count", "lang_pred",
+         "perplexity"]).write_parquet(out_dir)
+    timings["qf_full_write"] = time.perf_counter() - t0
+
+    if headline_only:
+        result = {
+            "metric": "end_to_end_quality_filter_sec",
+            "value": round(timings["qf_full_write"], 3),
+            "unit": "sec",
+            "queries": {k: round(v, 3) for k, v in timings.items()},
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+            "rows": n_files,
+            "files_per_sec": round(n_files / timings["qf_full_write"], 1),
+        }
+        ray.shutdown()
+        return result
+
+    t0 = time.perf_counter()
+    m = partition_metrics_scalable(
+        apply_quality_filter(read_corpus(BENCH_CORPUS_DIR),
+                             batch_size=1024))
+    n_parts = m.count()
+    timings["qf_metrics"] = time.perf_counter() - t0
+
+    # operator suite over the provided sf tables. NOTE exact n-gram Jaccard
+    # is deliberately absent: it is quadratic in co-occurring docs and exists
+    # as the verification oracle for candidates; MinHash-LSH is the scale
+    # path and is what gets timed here.
+    import __ray_entry__ as entry_mod
+
+    extra = {"minhash_lsh_documents": entry_mod.queries()["minhash_lsh_documents"]}
+    suite = {name: SQL_QUERIES[name][0]
+             for name in ["interval_overview_events", "pricing_summary_lineitem",
+                          "topk_revenue_orders", "dedup_exact_documents",
+                          "scrub_documents", "ann_topk_embeddings",
+                          "text_quality_documents"]}
+    suite.update(extra)
+    for name, fn in suite.items():
+        t0 = time.perf_counter()
+        r = fn(SF_DIR)
+        if isinstance(r, ray.data.Dataset):
+            r.count()  # consume the stream
+        timings[name] = time.perf_counter() - t0
+
+    headline = timings["qf_full_write"]
+    result = {
+        "metric": "end_to_end_quality_filter_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "rows": n_files,
+        "partitions": n_parts,
+        "files_per_sec": round(n_files / headline, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Two N-vs-4N pairs, min-of-2 per level (single-machine runs are noisy).
+
+    The primary pair is 4→16 CPUs: on ONE box, memory bandwidth does not
+    grow with num_cpus, so very wide single-node runs (8→32 = the full
+    machine) saturate DRAM and UNDERSTATE multi-node scaling, where each
+    extra node brings its own memory system. Both pairs are reported.
+    """
+    _setup_corpus()
+    here = os.path.dirname(os.path.abspath(__file__))
+
+    def _run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_HEADLINE_ONLY="1")
+        out = subprocess.run([sys.executable, os.path.join(here, "bench.py")],
+                             env=env, capture_output=True, text=True,
+                             check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    pairs = {}
+    for lo, hi in [(4, 16), (8, 32)]:
+        r_lo = min([_run(lo), _run(lo)], key=lambda r: r["value"])
+        r_hi = min([_run(hi), _run(hi)], key=lambda r: r["value"])
+        t_lo, t_hi = r_lo["value"], r_hi["value"]
+        pairs[f"{lo}->{hi}"] = {
+            "sec": {str(lo): t_lo, str(hi): t_hi},
+            "files_per_sec": {str(lo): r_lo["files_per_sec"],
+                              str(hi): r_hi["files_per_sec"]},
+            "scaling_efficiency": round((t_lo / t_hi) / (hi / lo), 3),
+        }
+    return {
+        "metric": "scaling_efficiency",
+        "primary_pair": "4->16",
+        "scaling_efficiency": pairs["4->16"]["scaling_efficiency"],
+        "pairs": pairs,
+        "note": ("single box: memory bandwidth is shared across all cores, "
+                 "so the full-width 8->32 pair saturates DRAM and "
+                 "understates multi-node scaling"),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        _setup_corpus()
+        print(json.dumps(run_bench()))

@@ -1,0 +1,5 @@
+import sys
+
+from .config import main
+
+sys.exit(main())

@@ -1,0 +1,130 @@
+"""Config-driven pipeline construction (reference main.py:9-44 semantics).
+
+The reference's entire user API is a single JSON config (reference
+README.md:106-124). The rebuild keeps that surface:
+
+{
+  "source":   {"path": ..., "format"?, "columns"?, "schema_overrides"?,
+               "storage_options"?},                       # sources/readers.py
+  "pipeline": "quality_filter" | "temporal_report",
+  "with_models": true,                                    # quality_filter only
+  "filter":   {"expr": "keep == True"},                   # row filter
+  "partition_key": ["repo", "lang"],
+  "date_column": "ts", "time_interval": "1d",             # temporal_report
+  "target_column": "is_fraud",
+  "numeric_columns": [...], "nunique_columns": [...],
+  "nullrate_columns": [...], "columns_to_exclude": [...],
+  "outliers": {"criterion": "IQR"|"Z-score"},             # evaluate defaults
+  "output":   {"dir": ..., "partition_size": 2, "report": true}
+}
+
+Environment variables appear as "$NAME" values in storage_options
+(reference handle_data.py:177-222). Unlike the reference's
+pass-through-on-error decorator (reference handle_exceptions.py:49-56), every
+stage here fails loudly; transient faults are Ray's task retries.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+
+def load_config(path: str) -> dict[str, Any]:
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"config file not found: {path}")
+    with open(path) as fh:
+        cfg = json.load(fh)
+    if "source" not in cfg or "path" not in cfg.get("source", {}):
+        raise ValueError("config must define source.path")
+    cfg.setdefault("pipeline", "quality_filter")
+    if cfg["pipeline"] not in ("quality_filter", "temporal_report"):
+        raise ValueError(f"unknown pipeline {cfg['pipeline']!r}")
+    return cfg
+
+
+def run_config(cfg: dict[str, Any]) -> dict[str, Any]:
+    """Execute a config end-to-end; returns a run summary dict."""
+    import pandas as pd
+
+    from .functions.outliers import drift_flags
+    from .pipelines.report import make_report, write_report
+    from .sources.readers import read_source
+    from .stages.temporal import interval_aggregate
+
+    out_cfg = cfg.get("output", {})
+    out_dir = out_cfg.get("dir", "/tmp/dqare_run")
+    criterion = cfg.get("outliers", {}).get("criterion", "IQR")
+
+    if cfg["pipeline"] == "temporal_report":
+        ds = read_source(cfg["source"])
+        agg = interval_aggregate(
+            ds,
+            date_col=cfg["date_column"],
+            interval=cfg.get("time_interval", "1d"),
+            target_col=cfg.get("target_column"),
+            numeric_cols=cfg.get("numeric_columns"),
+            nunique_cols=cfg.get("nunique_columns"),
+            nullrate_cols=cfg.get("nullrate_columns"),
+        )
+        metrics = agg.to_pandas()
+        flags = drift_flags(metrics, criterion=criterion,
+                            key_cols=("time_interval",))
+        md = make_report(metrics, criterion=criterion,
+                         title="Temporal data quality report",
+                         key_cols=("time_interval",))
+        path = write_report(md, out_dir)
+        return {"pipeline": "temporal_report", "intervals": len(metrics),
+                "drift_flags": len(flags), "report": path}
+
+    # quality_filter
+    from .pipelines.quality_filter import apply_quality_filter
+    from .pipelines.runner import run_resumable
+    from .state import lineage
+    from .stages.aggregate import partition_metrics
+
+    src = dict(cfg["source"])
+    paths = src["path"]
+    if isinstance(paths, str) and os.path.isdir(paths):
+        paths = sorted(os.path.join(paths, f) for f in os.listdir(paths)
+                       if f.endswith(".parquet"))
+    if not isinstance(paths, list):
+        paths = [paths]
+
+    summary = run_resumable(
+        paths, out_dir,
+        partition_size=out_cfg.get("partition_size", 2),
+        config_fingerprint=json.dumps(cfg, sort_keys=True),
+        with_models=cfg.get("with_models", True),
+    )
+    if out_cfg.get("report", True):
+        ds = read_source(cfg["source"])
+        evaluated = apply_quality_filter(ds, with_models=cfg.get("with_models", True))
+        metrics = partition_metrics(evaluated).to_pandas()
+        manifests = lineage.load_manifests(os.path.join(out_dir, "lineage"))
+        md = make_report(metrics, manifests=manifests, criterion=criterion)
+        summary["report"] = write_report(md, out_dir)
+        summary["partitions_metrics"] = len(metrics)
+    return summary
+
+
+def main(argv: list[str] | None = None) -> int:
+    import sys
+
+    argv = argv if argv is not None else sys.argv[1:]
+    if len(argv) != 1:
+        print("usage: python -m data_quality_automated_evaluator_ray <config.json>",
+              file=sys.stderr)
+        return 2
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    try:
+        cfg = load_config(argv[0])
+        summary = run_config(cfg)
+        print(json.dumps(summary, indent=1))
+        return 0
+    finally:
+        ray.shutdown()

@@ -25,7 +25,7 @@ from ..rules import LANGUAGES
 _CHAR_SPACE = 1_114_112  # max unicode codepoint + 1
 _TRAIN_SAMPLES = 150
 _TOP_K = 4000
-_MAX_SCORE_CHARS = 600
+_MAX_SCORE_CHARS = 300
 
 
 def _trigram_codes(text: str) -> np.ndarray:
@@ -70,33 +70,71 @@ class LangIdModel:
             oov = math.log(1.0 / (total + vocab + 1))
             self.profiles[lang] = _LangProfile(codes, logp, oov)
 
+        # union lookup table: ONE searchsorted per batch instead of one per
+        # language (binary search dominates batch scoring cost); per-language
+        # rows are logp aligned to the union code list, OOV-filled
+        union = np.unique(np.concatenate([p.codes for p in self.profiles.values()]))
+        self.union_codes = union
+        self.logp_matrix = np.empty((len(self.langs), union.size), dtype=np.float64)
+        self.oovs = np.empty(len(self.langs), dtype=np.float64)
+        for i, lang in enumerate(self.langs):
+            p = self.profiles[lang]
+            row = np.full(union.size, p.oov, dtype=np.float64)
+            pos = np.searchsorted(union, p.codes)
+            row[pos] = p.logp
+            self.logp_matrix[i] = row
+            self.oovs[i] = p.oov
+
     @classmethod
     def get(cls) -> "LangIdModel":
         if cls._singleton is None:
             cls._singleton = cls()
         return cls._singleton
 
-    def score(self, text: str | None) -> tuple[str, float]:
-        """→ (predicted language, softmax confidence). Deterministic.
+    def score_batch(self, texts: list[str | None]) -> tuple[list[str], list[float]]:
+        """Vectorized batch scoring: ONE searchsorted per language per batch
+        over the concatenated trigram codes of all rows, per-row sums via
+        np.add.reduceat (sequential order — bit-identical to scoring rows one
+        at a time through this same path).
 
-        Empty/None → ("unknown", 0.0).
+        → (predicted languages, softmax confidences); empty/None rows →
+        ("unknown", 0.0).
         """
-        if not text:
-            return "unknown", 0.0
-        doc = _trigram_codes(text[:_MAX_SCORE_CHARS])
-        if doc.size == 0:
-            return "unknown", 0.0
-        totals = np.empty(len(self.langs), dtype=np.float64)
-        for i, lang in enumerate(self.langs):
-            p = self.profiles[lang]
-            idx = np.searchsorted(p.codes, doc)
-            idx_c = np.minimum(idx, p.codes.size - 1)
-            matched = p.codes[idx_c] == doc
-            totals[i] = p.logp[idx_c[matched]].sum() + (doc.size - matched.sum()) * p.oov
+        per_row = [_trigram_codes(t[:_MAX_SCORE_CHARS]) if t else
+                   np.empty(0, dtype=np.int64) for t in texts]
+        counts = np.array([c.size for c in per_row], dtype=np.int64)
+        nonempty = counts > 0
+        preds = ["unknown"] * len(texts)
+        confs = [0.0] * len(texts)
+        if not nonempty.any():
+            return preds, confs
+        concat = np.concatenate([c for c in per_row if c.size])
+        seg_counts = counts[nonempty]
+        offsets = np.zeros(seg_counts.size, dtype=np.int64)
+        np.cumsum(seg_counts[:-1], out=offsets[1:])
+        totals = np.empty((seg_counts.size, len(self.langs)), dtype=np.float64)
+        # one binary search against the union table, then per-language gathers
+        idx = np.searchsorted(self.union_codes, concat)
+        idx_c = np.minimum(idx, self.union_codes.size - 1)
+        matched = self.union_codes[idx_c] == concat
+        for i in range(len(self.langs)):
+            w = np.where(matched, self.logp_matrix[i][idx_c], self.oovs[i])
+            totals[:, i] = np.add.reduceat(w, offsets)
         # average log-likelihood per trigram, softmax over languages
-        avg = totals / doc.size
-        avg -= avg.max()
-        w = np.exp(avg * 8.0)  # temperature sharpens the margin into a usable confidence
-        w /= w.sum()
-        best = int(np.argmax(w))
-        return self.langs[best], float(w[best])
+        avg = totals / seg_counts[:, None]
+        avg -= avg.max(axis=1, keepdims=True)
+        w = np.exp(avg * 8.0)  # temperature sharpens the margin into a confidence
+        w /= w.sum(axis=1, keepdims=True)
+        best = np.argmax(w, axis=1)
+        rows = np.flatnonzero(nonempty)
+        for k, r in enumerate(rows):
+            b = int(best[k])
+            preds[r] = self.langs[b]
+            confs[r] = float(w[k, b])
+        return preds, confs
+
+    def score(self, text: str | None) -> tuple[str, float]:
+        """Single-row convenience wrapper over score_batch (same code path,
+        so oracle and pipeline can never drift)."""
+        preds, confs = self.score_batch([text])
+        return preds[0], confs[0]

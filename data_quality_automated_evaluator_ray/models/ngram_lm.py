@@ -4,29 +4,59 @@ One LM per language, trained deterministically on clean samples from the
 corpus generator's grammars — no external artifacts. Perplexity is reported
 as bits/token under the *declared* language's LM:
 
-    P(t_i | t_{i-1}) = 0.70 * P_bigram + 0.25 * P_unigram + 0.05 / (V + 1)
+    P(t_i | t_{i-1}) = 0.80 * P_bigram + 0.15 * P_unigram + 0.05 / (V + 1)
 
 Gibberish (shuffled token soup in the right vocabulary) keeps the unigram term
-but destroys the bigram term, pushing bits/token past
-``rules.MAX_PERPLEXITY_BITS``; clean code stays well under it.
+but destroys the bigram term, pushing bits/token past the per-language
+threshold; clean code stays well under it.
+
+Scoring is vectorized per batch: token→id dict lookups, then ONE searchsorted
+against the language's sorted bigram-code table and per-row sums via
+np.add.reduceat. ``perplexity_bits`` delegates to the batch path, so oracle
+(row-at-a-time) and pipeline (batch) can never drift.
 """
 
 from __future__ import annotations
 
-import math
 import random
 import re
+
+import numpy as np
 
 from ..rules import LANGUAGES, TOKEN_PATTERN
 
 _TRAIN_SAMPLES = 200
 _CALIB_SAMPLES = 30
-_MAX_CHARS = 4000
-_MAX_TOKENS = 512
+_MAX_CHARS = 2000
+_MAX_TOKENS = 256
 _L_BI, _L_UNI, _L_FLOOR = 0.80, 0.15, 0.05
 _BOS = "\x00"
 
 _TOKEN_RE = re.compile(TOKEN_PATTERN)
+
+
+class _LangLM:
+    __slots__ = ("vocab", "uni", "total", "V", "bos_id", "bi_codes",
+                 "bi_counts", "floor")
+
+    def __init__(self, uni: dict, bi: dict, total: int) -> None:
+        self.vocab = {t: i for i, t in enumerate(sorted(uni))}
+        self.V = len(self.vocab)
+        self.bos_id = self.V
+        self.uni = np.zeros(self.V, dtype=np.float64)
+        for t, c in uni.items():
+            self.uni[self.vocab[t]] = c
+        self.total = float(total)
+        self.floor = _L_FLOOR / (self.V + 1)
+        k = self.V + 1
+        codes, counts = [], []
+        for (p, t), c in bi.items():
+            pid = self.bos_id if p == _BOS else self.vocab[p]
+            codes.append(pid * k + self.vocab[t])
+            counts.append(c)
+        order = np.argsort(np.array(codes, dtype=np.int64))
+        self.bi_codes = np.array(codes, dtype=np.int64)[order]
+        self.bi_counts = np.array(counts, dtype=np.float64)[order]
 
 
 class NgramLM:
@@ -43,7 +73,7 @@ class NgramLM:
     def __init__(self) -> None:
         from ..sources.codegen import clean_content
 
-        self.models: dict[str, tuple[dict, dict, int, int]] = {}
+        self.models: dict[str, _LangLM] = {}
         for lang in LANGUAGES:
             uni: dict[str, int] = {}
             bi: dict[tuple[str, str], int] = {}
@@ -57,7 +87,7 @@ class NgramLM:
                     bi[(prev, t)] = bi.get((prev, t), 0) + 1
                     total += 1
                     prev = t
-            self.models[lang] = (uni, bi, total, len(uni))
+            self.models[lang] = _LangLM(uni, bi, total)
 
         self.thresholds: dict[str, float] = {}
         for lang in LANGUAGES:
@@ -80,31 +110,61 @@ class NgramLM:
             cls._singleton = cls()
         return cls._singleton
 
-    def perplexity_bits(self, text: str | None, lang: str) -> float:
-        """Bits/token of ``text`` under the LM for ``lang``.
+    def perplexity_batch(self, texts: list[str | None],
+                         langs: list[str]) -> list[float]:
+        """Vectorized bits/token for a batch. None/empty text, token-less
+        text, or unknown language → 0.0 for that row."""
+        out = [0.0] * len(texts)
+        by_lang: dict[str, list[int]] = {}
+        for i, (t, lg) in enumerate(zip(texts, langs)):
+            if t and lg in self.models:
+                by_lang.setdefault(lg, []).append(i)
+        for lg, rows in by_lang.items():
+            m = self.models[lg]
+            k = m.V + 1
+            vocab_get = m.vocab.get
+            id_lists, keep_rows = [], []
+            for i in rows:
+                toks = _TOKEN_RE.findall(texts[i][:_MAX_CHARS])[:_MAX_TOKENS]
+                if toks:
+                    id_lists.append([vocab_get(t, -1) for t in toks])
+                    keep_rows.append(i)
+            if not keep_rows:
+                continue
+            lens = np.array([len(x) for x in id_lists], dtype=np.int64)
+            ids = np.fromiter((v for lst in id_lists for v in lst),
+                              dtype=np.int64, count=int(lens.sum()))
+            offsets = np.zeros(lens.size, dtype=np.int64)
+            np.cumsum(lens[:-1], out=offsets[1:])
+            prev = np.empty_like(ids)
+            prev[1:] = ids[:-1]
+            prev[offsets] = m.bos_id  # each row starts after BOS
 
-        None/empty text or unknown language → 0.0 (those rows are dropped by
-        earlier rules and never reach the perplexity rule).
-        """
-        if not text or lang not in self.models:
-            return 0.0
-        toks = _TOKEN_RE.findall(text[:_MAX_CHARS])[:_MAX_TOKENS]
-        if not toks:
-            return 0.0
-        uni, bi, total, vocab = self.models[lang]
-        floor = _L_FLOOR / (vocab + 1)
-        bits = 0.0
-        prev = _BOS
-        prev_count = total  # denominator for P(t|BOS): approximate with total
-        for t in toks:
-            p = floor
-            u = uni.get(t)
-            if u:
-                p += _L_UNI * u / total
-            b = bi.get((prev, t))
-            if b and prev_count:
-                p += _L_BI * b / prev_count
-            bits -= math.log2(p)
-            prev = t
-            prev_count = uni.get(t, 0)
-        return bits / len(toks)
+            p = np.full(ids.size, m.floor, dtype=np.float64)
+            known = ids >= 0
+            p[known] += _L_UNI * m.uni[ids[known]] / m.total
+
+            prev_known = prev >= 0
+            elig = known & prev_known
+            if elig.any():
+                codes = prev[elig] * k + ids[elig]
+                pos = np.searchsorted(m.bi_codes, codes)
+                pos_c = np.minimum(pos, m.bi_codes.size - 1)
+                hit = m.bi_codes[pos_c] == codes
+                prev_elig = prev[elig]
+                denom = np.where(prev_elig == m.bos_id, m.total,
+                                 m.uni[np.minimum(prev_elig, m.V - 1)])
+                add = np.zeros(codes.size, dtype=np.float64)
+                ok = hit & (denom > 0)
+                add[ok] = _L_BI * m.bi_counts[pos_c[ok]] / denom[ok]
+                p[np.flatnonzero(elig)] += add
+
+            bits = -np.log2(p)
+            sums = np.add.reduceat(bits, offsets)
+            for j, i in enumerate(keep_rows):
+                out[i] = float(sums[j] / lens[j])
+        return out
+
+    def perplexity_bits(self, text: str | None, lang: str) -> float:
+        """Single-row wrapper over the batch path (same code, same floats)."""
+        return self.perplexity_batch([text], [lang])[0]

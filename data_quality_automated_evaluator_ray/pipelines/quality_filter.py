@@ -15,11 +15,13 @@ from __future__ import annotations
 
 from typing import Any
 
+import pyarrow as pa  # noqa: F401 (annotations)
+
 import ray.data
 
 from ..stages.features import compute_features
 from ..stages.keep_drop import apply_rules
-from ..stages.model_stages import ModelScorer
+from ..stages.model_stages import ModelScorer  # noqa: F401
 from ..stages.scrub import scrub_and_hash
 
 # Narrow columns that survive into the aggregate shuffle (no content).
@@ -29,26 +31,62 @@ METRIC_COLUMNS = [
 ]
 
 
+class QualityFilterBatch:
+    """One fused per-record stage: features → langid/perplexity → scrub+sha →
+    keep/drop, applied per Arrow batch inside a single actor-pool operator.
+
+    Fusing matters for CPU allocation: an actor pool RESERVES its CPUs, so
+    splitting the per-record work across an actor operator and task operators
+    statically partitions the machine and the task side starves (observed:
+    8→32 CPU scaling efficiency 0.44 unfused vs ≈1 fused). One operator =
+    every reserved CPU does the full per-record chain.
+    """
+
+    def __init__(self, models_ref=None, with_models: bool = True) -> None:
+        self.with_models = with_models
+        self.scorer = ModelScorer(models_ref) if with_models else None
+
+    def __call__(self, batch: "pa.Table") -> "pa.Table":
+        b = compute_features(batch)
+        if self.scorer is not None:
+            b = self.scorer(b)
+        b = scrub_and_hash(b)
+        return apply_rules(b, heuristics_only=not self.with_models)
+
+
 def apply_quality_filter(
     ds: "ray.data.Dataset",
     *,
     with_models: bool = True,
-    scorer_concurrency: Any = (1, 8),
+    scorer_concurrency: Any = None,
     batch_size: int = 1024,
 ) -> "ray.data.Dataset":
-    """Append features, model scores, scrubbed content + sha256, keep/drop."""
-    ds = ds.map_batches(compute_features, batch_format="pyarrow",
-                        batch_size=batch_size, zero_copy_batch=True)
-    if with_models:
-        ds = ds.map_batches(ModelScorer, batch_format="pyarrow",
-                            batch_size=batch_size, concurrency=scorer_concurrency,
-                            num_cpus=1)
-    ds = ds.map_batches(scrub_and_hash, batch_format="pyarrow",
-                        batch_size=batch_size, zero_copy_batch=True)
-    ds = ds.map_batches(
-        lambda b: apply_rules(b, heuristics_only=not with_models),
-        batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True)
-    return ds
+    """Append features, model scores, scrubbed content + sha256, keep/drop.
+
+    ``scorer_concurrency``: actor-pool size; default reserves ~85% of the
+    cluster's CPUs, leaving headroom for the read and write/shuffle operators.
+    """
+    if not with_models:
+        # fully stateless: plain task operators, no pool to size
+        ds = ds.map_batches(compute_features, batch_format="pyarrow",
+                            batch_size=batch_size, zero_copy_batch=True)
+        ds = ds.map_batches(scrub_and_hash, batch_format="pyarrow",
+                            batch_size=batch_size, zero_copy_batch=True)
+        return ds.map_batches(
+            lambda b: apply_rules(b, heuristics_only=True),
+            batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True)
+
+    from ..stages.model_stages import put_models
+
+    if scorer_concurrency is None:
+        import ray
+
+        total = int(ray.cluster_resources().get("CPU", 8))
+        scorer_concurrency = max(2, int(total * 0.85))
+    return ds.map_batches(
+        QualityFilterBatch, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=scorer_concurrency, num_cpus=1,
+        fn_constructor_kwargs={"models_ref": put_models()})
 
 
 def read_corpus(path: str | list[str], **kwargs) -> "ray.data.Dataset":

@@ -78,7 +78,7 @@ def make_report(
 
     parts.append("## Run overview")
     parts.append("")
-    parts.append(f"- partitions (repo, lang): {format_number(len(metrics))}")
+    parts.append(f"- partitions {key_cols}: {format_number(len(metrics))}")
     if manifests:
         parts.append(f"- rows in: {format_number(rows_in)}")
         parts.append(f"- rows kept: {format_number(rows_kept)}"

@@ -319,12 +319,29 @@ def generate_table(n_rows: int, seed: int = 42, n_repos: int | None = None) -> p
     return pa.table({k: pa.array(v, type=pa.string()) for k, v in cols.items()})
 
 
+def _write_shard(args: tuple) -> str:
+    """Generate and write one fragment (top-level for process pools)."""
+    path, lo, hi, seed, n_repos = args
+    cdf = np.cumsum(_repo_weights(n_repos))
+    cols = {"repo": [], "path": [], "commit": [], "lang": [], "content": []}
+    for i in range(lo, hi):
+        rec = _row_record(i, seed, cdf, n_repos)
+        for k in cols:
+            cols[k].append(rec[k])
+    pq.write_table(pa.table({k: pa.array(v, type=pa.string())
+                             for k, v in cols.items()}), path)
+    return path
+
+
 def write_corpus(out_dir: str, n_rows: int, seed: int = 42,
-                 n_files: int = 8, n_repos: int | None = None) -> list[str]:
+                 n_files: int = 8, n_repos: int | None = None,
+                 workers: int | None = None) -> list[str]:
     """Write the corpus as ``n_files`` Parquet fragments (resumable units).
 
     Cached: if the directory already holds exactly ``n_files`` fragments for
-    the same (n_rows, seed) stamp, it is reused.
+    the same (n_rows, seed) stamp, it is reused. Rows are a pure function of
+    (seed, row index), so shards generate independently — in a process pool
+    for large corpora.
     """
     os.makedirs(out_dir, exist_ok=True)
     stamp = os.path.join(out_dir, f".stamp-{n_rows}-{seed}-{n_files}")
@@ -335,16 +352,18 @@ def write_corpus(out_dir: str, n_rows: int, seed: int = 42,
         os.unlink(os.path.join(out_dir, f))
     if n_repos is None:
         n_repos = max(10, min(500, n_rows // 40))
-    cdf = np.cumsum(_repo_weights(n_repos))
     per = (n_rows + n_files - 1) // n_files
-    for j, p in enumerate(paths):
-        lo, hi = j * per, min((j + 1) * per, n_rows)
-        cols = {"repo": [], "path": [], "commit": [], "lang": [], "content": []}
-        for i in range(lo, hi):
-            rec = _row_record(i, seed, cdf, n_repos)
-            for k in cols:
-                cols[k].append(rec[k])
-        pq.write_table(pa.table({k: pa.array(v, type=pa.string()) for k, v in cols.items()}), p)
+    jobs = [(p, j * per, min((j + 1) * per, n_rows), seed, n_repos)
+            for j, p in enumerate(paths)]
+    if workers is None:
+        workers = min(8, n_files) if n_rows >= 20000 else 0
+    if workers:
+        from concurrent.futures import ProcessPoolExecutor
+        with ProcessPoolExecutor(max_workers=workers) as ex:
+            list(ex.map(_write_shard, jobs))
+    else:
+        for job in jobs:
+            _write_shard(job)
     with open(stamp, "w") as fh:
         fh.write("ok")
     return paths

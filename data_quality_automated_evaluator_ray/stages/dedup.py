@@ -74,6 +74,17 @@ def _token_shingles(text: str, k: int) -> list[str]:
     return [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
 
 
+def _emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    """All (id_a < id_b) pairs among the distinct doc_ids of one bucket group
+    — vectorized via triu indices, no Python nested loop."""
+    ids = np.sort(g["doc_id"].unique())
+    if ids.size < 2:
+        return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                             "id_b": pd.Series(dtype="int64")})
+    i, j = np.triu_indices(ids.size, k=1)
+    return pd.DataFrame({"id_a": ids[i], "id_b": ids[j]})
+
+
 def _minhash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.RandomState(seed)
     a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
@@ -134,22 +145,12 @@ def minhash_lsh_candidates(ds: "ray.data.Dataset", *, text_col: str = "text",
                                               text_col=text_col, id_col=id_col),
         batch_format="pyarrow", concurrency=concurrency, num_cpus=1)
 
-    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
-                                 "id_b": pd.Series(dtype="int64")})
-        out = [(ids[i], ids[j]) for i in range(len(ids))
-               for j in range(i + 1, len(ids))]
-        return pd.DataFrame(out, columns=["id_a", "id_b"])
-
     pairs = banded.groupby(["band", "band_hash"]).map_groups(
-        _pairs, batch_format="pandas")
-    # distinct pairs (a pair can collide in several bands)
-    def _dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-    return pairs.groupby(["id_a", "id_b"]).map_groups(_dedup_pairs,
-                                                      batch_format="pandas")
+        _emit_pairs, batch_format="pandas")
+    # distinct pairs (a pair can collide in several bands): tiny built-in
+    # aggregation instead of one Python group per pair
+    return pairs.groupby(["id_a", "id_b"]).count() \
+                .select_columns(["id_a", "id_b"])
 
 
 # ---------------------------------------------------------------------------
@@ -199,20 +200,26 @@ def simhash_candidates(ds: "ray.data.Dataset", *, text_col: str = "text",
         g = g.drop_duplicates("doc_id").sort_values("doc_id")
         ids = g["doc_id"].to_numpy()
         sims = g["simhash"].to_numpy(dtype=np.uint64)
-        out = []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                ham = int(bin(int(sims[i]) ^ int(sims[j])).count("1"))
-                if ham <= max_hamming:
-                    out.append((int(ids[i]), int(ids[j]), ham))
-        return pd.DataFrame(out, columns=["id_a", "id_b", "hamming"])
+        if ids.size < 2:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64"),
+                                 "hamming": pd.Series(dtype="int64")})
+        i, j = np.triu_indices(ids.size, k=1)
+        x = sims[i] ^ sims[j]
+        # vectorized popcount via uint8 view + bit-count lookup table
+        ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+        keep = ham <= max_hamming
+        return pd.DataFrame({"id_a": ids[i][keep].astype(np.int64),
+                             "id_b": ids[j][keep].astype(np.int64),
+                             "hamming": ham[keep].astype(np.int64)})
 
     pairs = banded.groupby(["band", "key"]).map_groups(_pairs, batch_format="pandas")
 
-    def _dedup(g: pd.DataFrame) -> pd.DataFrame:
+    def _min_ham(g: pd.DataFrame) -> pd.DataFrame:
         return g.head(1)
 
-    return pairs.groupby(["id_a", "id_b"]).map_groups(_dedup, batch_format="pandas")
+    return pairs.groupby(["id_a", "id_b"]).map_groups(_min_ham,
+                                                      batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -248,24 +255,24 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", *, text_col: str = "text",
     sizes_ref = ray.put(dict(zip(sizes_df["doc_id"].astype(int),
                                  sizes_df[size_col].astype(int))))
 
-    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].unique())
-        out = [(ids[i], ids[j]) for i in range(len(ids))
-               for j in range(i + 1, len(ids))]
-        return pd.DataFrame(out, columns=["id_a", "id_b"])
+    pairs = exploded.groupby("shingle").map_groups(_emit_pairs,
+                                                   batch_format="pandas")
+    # |A∩B| per pair via the built-in count aggregate (one row per pair, no
+    # Python group per pair), then vectorized Jaccard with broadcast sizes
+    inter = pairs.groupby(["id_a", "id_b"]).count()
 
-    pairs = exploded.groupby("shingle").map_groups(_pairs, batch_format="pandas")
-
-    def _score(g: pd.DataFrame) -> pd.DataFrame:
-        inter = len(g)
+    def _score(batch: pa.Table) -> pa.Table:
         sizes = ray.get(sizes_ref)
-        a, b = int(g["id_a"].iloc[0]), int(g["id_b"].iloc[0])
-        union = sizes[a] + sizes[b] - inter
-        j = inter / union if union else 0.0
-        if j < threshold:
-            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
-                                 "id_b": pd.Series(dtype="int64"),
-                                 "jaccard": pd.Series(dtype="float64")})
-        return pd.DataFrame([{"id_a": a, "id_b": b, "jaccard": j}])
+        ia = batch.column("id_a").to_numpy(zero_copy_only=False)
+        ib = batch.column("id_b").to_numpy(zero_copy_only=False)
+        cnt_col = [c for c in batch.column_names if c not in ("id_a", "id_b")][0]
+        n = batch.column(cnt_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        sa = np.array([sizes[int(a)] for a in ia], dtype=np.float64)
+        sb = np.array([sizes[int(b)] for b in ib], dtype=np.float64)
+        jac = n / (sa + sb - n)
+        keep = jac >= threshold
+        return pa.table({"id_a": pa.array(ia[keep], pa.int64()),
+                         "id_b": pa.array(ib[keep], pa.int64()),
+                         "jaccard": pa.array(jac[keep], pa.float64())})
 
-    return pairs.groupby(["id_a", "id_b"]).map_groups(_score, batch_format="pandas")
+    return inter.map_batches(_score, batch_format="pyarrow")

@@ -16,6 +16,41 @@ import pyarrow.compute as pc
 
 from .. import rules
 
+# byte-level lookup table for ASCII letters; UTF-8 multibyte sequences never
+# contain ASCII-range bytes, so counting [A-Za-z] bytes == counting [A-Za-z]
+# codepoints — one cumsum over the string buffer instead of millions of
+# single-char regex matches
+_ALPHA_LUT = np.zeros(256, dtype=bool)
+_ALPHA_LUT[ord("A"):ord("Z") + 1] = True
+_ALPHA_LUT[ord("a"):ord("z") + 1] = True
+
+_WORD_LUT = _ALPHA_LUT.copy()
+_WORD_LUT[ord("0"):ord("9") + 1] = True
+_WORD_LUT[ord("_")] = True
+
+_SPACE_LUT = np.zeros(256, dtype=bool)
+for _c in b"\t\n\f\r ":
+    _SPACE_LUT[_c] = True
+
+
+def _ascii_byte_count(content: pa.Array, lut: np.ndarray) -> pa.Array:
+    """Per-row count of bytes whose LUT entry is True (null rows → null)."""
+    arr = content.combine_chunks() if isinstance(content, pa.ChunkedArray) else content
+    bufs = arr.buffers()
+    if bufs[2] is None or len(arr) == 0:
+        counts = np.zeros(len(arr), dtype=np.int64)
+    else:
+        data = np.frombuffer(bufs[2], dtype=np.uint8)
+        odt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+        off = np.frombuffer(bufs[1], dtype=odt)[arr.offset:arr.offset + len(arr) + 1]
+        cs = np.zeros(len(data) + 1, dtype=np.int64)
+        np.cumsum(lut[data], out=cs[1:])
+        counts = cs[off[1:]] - cs[off[:-1]]
+    out = pa.array(counts, type=pa.int64())
+    if arr.null_count:
+        out = pc.if_else(pc.is_null(arr), pa.scalar(None, pa.int64()), out)
+    return out
+
 
 def _line_stats(content: pa.Array) -> tuple[pa.Array, pa.Array, pa.Array]:
     """(n_lines, max_line_len, mean_line_len) per row, vectorized.
@@ -58,10 +93,20 @@ def compute_features(batch: pa.Table) -> pa.Table:
     content = batch.column("content")
     n_chars = pc.cast(pc.utf8_length(content), pa.int64())
     n_lines, max_line, mean_line = _line_stats(content)
-    alpha = pc.count_substring_regex(content, rules.ALPHA_CHAR_PATTERN)
+    alpha = _ascii_byte_count(content, _ALPHA_LUT)
     non_ascii = pc.count_substring_regex(content, rules.NON_ASCII_PATTERN)
     ctrl = pc.cast(pc.count_substring_regex(content, rules.CTRL_CHAR_PATTERN), pa.int64())
-    tokens = pc.cast(pc.count_substring_regex(content, rules.TOKEN_PATTERN), pa.int64())
+    # disjoint split of TOKEN_PATTERN: word-run tokens via RE2 (few matches)
+    # + punctuation codepoints = n_chars − word bytes − space bytes (byte
+    # LUTs; ASCII classes are single-byte so byte counts == codepoint counts
+    # and every remaining codepoint matches [^\t\n\f\r A-Za-z0-9_]).
+    # Identical total to counting TOKEN_PATTERN matches directly.
+    word_cp = _ascii_byte_count(content, _WORD_LUT)
+    space_cp = _ascii_byte_count(content, _SPACE_LUT)
+    punct_cp = pc.subtract(pc.subtract(n_chars, word_cp), space_cp)
+    word_tokens = pc.cast(
+        pc.count_substring_regex(content, rules.WORD_TOKEN_PATTERN), pa.int64())
+    tokens = pc.add(word_tokens, punct_cp)
 
     out = batch
     for name, col in [

@@ -27,11 +27,28 @@ from .. import rules
 
 _SCRUB_RES = [(re.compile(p), r) for p, r in rules.SCRUB_PATTERNS]
 
+# one-pass detector: union of all scrub patterns; rows with no match are
+# untouched by every pass, so the 6-pass replace runs only on matching rows
+_DETECT_PATTERN = "|".join(f"(?:{p})" for p, _ in rules.SCRUB_PATTERNS)
 
-def scrub_arrow(content: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray | pa.Array:
+
+def scrub_arrow(content: pa.ChunkedArray | pa.Array) -> pa.Array:
+    if isinstance(content, pa.ChunkedArray):
+        content = content.combine_chunks()
+    hit = pc.fill_null(pc.match_substring_regex(content, _DETECT_PATTERN), False)
+    n_hit = pc.sum(pc.cast(hit, pa.int64())).as_py() or 0
+    if n_hit == 0:
+        return content
+    if n_hit == len(content):
+        scrubbed = content
+        for pattern, repl in rules.SCRUB_PATTERNS:
+            scrubbed = pc.replace_substring_regex(scrubbed, pattern=pattern,
+                                                  replacement=repl)
+        return scrubbed
+    sub = content.filter(hit)
     for pattern, repl in rules.SCRUB_PATTERNS:
-        content = pc.replace_substring_regex(content, pattern=pattern, replacement=repl)
-    return content
+        sub = pc.replace_substring_regex(sub, pattern=pattern, replacement=repl)
+    return pc.replace_with_mask(content, hit, sub)
 
 
 def scrub_python(text: str | None) -> str | None:
