@@ -19,6 +19,7 @@ import os
 import numpy as np
 import pandas as pd
 
+from .. import rules
 from ..functions.formatting import format_number
 from ..functions.outliers import describe_series, drift_flags, outlier_percentage, iqr_outliers, z_score_outliers
 
@@ -79,6 +80,8 @@ def make_report(
     parts.append("## Run overview")
     parts.append("")
     parts.append(f"- partitions {key_cols}: {format_number(len(metrics))}")
+    parts.append(f"- outlier criterion: {criterion} "
+                 f"(IQR k={rules.IQR_MULTIPLIER}, Z={rules.Z_SCORE_THRESHOLD})")
     if manifests:
         parts.append(f"- rows in: {format_number(rows_in)}")
         parts.append(f"- rows kept: {format_number(rows_kept)}"

@@ -70,55 +70,72 @@ def partition_metrics(ds: "ray.data.Dataset") -> "ray.data.Dataset":
 
 
 # ---------------------------------------------------------------------------
-# Scalable two-phase path
+# Scalable two-phase path (C++ hash-agg combiners inside each batch)
 # ---------------------------------------------------------------------------
 def _partials(batch: pa.Table) -> pa.Table:
-    """One partial-aggregate row per (repo, lang) within this batch."""
-    df = batch.select(KEY + ["keep", "content_sha256"] + NUMERIC_FEATURES).to_pandas()
-    out = []
-    for (repo, lang), g in df.groupby(KEY, sort=False):
-        rec = {
-            "repo": repo, "lang": lang,
-            "n": len(g),
-            "keep_sum": int(g["keep"].sum()),
-            "null_sum": int(g["content_sha256"].isna().sum()),
-            # within-batch distinct: dup mass inside a batch collapses here,
-            # cross-batch dups collapse in the final combine
-            "hashes": g["content_sha256"].dropna().unique().tolist(),
-        }
-        for c in NUMERIC_FEATURES:
-            v = g[c].dropna().to_numpy(dtype=np.float64)
-            rec[f"{c}_n"] = int(v.size)
-            rec[f"{c}_sum"] = float(v.sum())
-            rec[f"{c}_sumsq"] = float((v * v).sum())
-            rec[f"{c}_min"] = float(v.min()) if v.size else None
-            rec[f"{c}_max"] = float(v.max()) if v.size else None
-        out.append(rec)
-    return pa.Table.from_pandas(pd.DataFrame(out), preserve_index=False)
+    """One partial-aggregate row per (repo, lang) within this batch, computed
+    with Arrow's C++ hash aggregation (no pandas, no Python per-group loop).
+    This per-batch combine is also the skew treatment: a hot (repo, lang)
+    collapses to ONE partial row per batch before the shuffle."""
+    import pyarrow.compute as pc
+
+    t = batch.select(KEY + ["keep", "content_sha256"] + NUMERIC_FEATURES)
+    t = t.append_column("keep_i", pc.cast(t.column("keep"), pa.int64()))
+    t = t.append_column("null_i", pc.cast(pc.is_null(t.column("content_sha256")),
+                                          pa.int64()))
+    # per-key partial moments (n, mean, M2 = variance(ddof=0)·n): merged with
+    # Chan's parallel-variance formula in _combine — numerically stable even
+    # for near-constant features, unlike a sum-of-squares partial
+    var0 = pc.VarianceOptions(ddof=0)
+    aggs = [("keep_i", "sum"), ("null_i", "sum"), ("keep_i", "count")]
+    for c in NUMERIC_FEATURES:
+        aggs += [(c, "mean"), (c, "variance", var0), (c, "min"), (c, "max"),
+                 (c, "count")]
+    out = t.group_by(KEY).aggregate(aggs)
+    ren = {"keep_i_sum": "keep_sum", "null_i_sum": "null_sum",
+           "keep_i_count": "n"}
+    for c in NUMERIC_FEATURES:
+        ren[f"{c}_variance"] = f"{c}_var0"
+        ren[f"{c}_count"] = f"{c}_n"
+    return out.rename_columns([ren.get(n, n) for n in out.column_names])
+
+
+def _distinct_triples(batch: pa.Table) -> pa.Table:
+    """Within-batch distinct (repo, lang, sha) rows — dup mass inside a batch
+    collapses before the shuffle; cross-batch dups collapse in the final
+    groupby."""
+    t = batch.select(KEY + ["content_sha256"]).drop_null()
+    return t.group_by(KEY + ["content_sha256"]).aggregate([])
 
 
 def _combine(g: pd.DataFrame) -> pd.DataFrame:
     n = int(g["n"].sum())
-    uniq = len(set().union(*g["hashes"])) if len(g) else 0
-    nonnull = n - int(g["null_sum"].sum())
     rec = {
         "repo": g["repo"].iloc[0], "lang": g["lang"].iloc[0],
         "n_files": n,
         "keep_rate": float(g["keep_sum"].sum()) / n,
         "null_rate": float(g["null_sum"].sum()) / n,
-        "dup_rate": (1.0 - uniq / nonnull) if nonnull else 0.0,
+        "n_nonnull": n - int(g["null_sum"].sum()),
     }
     for c in NUMERIC_FEATURES:
-        cn = int(g[f"{c}_n"].sum())
-        if cn:
-            s = float(g[f"{c}_sum"].sum())
-            ss = float(g[f"{c}_sumsq"].sum())
-            mean = s / cn
+        ns = g[f"{c}_n"].to_numpy(dtype=np.int64)
+        means = g[f"{c}_mean"].to_numpy(dtype=np.float64)
+        m2s = g[f"{c}_var0"].to_numpy(dtype=np.float64) * ns
+        n_tot, m_tot, m2_tot = 0, 0.0, 0.0
+        for ni, mi, m2i in zip(ns, means, m2s):
+            if ni == 0:
+                continue
+            tot = n_tot + ni
+            delta = mi - m_tot
+            m2_tot = m2_tot + m2i + delta * delta * n_tot * ni / tot
+            m_tot = m_tot + delta * ni / tot
+            n_tot = tot
+        if n_tot:
             rec[f"{c}_min"] = float(g[f"{c}_min"].min())
             rec[f"{c}_max"] = float(g[f"{c}_max"].max())
-            rec[f"{c}_mean"] = mean
-            var = (ss - cn * mean * mean) / (cn - 1) if cn > 1 else None
-            rec[f"{c}_std"] = float(np.sqrt(max(var, 0.0))) if var is not None else None
+            rec[f"{c}_mean"] = m_tot
+            rec[f"{c}_std"] = (float(np.sqrt(max(m2_tot, 0.0) / (n_tot - 1)))
+                               if n_tot > 1 else None)
         else:
             for s_ in ("min", "max", "mean", "std"):
                 rec[f"{c}_{s_}"] = None
@@ -126,5 +143,31 @@ def _combine(g: pd.DataFrame) -> pd.DataFrame:
 
 
 def partition_metrics_scalable(ds: "ray.data.Dataset") -> "ray.data.Dataset":
-    partials = ds.map_batches(_partials, batch_format="pyarrow", batch_size=4096)
-    return partials.groupby(KEY).map_groups(_combine, batch_format="pandas")
+    """Two-phase metrics: per-batch Arrow hash-agg partials + tiny final
+    combine, and exact distinct-hash counting on within-batch-deduped narrow
+    triples (ONE shuffle each). All algebraic statistics are exact; median is
+    only in the exact ``partition_metrics`` path."""
+    narrow = ds.select_columns(KEY + ["keep", "content_sha256"] + NUMERIC_FEATURES)
+    partials = narrow.map_batches(_partials, batch_format="pyarrow",
+                                  batch_size=8192, zero_copy_batch=True)
+    stats = partials.groupby(KEY).map_groups(_combine, batch_format="pandas") \
+                    .to_pandas()
+
+    triples = narrow.map_batches(_distinct_triples, batch_format="pyarrow",
+                                 batch_size=8192, zero_copy_batch=True)
+
+    def _nunique(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame([{"repo": g["repo"].iloc[0],
+                              "lang": g["lang"].iloc[0],
+                              "n_unique_sha": int(g["content_sha256"].nunique())}])
+
+    uniq = triples.groupby(KEY).map_groups(_nunique, batch_format="pandas") \
+                  .to_pandas()
+
+    merged = stats.merge(uniq, on=KEY, how="left")
+    merged["dup_rate"] = np.where(
+        merged["n_nonnull"] > 0,
+        1.0 - merged["n_unique_sha"].fillna(0) / np.maximum(merged["n_nonnull"], 1),
+        0.0)
+    merged = merged.drop(columns=["n_unique_sha", "n_nonnull"])
+    return ray.data.from_pandas(merged)

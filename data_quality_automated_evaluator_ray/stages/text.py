@@ -67,8 +67,16 @@ def quality_score(batch: pa.Table, text_col: str = "text") -> pa.Table:
 def fingerprint(batch: pa.Table, text_col: str = "text",
                 window: int = 8) -> pa.Table:
     """Document fingerprints: full-content sha256 + winnowing-style rolling
-    hash (min-sampled polynomial rolling hash over byte windows)."""
+    fingerprint = min over all byte-window polynomial hashes (mod 2^64 via
+    natural uint64 wraparound — deterministic and fully vectorized: the
+    window hash is a sum of ``window`` shifted multiplies, no per-byte loop).
+    """
     texts = batch.column(text_col).to_pylist()
+    base = np.uint64(1099511628211)  # FNV-ish odd multiplier
+    powers = np.empty(window, dtype=np.uint64)
+    powers[window - 1] = 1
+    for j in range(window - 2, -1, -1):
+        powers[j] = powers[j + 1] * base
     shas, rolls = [], []
     for t in texts:
         if t is None:
@@ -81,19 +89,10 @@ def fingerprint(batch: pa.Table, text_col: str = "text",
             rolls.append(int.from_bytes(hashlib.md5(data).digest()[:8], "big"))
             continue
         arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
-        base = np.uint64(257)
-        mod = np.uint64((1 << 61) - 1)
-        h = np.zeros(len(arr) - window + 1, dtype=np.uint64)
-        cur = np.uint64(0)
-        poww = np.uint64(1)
-        for _ in range(window - 1):
-            poww = (poww * base) % mod
-        for i in range(window):
-            cur = (cur * base + arr[i]) % mod
-        h[0] = cur
-        for i in range(1, len(h)):
-            cur = ((cur - arr[i - 1] * poww) % mod * base + arr[i + window - 1]) % mod
-            h[i] = cur
+        n = len(arr) - window + 1
+        h = np.zeros(n, dtype=np.uint64)
+        for j in range(window):
+            h += arr[j:j + n] * powers[j]
         rolls.append(int(h.min()))
     return (batch
             .append_column("fingerprint_sha256", pa.array(shas, pa.string()))

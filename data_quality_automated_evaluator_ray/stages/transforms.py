@@ -1,0 +1,45 @@
+"""Configurable row filters and derived columns (reference T1/T2).
+
+The reference exposes arbitrary SQL filters (reference preprocess.py:75-94)
+and an ORDERED dict of column transformations where later entries see earlier
+aliases (reference preprocess.py:97-124, README.md:191-193). The rebuilt
+surface keeps the capability — configurable row predicates and derived
+columns — expressed as pandas ``eval``/``query`` expression strings applied
+per batch (building a SQL dialect is explicitly out of scope, SURVEY.md §2.9).
+
+Expressions are row-wise and engine-agnostic (arithmetic, comparisons,
+boolean logic), so a DuckDB oracle can reproduce them exactly.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+import ray.data
+
+
+def apply_transformations(ds: "ray.data.Dataset",
+                          transformations: dict[str, str]) -> "ray.data.Dataset":
+    """Add/replace columns in order; later expressions see earlier aliases.
+
+    ``{"disc_price": "l_extendedprice * (1 - l_discount)",
+       "big": "disc_price > 1000"}``
+    """
+    items = list(transformations.items())
+
+    def _fn(df: pd.DataFrame) -> pd.DataFrame:
+        for alias, expr in items:
+            df[alias] = df.eval(expr)
+        return df
+
+    return ds.map_batches(_fn, batch_format="pandas")
+
+
+def apply_row_filter(ds: "ray.data.Dataset", expr: str) -> "ray.data.Dataset":
+    """Keep rows matching a pandas ``query`` expression
+    (e.g. ``"value > 50 and event_type == 'purchase'"``)."""
+
+    def _fn(df: pd.DataFrame) -> pd.DataFrame:
+        return df.query(expr)
+
+    return ds.map_batches(_fn, batch_format="pandas")

@@ -1,0 +1,112 @@
+"""Windowed aggregates over event streams (tumbling / sliding / session).
+
+Ray Data has no event-time windows; these implement the batch equivalents
+the way the guide prescribes — the input is treated as a partitioned log:
+
+* tumbling — identical to stages/temporal.interval_aggregate (one bucket per
+  row); re-exported here for discoverability.
+* sliding — each row is exploded to every window that contains it
+  (window/slide buckets, ``flat_map``-style inside ``map_batches``), then ONE
+  groupby over (window_start) aggregates. Shuffle volume = rows ×
+  (window/slide) narrow tuples.
+* session — per-key gaps-and-islands: ``groupby(key).map_groups`` sorts the
+  key's events by time and splits where the gap exceeds the threshold.
+  Partitioning assumption: one key's events fit one group (true whenever a
+  single entity's history is small relative to a node, the standard
+  sessionization assumption).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from ..functions.parity import fsum_mean
+from .temporal import interval_aggregate as tumbling_aggregate  # noqa: F401
+
+_DAY_US = 86_400_000_000
+
+
+def sliding_window_aggregate(
+    ds: "ray.data.Dataset",
+    *,
+    date_col: str,
+    value_col: str,
+    window_days: int = 3,
+    slide_days: int = 1,
+) -> "ray.data.Dataset":
+    """Per sliding window of ``window_days``, advancing ``slide_days``:
+    n_rows, value_sum, value_mean. Output keyed by window START day.
+
+    Windows are aligned to slide boundaries (epoch-day // slide). A row at
+    day d belongs to windows starting at d, d-slide, ..., d-window+slide.
+    """
+    assert window_days % slide_days == 0
+    n_windows = window_days // slide_days
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        days = pc.cast(pc.floor_temporal(batch.column(date_col), unit="day"),
+                       pa.int64()).to_numpy(zero_copy_only=False)
+        vals = batch.column(value_col).to_numpy(zero_copy_only=False)
+        day_idx = days // (_DAY_US * slide_days)
+        starts, values = [], []
+        for k in range(n_windows):
+            starts.append((day_idx - k) * slide_days * _DAY_US)
+            values.append(vals)
+        return pa.table({
+            "window_start": pa.array(np.concatenate(starts), pa.int64()),
+            "value": pa.array(np.concatenate(values), pa.float64()),
+        })
+
+    exploded = ds.map_batches(_explode, batch_format="pyarrow")
+
+    def _agg(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["value"].to_numpy(dtype=np.float64)
+        return pd.DataFrame([{
+            "window_start_day": pd.Timestamp(int(g["window_start"].iloc[0]) * 1000,
+                                             unit="ns").strftime("%Y-%m-%d"),
+            "n_rows": len(g),
+            "value_mean": fsum_mean(v),
+        }])
+
+    return exploded.groupby("window_start").map_groups(_agg,
+                                                       batch_format="pandas") \
+                   .sort("window_start_day")
+
+
+def session_windows(
+    ds: "ray.data.Dataset",
+    *,
+    key_col: str,
+    date_col: str,
+    gap_minutes: int = 60,
+) -> "ray.data.Dataset":
+    """Sessionization: per key, consecutive events closer than the gap belong
+    to one session. → (key, session_start, n_events, duration_sec)."""
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def _sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(date_col)
+        # explicit microsecond epoch — pandas 2 preserves the Arrow column's
+        # time unit, so a bare astype(int64) is unit-ambiguous
+        ts = g[date_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        new_session = np.ones(len(ts), dtype=bool)
+        new_session[1:] = (ts[1:] - ts[:-1]) > gap_us
+        sid = np.cumsum(new_session)
+        out = []
+        for s in np.unique(sid):
+            seg = ts[sid == s]
+            out.append({
+                key_col: g[key_col].iloc[0],
+                "session_start_us": int(seg[0]),
+                "n_events": int(seg.size),
+                "duration_sec": float((seg[-1] - seg[0]) / 1e6),
+            })
+        return pd.DataFrame(out)
+
+    return ds.select_columns([key_col, date_col]) \
+             .groupby(key_col).map_groups(_sessions, batch_format="pandas")

@@ -1,0 +1,109 @@
+"""Aggregate-stage tests: exact vs scalable parity, oracle parity, skew."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _evaluated_ds(small_corpus):
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.pipelines.quality_filter import (
+        apply_quality_filter, read_corpus)
+
+    d, _ = small_corpus
+    return apply_quality_filter(read_corpus(d), scorer_concurrency=2)
+
+
+def test_partition_metrics_matches_oracle(ray_session, small_corpus,
+                                          small_corpus_gold):
+    from data_quality_automated_evaluator_ray import oracle
+    from data_quality_automated_evaluator_ray.stages.aggregate import (
+        partition_metrics)
+
+    got = partition_metrics(_evaluated_ds(small_corpus)).to_pandas() \
+        .sort_values(["repo", "lang"]).reset_index(drop=True)
+    want = oracle.partition_metrics(small_corpus_gold).to_pandas() \
+        .sort_values(["repo", "lang"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    for c in want.columns:
+        if want[c].dtype == object:
+            assert got[c].tolist() == want[c].tolist(), c
+        else:
+            np.testing.assert_allclose(
+                got[c].to_numpy(dtype=np.float64),
+                want[c].to_numpy(dtype=np.float64),
+                rtol=1e-9, equal_nan=True, err_msg=c)
+
+
+def test_scalable_matches_exact(ray_session, small_corpus):
+    from data_quality_automated_evaluator_ray.stages.aggregate import (
+        partition_metrics, partition_metrics_scalable)
+
+    ds = _evaluated_ds(small_corpus)
+    exact = partition_metrics(ds).to_pandas() \
+        .sort_values(["repo", "lang"]).reset_index(drop=True)
+    scal = partition_metrics_scalable(ds).to_pandas() \
+        .sort_values(["repo", "lang"]).reset_index(drop=True)
+    shared = [c for c in exact.columns if c in scal.columns
+              and not c.endswith("_median")]
+    assert len(exact) == len(scal)
+    for c in shared:
+        if exact[c].dtype == object:
+            assert exact[c].tolist() == scal[c].tolist(), c
+        else:
+            np.testing.assert_allclose(
+                scal[c].to_numpy(dtype=np.float64),
+                exact[c].to_numpy(dtype=np.float64),
+                rtol=1e-9, equal_nan=True, err_msg=c)
+
+
+def test_dup_rate_does_not_leak_across_partitions(ray_session):
+    """FIXTURES.md F3: identical content in different repos must not count as
+    duplicates within either partition."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.aggregate import (
+        partition_metrics, partition_metrics_scalable)
+
+    rows = []
+    for repo in ("org/a", "org/b"):
+        rows += [{"repo": repo, "lang": "python", "keep": True,
+                  "content_sha256": "same-hash-across-repos",
+                  "n_chars": 10, "max_line_len": 5, "alpha_ratio": 0.5,
+                  "perplexity": 2.0, "lang_conf": 0.9}]
+        rows += [{"repo": repo, "lang": "python", "keep": True,
+                  "content_sha256": f"unique-{repo}",
+                  "n_chars": 12, "max_line_len": 6, "alpha_ratio": 0.6,
+                  "perplexity": 2.1, "lang_conf": 0.8}]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    for fn in (partition_metrics, partition_metrics_scalable):
+        m = fn(ds).to_pandas().set_index("repo")
+        assert (m["dup_rate"] == 0.0).all(), fn.__name__
+
+
+def test_hot_key_skew_collapses_in_partials(ray_session):
+    """Zipf hot repo: the per-batch combiner emits one partial row per
+    (key, batch), so the shuffle payload for a hot key is O(batches), not
+    O(rows)."""
+    import pyarrow as pa
+
+    from data_quality_automated_evaluator_ray.stages.aggregate import _partials
+
+    n = 5000
+    batch = pa.table({
+        "repo": pa.array(["hot/repo"] * n),
+        "lang": pa.array(["python"] * n),
+        "keep": pa.array([True] * n),
+        "content_sha256": pa.array([f"h{i}" for i in range(n)]),
+        "n_chars": pa.array([100] * n, pa.int64()),
+        "max_line_len": pa.array([10] * n, pa.int64()),
+        "alpha_ratio": pa.array([0.5] * n, pa.float64()),
+        "perplexity": pa.array([2.0] * n, pa.float64()),
+        "lang_conf": pa.array([0.9] * n, pa.float64()),
+    })
+    out = _partials(batch)
+    assert out.num_rows == 1  # 5000 hot-key rows → ONE partial row
+    assert out.column("n")[0].as_py() == n

@@ -1,0 +1,53 @@
+"""Report writer + number formatting (reference report.py semantics)."""
+
+import numpy as np
+import pandas as pd
+
+from data_quality_automated_evaluator_ray.functions.formatting import format_number
+from data_quality_automated_evaluator_ray.pipelines.report import (
+    make_report, write_report)
+
+
+def test_format_number_reference_behaviors():
+    assert format_number(1234567) == "1,234,567"
+    assert format_number(1234.56789) == "1,234.5679"
+    assert format_number(0.000000123) == "1.2300e-07"   # scientific fallback
+    assert format_number((1.5, 0.25)) == "1.5000 ± 0.2500"
+    assert format_number(None) == "—"
+    assert format_number(float("nan")) == "—"
+    assert format_number(0.0) == "0.0000"
+
+
+def _metrics():
+    rng = np.random.RandomState(0)
+    df = pd.DataFrame({
+        "repo": [f"org/r{i}" for i in range(12)],
+        "lang": ["python"] * 12,
+        "n_files": rng.randint(10, 100, 12),
+        "keep_rate": rng.uniform(0.5, 1.0, 12),
+        "n_chars_mean": rng.uniform(100, 500, 12),
+        "n_chars_std": rng.uniform(1, 50, 12),
+    })
+    df.loc[5, "keep_rate"] = 0.01  # planted outlier
+    return df
+
+
+def test_make_report_structure_and_flags(tmp_path):
+    manifests = [{"rows_in": 100, "rows_kept": 80,
+                  "drop_tallies": {"low_alpha": 12, "long_lines": 8}}]
+    md = make_report(_metrics(), manifests=manifests, criterion="IQR")
+    assert "## Contents" in md
+    assert "## Run overview" in md
+    assert "- rows in: 100" in md
+    assert "- dropped · low_alpha: 12" in md
+    assert "## n_chars" in md          # per-family section
+    assert "## Drift flags" in md
+    assert "keep_rate" in md           # planted outlier flagged
+    p = write_report(md, str(tmp_path))
+    assert p.endswith("quality_report.md")
+    assert open(p).read() == md
+
+
+def test_make_report_zscore_criterion():
+    md = make_report(_metrics(), criterion="Z-score")
+    assert "Z-score" in md

@@ -1,0 +1,48 @@
+"""Extra source-reader coverage: CSV path, directory paths, config runner."""
+
+import json
+
+import pyarrow as pa
+import pyarrow.csv as pacsv
+
+
+def test_read_csv(ray_session, tmp_path):
+    from data_quality_automated_evaluator_ray.sources.readers import read_source
+
+    p = tmp_path / "t.csv"
+    pacsv.write_csv(pa.table({"a": [1, 2, 3], "b": ["x", "y", "z"]}), str(p))
+    ds = read_source({"path": str(p), "columns": ["a"]})
+    t = ds.take_batch(10, batch_format="pyarrow")
+    assert t.column_names == ["a"]
+    assert sorted(t.column("a").to_pylist()) == [1, 2, 3]
+
+
+def test_config_temporal_report_end_to_end(ray_session, tmp_path):
+    from data_quality_automated_evaluator_ray.config import load_config, run_config
+
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps({
+        "source": {"path": "/root/testdata/sf0.001/events.parquet"},
+        "pipeline": "temporal_report",
+        "date_column": "ts",
+        "numeric_columns": ["value"],
+        "output": {"dir": str(tmp_path / "out")},
+    }))
+    summary = run_config(load_config(str(cfg_path)))
+    assert summary["intervals"] == 30
+    assert summary["report"].endswith(".md")
+
+
+def test_config_validation(tmp_path):
+    import pytest
+
+    from data_quality_automated_evaluator_ray.config import load_config
+
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({"pipeline": "quality_filter"}))
+    with pytest.raises(ValueError, match="source.path"):
+        load_config(str(bad))
+    bad2 = tmp_path / "bad2.json"
+    bad2.write_text(json.dumps({"source": {"path": "x"}, "pipeline": "nope"}))
+    with pytest.raises(ValueError, match="unknown pipeline"):
+        load_config(str(bad2))
