@@ -1,0 +1,98 @@
+"""Explicit hash(repo) partitioning and hot-key salting.
+
+The north rule mandates explicit partitioning / skew handling. Three layers:
+
+1. ``add_partition_key`` — stable content-derived ``hash(repo) % P`` column
+   (blake2, never Python ``hash``) for output layout and co-location.
+2. ``detect_hot_keys`` — cheap narrow pre-pass (groupby-count on the key
+   column only) returning keys holding more than ``threshold_frac`` of rows;
+   the fixture generator's Zipf repo sizes (s≈1.2) guarantee such keys exist.
+3. ``add_salt`` / salted aggregation — hot keys get a deterministic salt
+   ``0..n_salts-1`` (derived from a row-unique column) so a
+   ``groupby(key + salt)`` spreads one hot key over ``n_salts`` reducers;
+   partial results re-merge in a tiny final ``groupby(key)``.
+
+Note the per-batch combiner in stages/aggregate.partition_metrics_scalable
+subsumes salting for the metric aggregates (a hot key collapses to one row
+per batch BEFORE the shuffle); these utilities are for operators that must
+shuffle raw rows (e.g. exact per-key holistic aggregates).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+
+def _stable_mod(values: list[str], mod: int) -> list[int]:
+    return [int.from_bytes(hashlib.blake2b(str(v).encode(), digest_size=8)
+                           .digest(), "big") % mod for v in values]
+
+
+def add_partition_key(ds: "ray.data.Dataset", n_partitions: int,
+                      key_col: str = "repo",
+                      out_col: str = "part_key") -> "ray.data.Dataset":
+    def _fn(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_pylist()
+        return batch.append_column(out_col,
+                                   pa.array(_stable_mod(keys, n_partitions),
+                                            pa.int32()))
+
+    return ds.map_batches(_fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def detect_hot_keys(ds: "ray.data.Dataset", key_col: str = "repo",
+                    threshold_frac: float = 0.05) -> dict[str, int]:
+    """→ {hot key: row count}. Narrow pre-pass: only the key column moves."""
+    counts = ds.select_columns([key_col]).groupby(key_col).count().to_pandas()
+    cnt_col = [c for c in counts.columns if c != key_col][0]
+    total = int(counts[cnt_col].sum())
+    hot = counts[counts[cnt_col] > threshold_frac * total]
+    return dict(zip(hot[key_col], hot[cnt_col].astype(int)))
+
+
+def add_salt(ds: "ray.data.Dataset", hot_keys: dict[str, int],
+             *, key_col: str = "repo", salt_source_col: str = "path",
+             n_salts: int = 8, out_col: str = "salt") -> "ray.data.Dataset":
+    """salt = blake2(salt_source) % n_salts for hot keys, else 0.
+
+    ``salt_source_col`` must be row-unique-ish so the hot key's rows spread
+    evenly; deterministic across runs (content-derived, no RNG)."""
+    hot = set(hot_keys)
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_pylist()
+        src = batch.column(salt_source_col).to_pylist()
+        salts = [m if k in hot else 0
+                 for k, m in zip(keys, _stable_mod(src, n_salts))]
+        return batch.append_column(out_col, pa.array(salts, pa.int32()))
+
+    return ds.map_batches(_fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def salted_count_sum(ds: "ray.data.Dataset", *, key_cols: list[str],
+                     sum_cols: list[str], hot_keys: dict[str, int],
+                     n_salts: int = 8,
+                     salt_source_col: str = "path") -> "ray.data.Dataset":
+    """Two-level salted aggregation: groupby(key+salt) partials (hot keys
+    spread over n_salts reducers) → tiny groupby(key) merge."""
+    from ray.data.aggregate import Count, Sum
+
+    salted = add_salt(ds, hot_keys, key_col=key_cols[0],
+                      salt_source_col=salt_source_col, n_salts=n_salts)
+    partial_aggs = [Count(alias_name="n_partial")] + [
+        Sum(c, alias_name=f"{c}_partial") for c in sum_cols]
+    partials = salted.groupby(key_cols + ["salt"]).aggregate(*partial_aggs)
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        rec = {k: g[k].iloc[0] for k in key_cols}
+        rec["n"] = int(g["n_partial"].sum())
+        for c in sum_cols:
+            rec[f"{c}_sum"] = float(g[f"{c}_partial"].sum())
+        return pd.DataFrame([rec])
+
+    return partials.groupby(key_cols).map_groups(_merge, batch_format="pandas")

@@ -25,7 +25,8 @@ import pyarrow.compute as pc
 
 from .. import rules
 
-_SCRUB_RES = [(re.compile(p), r) for p, r in rules.SCRUB_PATTERNS]
+# re.ASCII: \b/\s are ASCII definitions, matching RE2's semantics
+_SCRUB_RES = [(re.compile(p, re.ASCII), r) for p, r in rules.SCRUB_PATTERNS]
 
 # one-pass detector: union of all scrub patterns; rows with no match are
 # untouched by every pass, so the 6-pass replace runs only on matching rows

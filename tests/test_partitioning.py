@@ -1,0 +1,68 @@
+"""Hash partitioning + hot-key salting (north-rule skew handling)."""
+
+import numpy as np
+
+
+def test_partition_key_stable_and_balanced(ray_session, small_corpus):
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.partitioning import (
+        add_partition_key)
+
+    d, _ = small_corpus
+    ds = ray.data.read_parquet(d)
+    a = add_partition_key(ds, 16).select_columns(["repo", "part_key"]).to_pandas()
+    b = add_partition_key(ds, 16).select_columns(["repo", "part_key"]).to_pandas()
+    # deterministic across runs, one key per repo
+    m = a.drop_duplicates().groupby("repo")["part_key"].nunique()
+    assert (m == 1).all()
+    assert sorted(a["part_key"].unique()) == sorted(b["part_key"].unique())
+    assert a["part_key"].between(0, 15).all()
+
+
+def test_detect_hot_keys_finds_zipf_head(ray_session, small_corpus):
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.partitioning import (
+        detect_hot_keys)
+
+    d, _ = small_corpus
+    ds = ray.data.read_parquet(d)
+    hot = detect_hot_keys(ds, "repo", threshold_frac=0.05)
+    assert hot, "Zipf fixture must contain at least one hot repo"
+    counts = ds.select_columns(["repo"]).to_pandas()["repo"].value_counts()
+    assert max(hot, key=hot.get) == counts.index[0]
+
+
+def test_salted_aggregate_matches_unsalted(ray_session, small_corpus):
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.partitioning import (
+        add_salt, detect_hot_keys, salted_count_sum)
+    from data_quality_automated_evaluator_ray.stages.features import (
+        compute_features)
+
+    d, _ = small_corpus
+    ds = ray.data.read_parquet(d).map_batches(compute_features,
+                                              batch_format="pyarrow")
+    ds = ds.select_columns(["repo", "path", "n_chars"]) \
+           .map_batches(lambda t: t.set_column(
+               t.column_names.index("n_chars"), "n_chars",
+               t.column("n_chars").fill_null(0)), batch_format="pyarrow")
+    hot = detect_hot_keys(ds, "repo", threshold_frac=0.05)
+
+    # hot repo rows actually spread across salts
+    salted = add_salt(ds, hot, n_salts=8).to_pandas()
+    hot_repo = max(hot, key=hot.get)
+    assert salted[salted.repo == hot_repo]["salt"].nunique() > 4
+    assert (salted[~salted.repo.isin(hot)]["salt"] == 0).all()
+
+    got = salted_count_sum(ds, key_cols=["repo"], sum_cols=["n_chars"],
+                           hot_keys=hot).to_pandas() \
+        .sort_values("repo").reset_index(drop=True)
+    want = ds.to_pandas().groupby("repo").agg(
+        n=("path", "size"), n_chars_sum=("n_chars", "sum")).reset_index() \
+        .sort_values("repo").reset_index(drop=True)
+    assert got["repo"].tolist() == want["repo"].tolist()
+    assert got["n"].tolist() == want["n"].tolist()
+    np.testing.assert_allclose(got["n_chars_sum"], want["n_chars_sum"].astype(float))
