@@ -131,6 +131,22 @@ def _lsh_topk_embeddings(sf_dir: str):
         .select_columns(["query_id", "neighbor_id", "rank"])
 
 
+def _ivf_topk_embeddings(sf_dir: str):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.similarity import ivf_topk
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    qdf = emb[emb["vec_id"] < 5].sort_values("vec_id")
+    q = np.array(qdf["embedding"].tolist(), dtype=np.float64)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_topk(ds, q, qdf["vec_id"].astype(int).tolist(), k=5) \
+        .select_columns(["query_id", "neighbor_id", "rank"])
+
+
 def _multimodal_features(sf_dir: str):
     import ray.data
 
@@ -157,6 +173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_documents": _minhash_lsh_documents,
         "simhash_documents": _simhash_documents,
         "lsh_topk_embeddings": _lsh_topk_embeddings,
+        "ivf_topk_embeddings": _ivf_topk_embeddings,
         "multimodal_features": _multimodal_features,
     })
     return out

@@ -134,6 +134,97 @@ def lsh_topk(ds: "ray.data.Dataset", queries: np.ndarray, query_ids: list[int],
                                                      batch_format="pandas")
 
 
+def _kmeans(sample: np.ndarray, k: int, iters: int = 10,
+            seed: int = 17) -> np.ndarray:
+    """Deterministic mini k-means (seeded init, fixed iterations) on
+    normalized vectors → (k, d) centroids. Driver-side on a sample."""
+    rng = np.random.RandomState(seed)
+    k = min(k, sample.shape[0])  # degenerate inputs: fewer clusters than rows
+    cent = sample[rng.choice(sample.shape[0], size=k, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for j in range(k):
+            m = sample[assign == j]
+            if len(m):
+                c = m.mean(axis=0)
+                n = np.linalg.norm(c)
+                if n > 0:
+                    cent[j] = c / n
+    return cent
+
+
+class IvfIndexer:
+    """Actor stage: assign each row to its nearest coarse centroid."""
+
+    def __init__(self, centroids_ref, emb_col: str = "embedding") -> None:
+        self.centroids = ray.get(centroids_ref)
+        self.emb_col = emb_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = _normalize(_matrix(batch.column(self.emb_col)))
+        cluster = np.argmax(emb @ self.centroids.T, axis=1).astype(np.int64)
+        return batch.append_column("ivf_cluster", pa.array(cluster, pa.int64()))
+
+
+def ivf_topk(ds: "ray.data.Dataset", queries: np.ndarray, query_ids: list[int],
+             k: int = 5, *, n_clusters: int = 16, nprobe: int = 3,
+             sample_size: int = 2000, id_col: str = "vec_id",
+             emb_col: str = "embedding", concurrency=2) -> "ray.data.Dataset":
+    """IVF approximate top-k: coarse k-means quantizer (trained driver-side on
+    a deterministic sample, broadcast via ray.put), rows bucketed by nearest
+    centroid, each query searched only in its ``nprobe`` nearest clusters.
+
+    Partitioning assumption: one cluster's rows co-locate via the groupby
+    shuffle; recall is controlled by nprobe/n_clusters.
+    """
+    sample_df = ds.select_columns([emb_col]).limit(sample_size).to_pandas()
+    sample = _normalize(np.array(sample_df[emb_col].tolist(), dtype=np.float64))
+    centroids = _kmeans(sample, n_clusters)
+    cent_ref = ray.put(centroids)
+
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    q_by_cluster: dict[int, list[int]] = {}
+    qsims = qn @ centroids.T
+    for j in range(qn.shape[0]):
+        for c in np.argsort(-qsims[j])[:nprobe]:
+            q_by_cluster.setdefault(int(c), []).append(j)
+    q_ref = ray.put((qn, list(query_ids), q_by_cluster))
+
+    bucketed = ds.map_batches(
+        IvfIndexer, fn_constructor_kwargs=dict(centroids_ref=cent_ref,
+                                               emb_col=emb_col),
+        batch_format="pyarrow", concurrency=concurrency, num_cpus=1)
+
+    def _cluster_topk(g: pd.DataFrame) -> pd.DataFrame:
+        qmat, qids, by_cluster = ray.get(q_ref)
+        js = by_cluster.get(int(g["ivf_cluster"].iloc[0]))
+        if not js:
+            return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                                 "neighbor_id": pd.Series(dtype="int64"),
+                                 "cosine": pd.Series(dtype="float64")})
+        ids = g[id_col].to_numpy(dtype=np.int64)
+        emb = _normalize(np.array(g[emb_col].tolist(), dtype=np.float64))
+        out = []
+        for j in js:
+            col = emb @ qmat[j]
+            order = np.lexsort((ids, -col))[:k]
+            for o in order:
+                out.append({"query_id": qids[j], "neighbor_id": int(ids[o]),
+                            "cosine": float(col[o])})
+        return pd.DataFrame(out)
+
+    partials = bucketed.groupby("ivf_cluster").map_groups(
+        _cluster_topk, batch_format="pandas")
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "neighbor_id"],
+                          ascending=[False, True]).head(k).reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partials.groupby("query_id").map_groups(_merge, batch_format="pandas")
+
+
 def embedding_neardup_pairs(ds: "ray.data.Dataset", threshold: float = 0.9,
                             *, id_col: str = "vec_id",
                             emb_col: str = "embedding") -> "ray.data.Dataset":

@@ -282,3 +282,27 @@ def test_read_source_parquet_and_overrides(ray_session, monkeypatch):
         substitute_env({"key": "$NOPE_NOT_SET"})
     with pytest.raises(NotImplementedError):
         read_source({"path": "x.xlsx"})
+
+
+def test_ivf_topk_recall(ray_session):
+    import ray.data
+    from data_quality_automated_evaluator_ray.stages.similarity import (
+        ann_topk_bruteforce, ivf_topk)
+
+    df = _emb()
+    q = np.array(df["embedding"].head(4).tolist())
+    qids = [0, 1, 2, 3]
+    exact = ann_topk_bruteforce(ray.data.from_pandas(df), q, qids, k=5).to_pandas()
+    approx = ivf_topk(ray.data.from_pandas(df), q, qids, k=5,
+                      n_clusters=8, nprobe=4).to_pandas()
+    # each query finds itself at rank 1
+    for j in qids:
+        sub = approx[approx.query_id == j].sort_values("rank")
+        assert len(sub) > 0 and sub["neighbor_id"].iloc[0] == int(df["vec_id"].iloc[j])
+    # recall@5 vs exact should be decent with nprobe=half the clusters
+    hits = 0
+    for j in qids:
+        e = set(exact[exact.query_id == j]["neighbor_id"])
+        a = set(approx[approx.query_id == j]["neighbor_id"])
+        hits += len(e & a)
+    assert hits / (5 * len(qids)) >= 0.5

@@ -1,0 +1,92 @@
+"""FIXTURES.md F2 — heritage temporal fixture with PLANTED interval shifts.
+
+Builds a seeded 90-day transactions table in the reference's native shape,
+plants three anomalous days, and asserts the interval aggregation + IQR/
+Z-score drift detection (reference preprocess.py:201-229 + evaluate.py:91-115)
+flags exactly the planted days.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+PLANTED_DAYS = ["2024-02-10", "2024-03-01", "2024-03-20"]
+
+
+@pytest.fixture(scope="module")
+def f2_events():
+    rng = np.random.RandomState(42)
+    days = pd.date_range("2024-01-15", periods=90, freq="D")
+    rows = []
+    for d in days:
+        n = 120
+        amount = rng.lognormal(3.0, 0.4, n)
+        if d.strftime("%Y-%m-%d") in PLANTED_DAYS:
+            amount = amount * 8.0  # interval-level shift
+        offs = rng.randint(0, 86400, n)
+        for i in range(n):
+            rows.append({
+                "timestamp": d + pd.Timedelta(seconds=int(offs[i])),
+                "amount": float(amount[i]),
+                "category": f"c{rng.randint(0, 5)}",
+                "account": f"a{rng.randint(0, 4000)}",
+                "note": None if rng.rand() < 0.05 else "ok",
+                "is_fraud": int(rng.rand() < 0.02),
+            })
+    return pd.DataFrame(rows)
+
+
+def test_planted_drift_days_flagged(ray_session, f2_events):
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.functions.outliers import (
+        iqr_outliers, z_score_outliers)
+    from data_quality_automated_evaluator_ray.stages.temporal import (
+        interval_aggregate)
+
+    ds = ray.data.from_pandas(f2_events)
+    agg = interval_aggregate(
+        ds, date_col="timestamp", interval="1d", target_col="is_fraud",
+        numeric_cols=["amount"], nunique_cols=["account"],
+        nullrate_cols=["note"],
+    ).to_pandas()
+    assert len(agg) == 90
+
+    day = pd.to_datetime(agg["time_interval"]).dt.strftime("%Y-%m-%d")
+    x = agg["amount_mean"].to_numpy(dtype=np.float64)
+
+    flagged_iqr = set(day[iqr_outliers(x)])
+    flagged_z = set(day[z_score_outliers(x)])
+    assert flagged_iqr == set(PLANTED_DAYS)
+    # Z-score with 3/90 extreme days: all planted days flagged, nothing else
+    assert flagged_z == set(PLANTED_DAYS)
+
+
+def test_hourly_interval(ray_session, f2_events):
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.temporal import (
+        interval_aggregate)
+
+    sub = f2_events.head(3000)
+    agg = interval_aggregate(ray.data.from_pandas(sub), date_col="timestamp",
+                             interval="1h", numeric_cols=["amount"]).to_pandas()
+    # hourly bucketing produces more intervals than daily
+    assert len(agg) > 24
+    assert agg["n_rows"].sum() == len(sub)
+
+
+def test_target_average_matches_groupby(ray_session, f2_events):
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.temporal import (
+        interval_aggregate)
+
+    agg = interval_aggregate(ray.data.from_pandas(f2_events),
+                             date_col="timestamp", interval="1d",
+                             target_col="is_fraud").to_pandas()
+    want = f2_events.assign(d=f2_events["timestamp"].dt.floor("D")) \
+        .groupby("d")["is_fraud"].mean()
+    np.testing.assert_allclose(
+        agg.sort_values("time_interval")["target_avg"].to_numpy(),
+        want.sort_index().to_numpy(), rtol=1e-12)
