@@ -131,6 +131,16 @@ def _lsh_topk_embeddings(sf_dir: str):
         .select_columns(["query_id", "neighbor_id", "rank"])
 
 
+def _duplicate_groups_documents(sf_dir: str):
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.dedup import duplicate_groups
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return duplicate_groups(ds)
+
+
 def _ivf_topk_embeddings(sf_dir: str):
     import numpy as np
     import pyarrow.parquet as pq
@@ -174,6 +184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_documents": _simhash_documents,
         "lsh_topk_embeddings": _lsh_topk_embeddings,
         "ivf_topk_embeddings": _ivf_topk_embeddings,
+        "duplicate_groups_documents": _duplicate_groups_documents,
         "multimodal_features": _multimodal_features,
     })
     return out

@@ -66,6 +66,8 @@ def run_bench() -> dict:
 
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.perf_counter()
+    # headline stays fully streaming (read → fused stage → filter → write);
+    # the metrics timing below re-runs the pipeline as its own job
     evaluated = apply_quality_filter(
         read_corpus(BENCH_CORPUS_DIR),
         batch_size=1024,
@@ -91,9 +93,7 @@ def run_bench() -> dict:
         return result
 
     t0 = time.perf_counter()
-    m = partition_metrics_scalable(
-        apply_quality_filter(read_corpus(BENCH_CORPUS_DIR),
-                             batch_size=1024))
+    m = partition_metrics_scalable(evaluated)
     n_parts = m.count()
     timings["qf_metrics"] = time.perf_counter() - t0
 

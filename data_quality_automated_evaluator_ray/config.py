@@ -46,8 +46,6 @@ def load_config(path: str) -> dict[str, Any]:
 
 def run_config(cfg: dict[str, Any]) -> dict[str, Any]:
     """Execute a config end-to-end; returns a run summary dict."""
-    import pandas as pd
-
     from .functions.outliers import drift_flags
     from .pipelines.report import make_report, write_report
     from .sources.readers import read_source

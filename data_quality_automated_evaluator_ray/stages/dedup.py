@@ -24,6 +24,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -220,6 +221,89 @@ def simhash_candidates(ds: "ray.data.Dataset", *, text_col: str = "text",
 
     return pairs.groupby(["id_a", "id_b"]).map_groups(_min_ham,
                                                       batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Duplicate groups: connected components over candidate pairs
+# ---------------------------------------------------------------------------
+def connected_components(pairs: "ray.data.Dataset", *,
+                         max_rounds: int = 20) -> "ray.data.Dataset":
+    """Distributed connected components over (id_a, id_b) candidate-pair
+    edges → (doc_id, component) where component = min doc_id in the group.
+
+    Iterative min-label propagation: each round, every node adopts the
+    minimum label in its neighborhood (edges both directions + self), via one
+    groupby per round; converges in O(component diameter) rounds. Driver
+    state is one scalar (the convergence checksum) per round — the label
+    table itself stays distributed.
+    """
+    edges = pairs.map_batches(
+        lambda t: pa.table({
+            "node": pa.concat_arrays([t.column("id_a").combine_chunks(),
+                                      t.column("id_b").combine_chunks()]),
+            "peer": pa.concat_arrays([t.column("id_b").combine_chunks(),
+                                      t.column("id_a").combine_chunks()]),
+        }), batch_format="pyarrow").materialize()
+
+    def _init(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t.column("node"), "label": t.column("node")})
+
+    labels = edges.map_batches(_init, batch_format="pyarrow") \
+                  .groupby("doc_id").min("label").materialize()
+    if labels.count() == 0:  # no candidate pairs → no components
+        return ray.data.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()),
+                                             "component": pa.array([], pa.int64())}))
+
+    def _norm(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": pc.cast(t.column(t.column_names[0]), pa.int64()),
+                         "label": pc.cast(t.column(t.column_names[1]), pa.int64())})
+
+    prev_sum = None
+    for _ in range(max_rounds):
+        labels = labels.map_batches(_norm, batch_format="pyarrow")
+        # distributed join-by-groupby: each node's group holds its current
+        # label row (peer == -1 marker) plus its outgoing edges; the group
+        # broadcasts the label to every edge's peer
+        lab_side = labels.map_batches(
+            lambda t: pa.table({"node": t.column("doc_id"),
+                                "peer": pa.array([-1] * t.num_rows, pa.int64()),
+                                "label": t.column("label")}),
+            batch_format="pyarrow")
+        edge_side = edges.map_batches(
+            lambda t: t.append_column("label",
+                                      pa.array([-1] * t.num_rows, pa.int64())),
+            batch_format="pyarrow")
+
+        def _propagate(g: pd.DataFrame) -> pd.DataFrame:
+            lab_rows = g[g["peer"] == -1]
+            label = int(lab_rows["label"].min())
+            peers = g.loc[g["peer"] != -1, "peer"].astype("int64")
+            out = {"doc_id": peers.tolist() + [int(g["node"].iloc[0])],
+                   "label": [label] * (len(peers) + 1)}
+            return pd.DataFrame(out)
+
+        prop = lab_side.union(edge_side).groupby("node") \
+            .map_groups(_propagate, batch_format="pandas")
+        labels = prop.groupby("doc_id").min("label").materialize()
+        s = int(labels.to_pandas().iloc[:, 1].sum())
+        if s == prev_sum:
+            break
+        prev_sum = s
+
+    return labels.map_batches(
+        lambda t: pa.table({"doc_id": t.column(t.column_names[0]),
+                            "component": t.column(t.column_names[1])}),
+        batch_format="pyarrow")
+
+
+def duplicate_groups(ds: "ray.data.Dataset", *, text_col: str = "text",
+                     id_col: str = "doc_id", num_perm: int = 64,
+                     bands: int = 16) -> "ray.data.Dataset":
+    """MinHash-LSH candidates → connected components → duplicate groups
+    (doc_id, component). Docs with no near-duplicate are absent (singleton)."""
+    pairs = minhash_lsh_candidates(ds, text_col=text_col, id_col=id_col,
+                                   num_perm=num_perm, bands=bands)
+    return connected_components(pairs)
 
 
 # ---------------------------------------------------------------------------

@@ -306,3 +306,34 @@ def test_ivf_topk_recall(ray_session):
         a = set(approx[approx.query_id == j]["neighbor_id"])
         hits += len(e & a)
     assert hits / (5 * len(qids)) >= 0.5
+
+
+def test_connected_components_chains(ray_session):
+    import ray.data
+    from data_quality_automated_evaluator_ray.stages.dedup import connected_components
+
+    pairs = pa.table({"id_a": pa.array([1, 2, 10, 20, 21, 22], pa.int64()),
+                      "id_b": pa.array([2, 3, 11, 21, 22, 23], pa.int64())})
+    out = connected_components(ray.data.from_arrow(pairs)).to_pandas()
+    comp = dict(zip(out["doc_id"], out["component"]))
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                    20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_duplicate_groups_end_to_end(ray_session):
+    import ray.data
+    from data_quality_automated_evaluator_ray.stages.dedup import duplicate_groups
+
+    df = pq.read_table(f"{SF}/documents.parquet").to_pandas().head(50)[["doc_id", "text"]]
+    # plant a 3-doc near-dup chain off row 0 (high-Jaccard variants so the
+    # probabilistic LSH finds both with overwhelming probability)
+    toks = df["text"].iloc[0].split()
+    v1 = list(toks); v1[2] = "AAA"
+    v2 = list(toks) + ["zzz"]
+    planted = pd.DataFrame([{"doc_id": 9001, "text": " ".join(v1)},
+                            {"doc_id": 9002, "text": " ".join(v2)}])
+    alldf = pd.concat([df, planted], ignore_index=True)
+    out = duplicate_groups(ray.data.from_pandas(alldf)).to_pandas()
+    comp = dict(zip(out["doc_id"], out["component"]))
+    base = int(df["doc_id"].iloc[0])
+    assert comp.get(9001) == base and comp.get(9002) == base
