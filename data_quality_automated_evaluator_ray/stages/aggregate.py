@@ -147,7 +147,12 @@ def partition_metrics_scalable(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     combine, and exact distinct-hash counting on within-batch-deduped narrow
     triples (ONE shuffle each). All algebraic statistics are exact; median is
     only in the exact ``partition_metrics`` path."""
-    narrow = ds.select_columns(KEY + ["keep", "content_sha256"] + NUMERIC_FEATURES)
+    # materialize the NARROW projection once (~100 B/row, no content): both
+    # the moments branch and the distinct-hash branch consume it, and without
+    # this the upstream pipeline (model stages included) would execute twice.
+    # At extreme scale, fold metrics into the runner's per-partition pass.
+    narrow = ds.select_columns(KEY + ["keep", "content_sha256"] + NUMERIC_FEATURES) \
+               .materialize()
     partials = narrow.map_batches(_partials, batch_format="pyarrow",
                                   batch_size=8192, zero_copy_batch=True)
     stats = partials.groupby(KEY).map_groups(_combine, batch_format="pandas") \
