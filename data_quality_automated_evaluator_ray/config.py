@@ -57,6 +57,8 @@ def run_config(cfg: dict[str, Any]) -> dict[str, Any]:
 
     if cfg["pipeline"] == "temporal_report":
         ds = read_source(cfg["source"])
+        explicit = any(cfg.get(k) for k in
+                       ("numeric_columns", "nunique_columns", "nullrate_columns"))
         agg = interval_aggregate(
             ds,
             date_col=cfg["date_column"],
@@ -65,6 +67,9 @@ def run_config(cfg: dict[str, Any]) -> dict[str, Any]:
             numeric_cols=cfg.get("numeric_columns"),
             nunique_cols=cfg.get("nunique_columns"),
             nullrate_cols=cfg.get("nullrate_columns"),
+            # reference default: aggregate every column except exclusions
+            auto_columns=not explicit,
+            columns_to_exclude=cfg.get("columns_to_exclude"),
         )
         metrics = agg.to_pandas()
         flags = drift_flags(metrics, criterion=criterion,

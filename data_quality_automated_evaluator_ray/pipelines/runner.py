@@ -48,8 +48,13 @@ def run_resumable(
     ``fail_after=k`` injects a crash after k committed partitions (test hook).
     Returns a summary dict {partitions_run, partitions_skipped, rows_kept}.
     """
+    from ..rules import rules_fingerprint
+
     parts = plan_partitions(fragments, partition_size)
-    token = lineage.checkpoint_token(fragments, config_fingerprint)
+    # checkpoint token covers fragments + user config + the rule constants:
+    # a threshold/pattern change must invalidate old manifests
+    token = lineage.checkpoint_token(
+        fragments, config_fingerprint + ":" + rules_fingerprint())
     lineage_dir = os.path.join(out_dir, "lineage")
     run, skipped, kept_total = 0, 0, 0
 

@@ -55,6 +55,8 @@ def interval_aggregate(
     numeric_cols: list[str] | None = None,
     nunique_cols: list[str] | None = None,
     nullrate_cols: list[str] | None = None,
+    auto_columns: bool = False,
+    columns_to_exclude: list[str] | None = None,
 ) -> "ray.data.Dataset":
     """The reference's one heavy query, re-keyed by a truncated timestamp.
 
@@ -62,6 +64,22 @@ def interval_aggregate(
     time_interval, n_rows, target_avg?, {c}_nunique..., {c}_null_rate...,
     {c}_min/max/mean/median/std...
     """
+    if auto_columns:
+        # reference semantics (preprocess.py:211-233): EVERY non-excluded
+        # column gets n-unique + null-proportion; numeric columns get the five
+        # extra stats. Column kinds from the dataset schema (parquet metadata).
+        excluded = set(columns_to_exclude or []) | {date_col}
+        if target_col:
+            excluded.add(target_col)
+        schema = ds.schema()
+        numeric_cols, nunique_cols, nullrate_cols = [], [], []
+        for name, typ in zip(schema.names, schema.types):
+            if name in excluded:
+                continue
+            nunique_cols.append(name)
+            nullrate_cols.append(name)
+            if pa.types.is_integer(typ) or pa.types.is_floating(typ):
+                numeric_cols.append(name)
     numeric_cols = numeric_cols or []
     nunique_cols = nunique_cols or []
     nullrate_cols = nullrate_cols or []

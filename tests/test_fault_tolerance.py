@@ -1,0 +1,50 @@
+"""Fault tolerance: transient task failures retry; results stay exact.
+
+The reference's error policy is log-and-exit or pass-through
+(reference handle_exceptions.py:49-56); the rebuild instead relies on Ray's
+task retries for transients and fails loudly on deterministic errors — this
+test exercises the retry path end-to-end.
+"""
+
+import os
+
+import pyarrow as pa
+import pytest
+
+
+def test_transient_batch_failure_retries(ray_session, tmp_path):
+    import ray.data
+
+    flag_dir = str(tmp_path)
+
+    def flaky(batch: pa.Table) -> pa.Table:
+        # fail the FIRST attempt of each batch (marker file keyed by content)
+        key = str(batch.column("id")[0].as_py())
+        marker = os.path.join(flag_dir, f"tried-{key}")
+        if not os.path.exists(marker):
+            with open(marker, "w") as fh:
+                fh.write("1")
+            raise RuntimeError("injected transient failure")
+        import pyarrow.compute as pc
+        return batch.append_column("double", pc.multiply(batch.column("id"), 2))
+
+    # user-code exceptions retry only when opted in via ray_remote_args
+    ds = ray.data.range(100).map_batches(flaky, batch_format="pyarrow",
+                                         batch_size=25, max_retries=3,
+                                         retry_exceptions=True)
+    out = ds.to_pandas().sort_values("id").reset_index(drop=True)
+    assert len(out) == 100
+    assert (out["double"] == out["id"] * 2).all()
+    # every batch failed once before succeeding
+    assert len(os.listdir(flag_dir)) >= 1
+
+
+def test_deterministic_failure_surfaces(ray_session):
+    import ray.data
+
+    def always_bad(batch: pa.Table) -> pa.Table:
+        raise ValueError("deterministic bug — must surface, not retry forever")
+
+    ds = ray.data.range(10).map_batches(always_bad, batch_format="pyarrow")
+    with pytest.raises(Exception, match="deterministic bug"):
+        ds.count()

@@ -90,3 +90,39 @@ def test_target_average_matches_groupby(ray_session, f2_events):
     np.testing.assert_allclose(
         agg.sort_values("time_interval")["target_avg"].to_numpy(),
         want.sort_index().to_numpy(), rtol=1e-12)
+
+
+def test_auto_columns_reference_semantics(ray_session):
+    """Reference default: every non-excluded column aggregated (n-unique +
+    null rate; numeric also min/max/mean/median/std), vs DuckDB."""
+    import duckdb
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.temporal import (
+        interval_aggregate)
+
+    SF = "/root/testdata/sf0.001"
+    ds = ray.data.read_parquet(f"{SF}/events.parquet")
+    got = interval_aggregate(ds, date_col="ts", interval="1d",
+                             auto_columns=True,
+                             columns_to_exclude=["props"]).to_pandas()
+    # every non-excluded non-date column present as nunique + null_rate
+    for c in ["event_id", "user_id", "event_type", "value"]:
+        assert f"{c}_nunique" in got.columns
+        assert f"{c}_null_rate" in got.columns
+    # numeric ones also carry stats; string ones don't
+    assert "value_mean" in got.columns and "event_id_mean" in got.columns
+    assert "event_type_mean" not in got.columns
+    assert "props_nunique" not in got.columns
+
+    want = duckdb.sql(f"""
+        select date_trunc('day', ts) as d,
+               count(distinct event_type) as et_nunique,
+               avg(value::double) as value_mean
+        from '{SF}/events.parquet' group by 1 order by 1
+    """).df()
+    np.testing.assert_allclose(
+        got.sort_values("time_interval")["value_mean"].to_numpy(),
+        want["value_mean"].to_numpy(), rtol=1e-9)
+    assert got.sort_values("time_interval")["event_type_nunique"].tolist() == \
+        want["et_nunique"].astype(int).tolist()
