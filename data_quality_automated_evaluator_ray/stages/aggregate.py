@@ -142,7 +142,26 @@ def _combine(g: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame([rec])
 
 
-def partition_metrics_scalable(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+def _hll_partials(batch: pa.Table) -> pa.Table:
+    """One HLL sketch per (repo, lang) per batch over content hashes —
+    the shuffle payload is O(keys × batches × 4 KiB), independent of rows."""
+    from ..functions.sketches import hll_add, hll_create
+
+    df = batch.select(KEY + ["content_sha256"]).to_pandas()
+    out_repo, out_lang, out_sk = [], [], []
+    for (repo, lang), g in df.groupby(KEY, sort=False):
+        sk = hll_create()
+        hll_add(sk, g["content_sha256"].dropna().unique().tolist())
+        out_repo.append(repo)
+        out_lang.append(lang)
+        out_sk.append(sk.tobytes())
+    return pa.table({"repo": pa.array(out_repo, pa.string()),
+                     "lang": pa.array(out_lang, pa.string()),
+                     "sketch": pa.array(out_sk, pa.binary())})
+
+
+def partition_metrics_scalable(ds: "ray.data.Dataset",
+                               approx_distinct: bool = False) -> "ray.data.Dataset":
     """Two-phase metrics: per-batch Arrow hash-agg partials + tiny final
     combine, and exact distinct-hash counting on within-batch-deduped narrow
     triples (ONE shuffle each). All algebraic statistics are exact; median is
@@ -158,21 +177,44 @@ def partition_metrics_scalable(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     stats = partials.groupby(KEY).map_groups(_combine, batch_format="pandas") \
                     .to_pandas()
 
-    triples = narrow.map_batches(_distinct_triples, batch_format="pyarrow",
-                                 batch_size=8192, zero_copy_batch=True)
+    if approx_distinct:
+        # HLL sketches: ~1.6% standard error; the shuffle is O(keys × batches
+        # × 4 KiB) — measured WORSE than the exact triples path when keys are
+        # many and small (3495 keys / 1M rows: 26s vs 20s, sketch bytes exceed
+        # the distinct-hash bytes). Use only when rows-per-(key, batch) ≫ 4096
+        # — e.g. corpus-level or per-language distinct counts at 10^12 files.
+        from ..functions.sketches import hll_estimate, hll_merge
 
-    def _nunique(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame([{"repo": g["repo"].iloc[0],
-                              "lang": g["lang"].iloc[0],
-                              "n_unique_sha": int(g["content_sha256"].nunique())}])
+        sketches = narrow.map_batches(_hll_partials, batch_format="pyarrow",
+                                      batch_size=8192, zero_copy_batch=True)
 
-    uniq = triples.groupby(KEY).map_groups(_nunique, batch_format="pandas") \
-                  .to_pandas()
+        def _est(g: pd.DataFrame) -> pd.DataFrame:
+            sk = None
+            for b in g["sketch"]:
+                arr = np.frombuffer(b, dtype=np.uint8)
+                sk = arr.copy() if sk is None else hll_merge(sk, arr)
+            return pd.DataFrame([{"repo": g["repo"].iloc[0],
+                                  "lang": g["lang"].iloc[0],
+                                  "n_unique_sha": hll_estimate(sk)}])
+
+        uniq = sketches.groupby(KEY).map_groups(_est, batch_format="pandas") \
+                       .to_pandas()
+    else:
+        triples = narrow.map_batches(_distinct_triples, batch_format="pyarrow",
+                                     batch_size=8192, zero_copy_batch=True)
+
+        def _nunique(g: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame([{"repo": g["repo"].iloc[0],
+                                  "lang": g["lang"].iloc[0],
+                                  "n_unique_sha": int(g["content_sha256"].nunique())}])
+
+        uniq = triples.groupby(KEY).map_groups(_nunique, batch_format="pandas") \
+                      .to_pandas()
 
     merged = stats.merge(uniq, on=KEY, how="left")
-    merged["dup_rate"] = np.where(
+    merged["dup_rate"] = np.clip(np.where(
         merged["n_nonnull"] > 0,
         1.0 - merged["n_unique_sha"].fillna(0) / np.maximum(merged["n_nonnull"], 1),
-        0.0)
+        0.0), 0.0, 1.0)  # clip: the HLL estimate can slightly exceed the count
     merged = merged.drop(columns=["n_unique_sha", "n_nonnull"])
     return ray.data.from_pandas(merged)

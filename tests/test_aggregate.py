@@ -107,3 +107,39 @@ def test_hot_key_skew_collapses_in_partials(ray_session):
     out = _partials(batch)
     assert out.num_rows == 1  # 5000 hot-key rows → ONE partial row
     assert out.column("n")[0].as_py() == n
+
+
+def test_hll_sketch_accuracy():
+    from data_quality_automated_evaluator_ray.functions.sketches import (
+        hll_add, hll_create, hll_estimate, hll_merge)
+
+    import numpy as np
+
+    for true_n in (50, 1000, 20000):
+        sk = hll_create()
+        hll_add(sk, [f"value-{i}" for i in range(true_n)])
+        est = hll_estimate(sk)
+        assert abs(est - true_n) / true_n < 0.05, (true_n, est)
+    # mergeability: union of disjoint halves == all at once
+    a, b, c = hll_create(), hll_create(), hll_create()
+    hll_add(a, [f"x{i}" for i in range(500)])
+    hll_add(b, [f"x{i}" for i in range(250, 750)])
+    hll_add(c, [f"x{i}" for i in range(750)])
+    assert hll_estimate(hll_merge(a, b)) == hll_estimate(c)
+
+
+def test_approx_distinct_metrics_close_to_exact(ray_session, small_corpus):
+    from data_quality_automated_evaluator_ray.stages.aggregate import (
+        partition_metrics_scalable)
+
+    ds = _evaluated_ds(small_corpus)
+    exact = partition_metrics_scalable(ds).to_pandas() \
+        .sort_values(["repo", "lang"]).reset_index(drop=True)
+    approx = partition_metrics_scalable(ds, approx_distinct=True).to_pandas() \
+        .sort_values(["repo", "lang"]).reset_index(drop=True)
+    assert exact["repo"].tolist() == approx["repo"].tolist()
+    # tiny partitions (n≈30) can see 1-2 linear-counting register collisions
+    # → up to ~2/n absolute dup_rate error; rates must still track closely
+    diff = (exact["dup_rate"] - approx["dup_rate"]).abs()
+    assert diff.max() < 0.1
+    assert diff.mean() < 0.01
