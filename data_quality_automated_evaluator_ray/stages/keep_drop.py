@@ -55,9 +55,12 @@ def apply_rules(batch: pa.Table, heuristics_only: bool = False) -> pa.Table:
         pred = batch.column("lang_pred").to_numpy(zero_copy_only=False)
         conf = batch.column("lang_conf").to_numpy(zero_copy_only=False)
         excess = batch.column("ppl_excess").to_numpy(zero_copy_only=False)
+        tokens = col_np("token_count")
         conds.append((pred != "unknown") & (pred != lang)
                      & (conf >= rules.LANGID_CONF_THRESHOLD))
-        conds.append(excess > 0.0)
+        # short texts are dominated by the BOS penalty; perplexity judges
+        # only texts with at least MIN_TOKENS_FOR_PPL tokens
+        conds.append((excess > 0.0) & (tokens >= rules.MIN_TOKENS_FOR_PPL))
         reasons += ["lang_mismatch", "high_perplexity"]
 
     reason = np.select(conds, reasons, default=rules.KEEP)

@@ -118,3 +118,35 @@ def test_generator_has_exact_duplicates():
     t = generate_table(1500, seed=42)
     contents = [c for c in t.column("content").to_pylist() if c]
     assert len(set(contents)) < len(contents)  # dup defect class materialized
+
+
+def test_empty_corpus_through_pipeline(ray_session):
+    """Zero-row input flows through every stage without error."""
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.pipelines.quality_filter import (
+        apply_quality_filter)
+
+    empty = pa.table({
+        "repo": pa.array([], pa.string()), "path": pa.array([], pa.string()),
+        "commit": pa.array([], pa.string()), "lang": pa.array([], pa.string()),
+        "content": pa.array([], pa.string()),
+    })
+    out = apply_quality_filter(ray.data.from_arrow(empty),
+                               scorer_concurrency=1).to_pandas()
+    assert len(out) == 0
+
+
+def test_single_row_pipeline(ray_session):
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.pipelines.quality_filter import (
+        apply_quality_filter)
+
+    one = pa.table({
+        "repo": ["r"], "path": ["p"], "commit": ["c"], "lang": ["python"],
+        "content": ["def f():\n    return 1\n"],
+    })
+    out = apply_quality_filter(ray.data.from_arrow(one),
+                               scorer_concurrency=1).to_pandas()
+    assert len(out) == 1 and bool(out["keep"].iloc[0])
