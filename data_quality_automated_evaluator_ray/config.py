@@ -78,8 +78,12 @@ def run_config(cfg: dict[str, Any]) -> dict[str, Any]:
                          title="Temporal data quality report",
                          key_cols=("time_interval",))
         path = write_report(md, out_dir)
+        from .pipelines.charts import write_charts
+        charts = write_charts(metrics, out_dir, criterion=criterion,
+                              key_cols=("time_interval",))
         return {"pipeline": "temporal_report", "intervals": len(metrics),
-                "drift_flags": len(flags), "report": path}
+                "drift_flags": len(flags), "report": path,
+                "charts": len(charts)}
 
     # quality_filter
     from .pipelines.quality_filter import apply_quality_filter
@@ -109,6 +113,9 @@ def run_config(cfg: dict[str, Any]) -> dict[str, Any]:
         md = make_report(metrics, manifests=manifests, criterion=criterion)
         summary["report"] = write_report(md, out_dir)
         summary["partitions_metrics"] = len(metrics)
+        from .pipelines.charts import write_charts
+        summary["charts"] = len(write_charts(metrics, out_dir,
+                                             criterion=criterion))
     return summary
 
 

@@ -1,0 +1,84 @@
+"""Dependency-free SVG charts for the quality report (reference K2 role).
+
+The reference exports Plotly images through a kaleido subprocess (reference
+plot.py:9-71, chart-with-outlier-bounds per statistic). No chart libraries
+exist in this environment, so the rebuild emits small self-contained SVG line
+charts: the metric series across partitions with the IQR/Z-score bounds drawn
+as horizontal guides — the same visual semantics (value series + outlier
+bounds) with zero dependencies. Deterministic output (no timestamps, no RNG).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+from ..functions.outliers import criterion_bounds
+
+_W, _H, _PAD = 480, 120, 8
+
+
+def sparkline_svg(values, lower: float | None = None,
+                  upper: float | None = None, title: str = "") -> str:
+    x = np.asarray(values, dtype=np.float64)
+    valid = ~np.isnan(x)
+    if valid.sum() == 0:
+        return f'<svg xmlns="http://www.w3.org/2000/svg" width="{_W}" height="{_H}"/>'
+    guides = [v for v in (lower, upper) if v is not None and np.isfinite(v)]
+    lo = min(float(np.nanmin(x)), *(guides or [float(np.nanmin(x))]))
+    hi = max(float(np.nanmax(x)), *(guides or [float(np.nanmax(x))]))
+    span = (hi - lo) or 1.0
+
+    def sx(i: int) -> float:
+        return _PAD + (_W - 2 * _PAD) * (i / max(len(x) - 1, 1))
+
+    def sy(v: float) -> float:
+        return _H - _PAD - (_H - 2 * _PAD) * ((v - lo) / span)
+
+    pts = " ".join(f"{sx(i):.1f},{sy(v):.1f}"
+                   for i, v in enumerate(x) if not np.isnan(v))
+    parts = [f'<svg xmlns="http://www.w3.org/2000/svg" width="{_W}" height="{_H}" '
+             f'viewBox="0 0 {_W} {_H}">',
+             f'<title>{title}</title>',
+             f'<rect width="{_W}" height="{_H}" fill="white"/>']
+    for g, color in zip((lower, upper), ("#cc3333", "#cc3333")):
+        if g is not None and np.isfinite(g):
+            y = sy(float(g))
+            parts.append(f'<line x1="{_PAD}" y1="{y:.1f}" x2="{_W - _PAD}" '
+                         f'y2="{y:.1f}" stroke="{color}" stroke-width="1" '
+                         f'stroke-dasharray="4 3"/>')
+    parts.append(f'<polyline points="{pts}" fill="none" stroke="#2b6cb0" '
+                 f'stroke-width="1.5"/>')
+    # mark outliers beyond the guides
+    if lower is not None and upper is not None:
+        for i, v in enumerate(x):
+            if not np.isnan(v) and (v < lower or v > upper):
+                parts.append(f'<circle cx="{sx(i):.1f}" cy="{sy(v):.1f}" r="3" '
+                             f'fill="#cc3333"/>')
+    parts.append("</svg>")
+    return "".join(parts)
+
+
+def write_charts(metrics: pd.DataFrame, out_dir: str,
+                 criterion: str = "IQR",
+                 key_cols: tuple[str, ...] = ("repo", "lang")) -> list[str]:
+    """One SVG per numeric metric column → ``<out_dir>/charts/<metric>.svg``.
+    Returns the written paths (sorted, deterministic)."""
+    charts_dir = os.path.join(out_dir, "charts")
+    os.makedirs(charts_dir, exist_ok=True)
+    written = []
+    for c in metrics.columns:
+        if c in key_cols or not pd.api.types.is_numeric_dtype(metrics[c]):
+            continue
+        x = metrics[c].to_numpy(dtype=np.float64)
+        if np.isnan(x).all():
+            continue
+        lo, hi = criterion_bounds(x[~np.isnan(x)], criterion)
+        svg = sparkline_svg(x, lo, hi, title=c)
+        path = os.path.join(charts_dir, f"{c}.svg")
+        with open(path, "w") as fh:
+            fh.write(svg)
+        written.append(path)
+    return sorted(written)

@@ -51,3 +51,22 @@ def test_make_report_structure_and_flags(tmp_path):
 def test_make_report_zscore_criterion():
     md = make_report(_metrics(), criterion="Z-score")
     assert "Z-score" in md
+
+
+def test_svg_charts(tmp_path):
+    from data_quality_automated_evaluator_ray.pipelines.charts import (
+        sparkline_svg, write_charts)
+
+    m = _metrics()
+    paths = write_charts(m, str(tmp_path), criterion="IQR")
+    assert any(p.endswith("keep_rate.svg") for p in paths)
+    svg = open([p for p in paths if "keep_rate" in p][0]).read()
+    assert svg.startswith("<svg") and "polyline" in svg
+    assert "stroke-dasharray" in svg  # outlier-bound guides drawn
+    # outlier marking asserted deterministically
+    assert "circle" in sparkline_svg([1.0, 2.0, 3.0, 100.0], 0.0, 10.0)
+    # deterministic output
+    assert sparkline_svg([1, 2, 3], 0, 4, "t") == sparkline_svg([1, 2, 3], 0, 4, "t")
+    # degenerate: constant + all-nan series don't crash
+    assert "<svg" in sparkline_svg([5.0] * 4, None, None)
+    assert "<svg" in sparkline_svg([float("nan")] * 3)

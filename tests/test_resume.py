@@ -66,3 +66,27 @@ def test_config_change_invalidates_checkpoint(ray_session, small_corpus, tmp_pat
                       config_fingerprint="v2")
     assert s["partitions_skipped"] == 0  # old manifests carry a stale token
     assert s["partitions_run"] == 2
+
+
+def test_crash_between_publish_and_manifest(ray_session, small_corpus, tmp_path):
+    """The documented crash window: output dir renamed into place but the
+    manifest never written → rerun must redo that partition and the final
+    output must equal an uninterrupted run."""
+    import shutil
+
+    d, paths = small_corpus
+    ref_dir = str(tmp_path / "ref")
+    run_resumable(paths, ref_dir, partition_size=1, with_models=False)
+
+    crash_dir = str(tmp_path / "crash")
+    run_resumable(paths, crash_dir, partition_size=1, with_models=False)
+    # simulate the window: partition 1 committed its data dir but lost its
+    # manifest (and to be adversarial, corrupt the orphan dir's contents)
+    os.remove(lineage.manifest_path(os.path.join(crash_dir, "lineage"), 1))
+    victim = os.path.join(crash_dir, "part-00001")
+    for f in os.listdir(victim):
+        os.remove(os.path.join(victim, f))
+
+    s = run_resumable(paths, crash_dir, partition_size=1, with_models=False)
+    assert s["partitions_run"] == 1 and s["partitions_skipped"] == len(paths) - 1
+    assert _read_all(ref_dir).equals(_read_all(crash_dir))
