@@ -1,0 +1,118 @@
+"""Broadcast joins and semi/anti filters (small-side patterns).
+
+The reference is strictly single-table (SURVEY §2.5), but a training-data
+engine needs lookups. These are the no-shuffle patterns the guide prescribes:
+the small side is materialized driver-side once, ``ray.put`` into the object
+store, and every batch joins/filters against it locally — the big side
+streams and nothing is re-partitioned.
+
+* ``broadcast_join`` — inner/left hash join against a small pandas table.
+* ``broadcast_semi_join`` / ``broadcast_anti_join`` — membership filters
+  against a key set, optionally via a deterministic Bloom filter when the key
+  set is too large to broadcast exactly (documented false-positive rate:
+  semi may keep extras / anti may drop extras — use exact sets when the gate
+  must be precise).
+
+For large-×-large joins, bucket both sides by key hash and join per bucket
+(stages/partitioning.add_partition_key); not needed by any current pipeline.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def broadcast_join(ds: "ray.data.Dataset", small: pd.DataFrame, *,
+                   on: str, how: str = "inner") -> "ray.data.Dataset":
+    """Join a streaming Dataset against a small in-memory table (no shuffle)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"broadcast_join supports inner/left, not {how!r}")
+    ref = ray.put(small)
+
+    def _join(batch: pa.Table) -> pa.Table:
+        dim = ray.get(ref)
+        df = batch.to_pandas()
+        out = df.merge(dim, on=on, how=how, sort=False)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return ds.map_batches(_join, batch_format="pyarrow")
+
+
+def broadcast_semi_join(ds: "ray.data.Dataset", keys, *,
+                        on: str) -> "ray.data.Dataset":
+    """Keep rows whose ``on`` value is in ``keys`` (exact broadcast set)."""
+    ref = ray.put(frozenset(keys))
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        keyset = ray.get(ref)
+        vals = batch.column(on).to_pylist()
+        mask = pa.array([v in keyset for v in vals], pa.bool_())
+        return batch.filter(mask)
+
+    return ds.map_batches(_filter, batch_format="pyarrow")
+
+
+def broadcast_anti_join(ds: "ray.data.Dataset", keys, *,
+                        on: str) -> "ray.data.Dataset":
+    """Keep rows whose ``on`` value is NOT in ``keys``."""
+    ref = ray.put(frozenset(keys))
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        keyset = ray.get(ref)
+        vals = batch.column(on).to_pylist()
+        mask = pa.array([v not in keyset for v in vals], pa.bool_())
+        return batch.filter(mask)
+
+    return ds.map_batches(_filter, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (deterministic, md5-based double hashing)
+# ---------------------------------------------------------------------------
+class BloomFilter:
+    def __init__(self, n_items: int, fp_rate: float = 0.01) -> None:
+        m = int(-n_items * np.log(fp_rate) / (np.log(2) ** 2)) + 1
+        self.m = max(m, 64)
+        self.k = max(1, int(round(self.m / max(n_items, 1) * np.log(2))))
+        self.bits = np.zeros((self.m + 7) // 8, dtype=np.uint8)
+
+    def _positions(self, value: str) -> list[int]:
+        d = hashlib.md5(str(value).encode()).digest()
+        h1 = int.from_bytes(d[:8], "big") % self.m
+        h2 = (int.from_bytes(d[8:], "big") | 1) % self.m or 1
+        return [(h1 + i * h2) % self.m for i in range(self.k)]
+
+    def add(self, value: str) -> None:
+        for p in self._positions(value):
+            self.bits[p >> 3] |= np.uint8(1 << (p & 7))
+
+    def __contains__(self, value: str) -> bool:
+        return all(self.bits[p >> 3] & (1 << (p & 7))
+                   for p in self._positions(value))
+
+
+def broadcast_semi_join_bloom(ds: "ray.data.Dataset", keys, *, on: str,
+                              fp_rate: float = 0.01) -> "ray.data.Dataset":
+    """Semi join via a broadcast Bloom filter: may keep ≤ fp_rate extra rows,
+    never drops a matching row. For gigantic key sets where the exact set
+    won't broadcast."""
+    keys = list(keys)
+    bf = BloomFilter(len(keys), fp_rate)
+    for v in keys:
+        bf.add(v)
+    ref = ray.put(bf)
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        f = ray.get(ref)
+        vals = batch.column(on).to_pylist()
+        mask = pa.array([v in f for v in vals], pa.bool_())
+        return batch.filter(mask)
+
+    return ds.map_batches(_filter, batch_format="pyarrow")

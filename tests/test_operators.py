@@ -337,3 +337,23 @@ def test_duplicate_groups_end_to_end(ray_session):
     comp = dict(zip(out["doc_id"], out["component"]))
     base = int(df["doc_id"].iloc[0])
     assert comp.get(9001) == base and comp.get(9002) == base
+
+
+def test_bloom_semi_join_no_false_negatives(ray_session):
+    import ray.data
+    from data_quality_automated_evaluator_ray.stages.joins import (
+        BloomFilter, broadcast_semi_join, broadcast_semi_join_bloom)
+
+    ds = ray.data.read_parquet(f"{SF}/orders.parquet",
+                               columns=["o_orderkey", "o_custkey"])
+    keys = list(range(0, 80))
+    exact = set(broadcast_semi_join(ds, keys, on="o_custkey")
+                .to_pandas()["o_orderkey"])
+    bloom = set(broadcast_semi_join_bloom(ds, keys, on="o_custkey",
+                                          fp_rate=0.01)
+                .to_pandas()["o_orderkey"])
+    assert exact <= bloom               # never drops a match
+    assert len(bloom - exact) <= max(5, int(0.05 * 1500))  # few false positives
+    bf = BloomFilter(100)
+    bf.add("hello")
+    assert "hello" in bf and "absent-key" not in bf
