@@ -115,20 +115,45 @@ class MinHasher:
         self.text_col, self.id_col = text_col, id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        """Explode each doc into one row per band: (id, band, band_hash)."""
+        """Explode each doc into one row per band: (id, band, band_hash).
+
+        Signatures for the whole batch are computed in one (num_perm × total
+        shingles) modular-multiply with per-doc segment minima via
+        np.minimum.reduceat — identical values to per-row
+        ``minhash_signature`` (min over a set is order-free), ~10× less
+        Python overhead.
+        """
         ids = batch.column(self.id_col).to_pylist()
         texts = batch.column(self.text_col).to_pylist()
-        out_id, out_band, out_hash = [], [], []
+        doc_ids, sh_lists = [], []
         for i, t in zip(ids, texts):
             if t is None:
                 continue
-            sig = minhash_signature(t, self.a, self.b)
+            doc_ids.append(i)
+            sh_lists.append(sorted(set(_token_shingles(t, 5))))
+        if not doc_ids:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "band": pa.array([], pa.int32()),
+                             "band_hash": pa.array([], pa.string())})
+        lens = np.array([len(s) for s in sh_lists], dtype=np.int64)
+        flat = [s for lst in sh_lists for s in lst]
+        sigs = np.full((self.a.size, len(doc_ids)), _MERSENNE, dtype=np.uint64)
+        nonempty = lens > 0
+        if nonempty.any():
+            hv = _stable_u64(flat) % _MERSENNE
+            offs = np.zeros(len(doc_ids), dtype=np.int64)
+            np.cumsum(lens[:-1], out=offs[1:])
+            prod = (self.a[:, None] * hv[None, :] + self.b[:, None]) % _MERSENNE
+            mins = np.minimum.reduceat(prod, offs[nonempty], axis=1)
+            sigs[:, nonempty] = mins
+        out_id, out_band, out_hash = [], [], []
+        for j, i in enumerate(doc_ids):
+            sig = np.ascontiguousarray(sigs[:, j])
             for bd in range(self.bands):
                 chunk = sig[bd * self.rows_per_band:(bd + 1) * self.rows_per_band]
-                h = hashlib.md5(chunk.tobytes()).hexdigest()[:16]
                 out_id.append(i)
                 out_band.append(bd)
-                out_hash.append(h)
+                out_hash.append(hashlib.md5(chunk.tobytes()).hexdigest()[:16])
         return pa.table({
             "doc_id": pa.array(out_id, pa.int64()),
             "band": pa.array(out_band, pa.int32()),
