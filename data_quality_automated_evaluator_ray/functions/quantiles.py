@@ -1,0 +1,57 @@
+"""Mergeable equi-depth quantile sketch (median-at-scale, SURVEY §7.4).
+
+Per (key, batch) partial: the batch's values compressed to K equally-spaced
+quantile points + a count. Merge: the union of weighted points from all
+partials, sorted by value (ties by weight — fully deterministic regardless of
+partial arrival order), re-read at any quantile by cumulative weight. The
+shuffle payload per key is O(batches × K × 8B), independent of row count.
+
+Error: bounded by within-batch compression (exact if a batch holds ≤ K
+values) plus cross-batch interleaving; asserted ≤ 2% vs the exact median on
+the fixture corpus in tests/test_aggregate.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+K_POINTS = 64
+
+
+def sketch_values(values: np.ndarray, k: int = K_POINTS) -> tuple[np.ndarray, int]:
+    """→ (quantile points, count). Exact when len(values) <= k."""
+    v = np.sort(np.asarray(values, dtype=np.float64))
+    n = v.size
+    if n == 0:
+        return np.empty(0, dtype=np.float64), 0
+    if n <= k:
+        return v, n
+    qs = np.linspace(0.0, 1.0, k)
+    return np.quantile(v, qs, method="linear"), n
+
+
+def merge_quantile(partials: list[tuple[np.ndarray, int]], q: float) -> float:
+    """Quantile of the union of sketched partials (deterministic)."""
+    pts, wts = [], []
+    for points, n in partials:
+        if n == 0 or points.size == 0:
+            continue
+        pts.append(points)
+        wts.append(np.full(points.size, n / points.size, dtype=np.float64))
+    if not pts:
+        return float("nan")
+    p = np.concatenate(pts)
+    w = np.concatenate(wts)
+    order = np.lexsort((w, p))  # value, then weight: order-independent merge
+    p, w = p[order], w[order]
+    cum = np.cumsum(w)
+    centers = cum - w / 2.0  # centroid positions (t-digest-style)
+    target = q * cum[-1]
+    if target <= centers[0]:
+        return float(p[0])
+    if target >= centers[-1]:
+        return float(p[-1])
+    j = int(np.searchsorted(centers, target, side="left"))
+    span = centers[j] - centers[j - 1]
+    frac = (target - centers[j - 1]) / span if span > 0 else 0.0
+    return float(p[j - 1] + frac * (p[j] - p[j - 1]))

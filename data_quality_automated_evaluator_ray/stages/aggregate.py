@@ -160,8 +160,32 @@ def _hll_partials(batch: pa.Table) -> pa.Table:
                      "sketch": pa.array(out_sk, pa.binary())})
 
 
+def _median_partials(batch: pa.Table) -> pa.Table:
+    """Per (repo, lang, feature): an equi-depth quantile sketch of this
+    batch's values (functions/quantiles.py) — the scalable median partial."""
+    from ..functions.quantiles import sketch_values
+
+    df = batch.select(KEY + NUMERIC_FEATURES).to_pandas()
+    repo_l, lang_l, feat_l, pts_l, n_l = [], [], [], [], []
+    for (repo, lang), g in df.groupby(KEY, sort=False):
+        for c in NUMERIC_FEATURES:
+            v = g[c].dropna().to_numpy(dtype=np.float64)
+            points, n = sketch_values(v)
+            repo_l.append(repo)
+            lang_l.append(lang)
+            feat_l.append(c)
+            pts_l.append(points.tolist())
+            n_l.append(n)
+    return pa.table({"repo": pa.array(repo_l, pa.string()),
+                     "lang": pa.array(lang_l, pa.string()),
+                     "feature": pa.array(feat_l, pa.string()),
+                     "points": pa.array(pts_l, pa.list_(pa.float64())),
+                     "n": pa.array(n_l, pa.int64())})
+
+
 def partition_metrics_scalable(ds: "ray.data.Dataset",
-                               approx_distinct: bool = False) -> "ray.data.Dataset":
+                               approx_distinct: bool = False,
+                               approx_median: bool = False) -> "ray.data.Dataset":
     """Two-phase metrics: per-batch Arrow hash-agg partials + tiny final
     combine, and exact distinct-hash counting on within-batch-deduped narrow
     triples (ONE shuffle each). All algebraic statistics are exact; median is
@@ -210,6 +234,27 @@ def partition_metrics_scalable(ds: "ray.data.Dataset",
 
         uniq = triples.groupby(KEY).map_groups(_nunique, batch_format="pandas") \
                       .to_pandas()
+
+    if approx_median:
+        from ..functions.quantiles import merge_quantile
+
+        sk = narrow.map_batches(_median_partials, batch_format="pyarrow",
+                                batch_size=8192, zero_copy_batch=True)
+
+        def _median(g: pd.DataFrame) -> pd.DataFrame:
+            partials = [(np.asarray(p, dtype=np.float64), int(n))
+                        for p, n in zip(g["points"], g["n"])]
+            return pd.DataFrame([{
+                "repo": g["repo"].iloc[0], "lang": g["lang"].iloc[0],
+                "feature": g["feature"].iloc[0],
+                "median": merge_quantile(partials, 0.5),
+            }])
+
+        med = sk.groupby(KEY + ["feature"]).map_groups(
+            _median, batch_format="pandas").to_pandas()
+        med_wide = med.pivot(index=KEY, columns="feature", values="median")
+        med_wide.columns = [f"{c}_median" for c in med_wide.columns]
+        stats = stats.merge(med_wide.reset_index(), on=KEY, how="left")
 
     merged = stats.merge(uniq, on=KEY, how="left")
     merged["dup_rate"] = np.clip(np.where(

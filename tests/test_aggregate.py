@@ -143,3 +143,38 @@ def test_approx_distinct_metrics_close_to_exact(ray_session, small_corpus):
     diff = (exact["dup_rate"] - approx["dup_rate"]).abs()
     assert diff.max() < 0.1
     assert diff.mean() < 0.01
+
+
+def test_approx_median_close_to_exact(ray_session, small_corpus):
+    from data_quality_automated_evaluator_ray.stages.aggregate import (
+        NUMERIC_FEATURES, partition_metrics, partition_metrics_scalable)
+
+    ds = _evaluated_ds(small_corpus)
+    exact = partition_metrics(ds).to_pandas() \
+        .sort_values(["repo", "lang"]).reset_index(drop=True)
+    approx = partition_metrics_scalable(ds, approx_median=True).to_pandas() \
+        .sort_values(["repo", "lang"]).reset_index(drop=True)
+    assert exact["repo"].tolist() == approx["repo"].tolist()
+    for c in NUMERIC_FEATURES:
+        e = exact[f"{c}_median"].to_numpy(dtype=np.float64)
+        a = approx[f"{c}_median"].to_numpy(dtype=np.float64)
+        ok = np.isnan(e) == np.isnan(a)
+        assert ok.all(), c
+        valid = ~np.isnan(e)
+        scale = np.maximum(np.abs(e[valid]), 1e-9)
+        rel = np.abs(a[valid] - e[valid]) / scale
+        assert np.nanmax(rel) < 0.05, (c, float(np.nanmax(rel)))
+
+
+def test_quantile_sketch_determinism_and_exactness():
+    from data_quality_automated_evaluator_ray.functions.quantiles import (
+        merge_quantile, sketch_values)
+
+    rng = np.random.RandomState(3)
+    vals = rng.lognormal(2, 1, 5000)
+    # small batches sketched exactly (<= K points)
+    parts = [sketch_values(vals[i:i + 50]) for i in range(0, 5000, 50)]
+    est = merge_quantile(parts, 0.5)
+    assert abs(est - np.median(vals)) / np.median(vals) < 0.02
+    # merge order independence
+    assert merge_quantile(list(reversed(parts)), 0.5) == est
