@@ -90,6 +90,12 @@ def apply_quality_filter(
 
 
 def read_corpus(path: str | list[str], **kwargs) -> "ray.data.Dataset":
-    """Column-pruned Parquet read of an input_hint-shaped corpus."""
+    """Column-pruned Parquet read of an input_hint-shaped corpus.
+
+    Accepts a directory, a file, a list of either, or a glob pattern."""
+    if isinstance(path, str) and any(ch in path for ch in "*?["):
+        import glob as _glob
+
+        path = sorted(_glob.glob(path))
     return ray.data.read_parquet(
         path, columns=["repo", "path", "commit", "lang", "content"], **kwargs)

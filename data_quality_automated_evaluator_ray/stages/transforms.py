@@ -43,3 +43,26 @@ def apply_row_filter(ds: "ray.data.Dataset", expr: str) -> "ray.data.Dataset":
         return df.query(expr)
 
     return ds.map_batches(_fn, batch_format="pandas")
+
+
+def deterministic_sample(ds: "ray.data.Dataset", *, on: str,
+                         fraction: float) -> "ray.data.Dataset":
+    """Reproducible content-keyed Bernoulli sample: keep rows where
+    ``md5(on) mod 10000 < fraction*10000``. No RNG — the same row is always
+    in or out regardless of partitioning, run, or engine (DuckDB can compute
+    the identical predicate, so it is oracle-checkable), which is the
+    property a training-data sampling step needs for reproducibility."""
+    import hashlib
+
+    import pyarrow as pa
+
+    threshold = int(fraction * 10000)
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        vals = batch.column(on).to_pylist()
+        mask = pa.array(
+            [int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) % 10000
+             < threshold for v in vals], pa.bool_())
+        return batch.filter(mask)
+
+    return ds.map_batches(_fn, batch_format="pyarrow")
