@@ -97,5 +97,5 @@ def read_corpus(path: str | list[str], **kwargs) -> "ray.data.Dataset":
         import glob as _glob
 
         path = sorted(_glob.glob(path))
-    return ray.data.read_parquet(
-        path, columns=["repo", "path", "commit", "lang", "content"], **kwargs)
+    kwargs.setdefault("columns", ["repo", "path", "commit", "lang", "content"])
+    return ray.data.read_parquet(path, **kwargs)
