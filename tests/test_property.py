@@ -37,7 +37,7 @@ def _table(contents):
     })
 
 
-@settings(max_examples=300, deadline=None)
+@settings(max_examples=300, deadline=None, derandomize=True)
 @given(st.lists(_mixed, min_size=1, max_size=4))
 def test_scrub_engines_agree(contents):
     got = scrub_arrow(_table(contents).column("content")).to_pylist()
@@ -45,7 +45,7 @@ def test_scrub_engines_agree(contents):
     assert got == want
 
 
-@settings(max_examples=300, deadline=None)
+@settings(max_examples=300, deadline=None, derandomize=True)
 @given(st.lists(_text, min_size=1, max_size=4))
 def test_features_match_oracle(contents):
     t = compute_features(_table(contents))
