@@ -44,13 +44,10 @@ def entry() -> Any:
 
 
 def _code_corpus_dir(sf_dir: str) -> str:
-    from data_quality_automated_evaluator_ray.sources.codegen import write_corpus
+    from data_quality_automated_evaluator_ray.pipelines.queries import (
+        code_corpus_dir)
 
-    tag = sf_dir.rstrip("/").split("/")[-1]
-    n_rows = {"sf0.001": 1000, "sf0.01": 4000, "sf0.1": 20000}.get(tag, 2000)
-    out = f"/tmp/dqare_corpus_{tag}"
-    write_corpus(out, n_rows=n_rows, seed=42, n_files=8)
-    return out
+    return code_corpus_dir(sf_dir)
 
 
 def _qf_code_corpus(sf_dir: str):
@@ -94,25 +91,6 @@ def _minhash_lsh_documents(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
     return minhash_lsh_candidates(ds)
-
-
-def _simhash_documents(sf_dir: str):
-    import pyarrow as pa
-
-    import ray.data
-
-    from data_quality_automated_evaluator_ray.stages.dedup import add_simhash
-
-    def _hex(b: pa.Table) -> pa.Table:
-        b2 = add_simhash(b, "text")
-        hexes = [None if s is None else f"{s:016x}"
-                 for s in b2.column("simhash").to_pylist()]
-        return pa.table({"doc_id": b.column("doc_id"),
-                         "simhash_hex": pa.array(hexes, pa.string())})
-
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
-    return ds.map_batches(_hex, batch_format="pyarrow")
 
 
 def _lsh_topk_embeddings(sf_dir: str):
@@ -181,7 +159,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "partition_metrics_code_corpus": _partition_metrics_code_corpus,
         "langid_documents": _langid_documents,
         "minhash_lsh_documents": _minhash_lsh_documents,
-        "simhash_documents": _simhash_documents,
         "lsh_topk_embeddings": _lsh_topk_embeddings,
         "ivf_topk_embeddings": _ivf_topk_embeddings,
         "duplicate_groups_documents": _duplicate_groups_documents,
@@ -191,6 +168,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from data_quality_automated_evaluator_ray.pipelines.queries import SQL_QUERIES
+    from data_quality_automated_evaluator_ray.pipelines.queries import (
+        SQL_QUERIES, code_corpus_dir)
 
+    # the code-corpus oracle reads deterministic /tmp parquet fragments:
+    # make sure they exist even if the SQL runs before the Ray query does
+    code_corpus_dir("sf0.01")
     return {name: sql for name, (_fn, sql) in SQL_QUERIES.items()}

@@ -86,7 +86,6 @@ def run_config(cfg: dict[str, Any]) -> dict[str, Any]:
                 "charts": len(charts)}
 
     # quality_filter
-    from .pipelines.quality_filter import apply_quality_filter
     from .pipelines.runner import run_resumable
     from .state import lineage
     from .stages.aggregate import partition_metrics
@@ -106,9 +105,14 @@ def run_config(cfg: dict[str, Any]) -> dict[str, Any]:
         with_models=cfg.get("with_models", True),
     )
     if out_cfg.get("report", True):
-        ds = read_source(cfg["source"])
-        evaluated = apply_quality_filter(ds, with_models=cfg.get("with_models", True))
-        metrics = partition_metrics(evaluated).to_pandas()
+        # ONE pipeline execution per run: the report aggregates the narrow
+        # per-row metric columns the runner committed per partition
+        # (out_dir/metrics/part-*) — model inference is never re-run, and
+        # the report reflects exactly the committed data even after a resume.
+        import ray.data
+
+        metric_ds = ray.data.read_parquet(summary["metrics_dir"])
+        metrics = partition_metrics(metric_ds).to_pandas()
         manifests = lineage.load_manifests(os.path.join(out_dir, "lineage"))
         md = make_report(metrics, manifests=manifests, criterion=criterion)
         summary["report"] = write_report(md, out_dir)

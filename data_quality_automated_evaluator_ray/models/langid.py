@@ -44,20 +44,39 @@ class _LangProfile:
 
 
 class LangIdModel:
-    """Deterministic trigram profile classifier over ``rules.LANGUAGES``."""
+    """Deterministic trigram profile classifier.
+
+    ``profile="code"`` (default) trains over ``rules.LANGUAGES`` on the
+    corpus generator's per-language snippet grammars; ``profile="natural"``
+    trains over ``natural_text.NATURAL_LANGUAGES`` (en/de/fr/es/it) on the
+    embedded frequency-list generators — the documents-domain model."""
 
     _singleton: "LangIdModel | None" = None
+    _natural_singleton: "LangIdModel | None" = None
 
-    def __init__(self) -> None:
-        from ..sources.codegen import clean_content
+    def __init__(self, profile: str = "code") -> None:
+        if profile == "code":
+            from ..sources.codegen import clean_content
 
-        self.langs = list(LANGUAGES)
+            self.langs = list(LANGUAGES)
+            sample_fn = clean_content
+            seed_tag = "langid-train"          # unchanged: keeps the code
+            # profile byte-identical to round 1 (golden parity tests)
+        elif profile == "natural":
+            from .natural_text import NATURAL_LANGUAGES, sample_text
+
+            self.langs = list(NATURAL_LANGUAGES)
+            sample_fn = sample_text
+            seed_tag = "langid-train-natural"
+        else:
+            raise ValueError(f"unknown langid profile {profile!r}")
+        self.profile = profile
         self.profiles: dict[str, _LangProfile] = {}
         for lang in self.langs:
             counts: dict[int, int] = {}
             for k in range(_TRAIN_SAMPLES):
-                rng = random.Random(f"langid-train:{lang}:{k}")
-                for c in _trigram_codes(clean_content(lang, rng)):
+                rng = random.Random(f"{seed_tag}:{lang}:{k}")
+                for c in _trigram_codes(sample_fn(lang, rng)):
                     c = int(c)
                     counts[c] = counts.get(c, 0) + 1
             items = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:_TOP_K]
@@ -93,6 +112,12 @@ class LangIdModel:
         if cls._singleton is None:
             cls._singleton = cls()
         return cls._singleton
+
+    @classmethod
+    def get_natural(cls) -> "LangIdModel":
+        if cls._natural_singleton is None:
+            cls._natural_singleton = cls(profile="natural")
+        return cls._natural_singleton
 
     def score_batch(self, texts: list[str | None]) -> tuple[list[str], list[float]]:
         """Vectorized batch scoring: ONE searchsorted per language per batch

@@ -1,0 +1,102 @@
+"""Deterministic natural-language sample-text generators for langid training.
+
+No external data: each language is represented by an embedded list of its
+most common words (public knowledge — standard frequency-list vocabulary),
+and ``sample_text`` draws Zipf-weighted word sequences from it with a caller
+seeded ``random.Random``. The char-trigram distributions that result are
+strongly language-separated (articles, function words, diacritics), which is
+exactly the signal a fastText-lid-style character-n-gram classifier uses.
+
+Used by models.langid.LangIdModel(profile="natural") for the documents-domain
+language-ID stage; accuracy is asserted on held-out samples in
+tests/test_langid_natural.py.
+"""
+
+from __future__ import annotations
+
+import random
+
+NATURAL_LANGUAGES = ["en", "de", "fr", "es", "it"]
+
+_WORDS: dict[str, list[str]] = {
+    "en": [
+        "the", "be", "to", "of", "and", "a", "in", "that", "have", "it",
+        "for", "not", "on", "with", "he", "as", "you", "do", "at", "this",
+        "but", "his", "by", "from", "they", "we", "say", "her", "she", "or",
+        "an", "will", "my", "one", "all", "would", "there", "their", "what",
+        "so", "up", "out", "if", "about", "who", "get", "which", "go", "me",
+        "when", "make", "can", "like", "time", "just", "him", "know", "take",
+        "people", "into", "year", "your", "good", "some", "could", "them",
+        "see", "other", "than", "then", "now", "look", "only", "come", "its",
+        "over", "think", "also", "back", "after", "use", "two", "how", "our",
+        "work", "first", "well", "way", "even", "new", "want", "because",
+    ],
+    "de": [
+        "der", "die", "und", "in", "den", "von", "zu", "das", "mit", "sich",
+        "des", "auf", "für", "ist", "im", "dem", "nicht", "ein", "eine",
+        "als", "auch", "es", "an", "werden", "aus", "er", "hat", "dass",
+        "sie", "nach", "wird", "bei", "einer", "um", "am", "sind", "noch",
+        "wie", "einem", "über", "einen", "so", "zum", "war", "haben", "nur",
+        "oder", "aber", "vor", "zur", "bis", "mehr", "durch", "man", "sein",
+        "wurde", "sei", "schon", "wenn", "hatte", "seine", "kann", "gegen",
+        "vom", "können", "diese", "unter", "wir", "soll", "ich", "jahr",
+        "zwei", "diesen", "wieder", "keine", "ihre", "dann", "unsere",
+    ],
+    "fr": [
+        "le", "de", "un", "être", "et", "à", "il", "avoir", "ne", "je",
+        "son", "que", "se", "qui", "ce", "dans", "en", "du", "elle", "au",
+        "pour", "pas", "sur", "faire", "plus", "dire", "me", "on", "mon",
+        "lui", "nous", "comme", "mais", "pouvoir", "avec", "tout", "y",
+        "aller", "voir", "bien", "où", "sans", "tu", "ou", "leur", "homme",
+        "si", "deux", "moi", "vouloir", "te", "femme", "venir", "quand",
+        "grand", "celui", "même", "prendre", "aussi", "chose", "peu",
+        "donner", "très", "savoir", "autre", "après", "petit", "vous",
+        "falloir", "jour", "là", "temps", "rien", "beaucoup", "année",
+    ],
+    "es": [
+        "el", "la", "de", "que", "y", "a", "en", "un", "ser", "se", "no",
+        "haber", "por", "con", "su", "para", "como", "estar", "tener", "le",
+        "lo", "todo", "pero", "más", "hacer", "o", "poder", "decir", "este",
+        "ir", "otro", "ese", "si", "me", "ya", "ver", "porque", "dar",
+        "cuando", "él", "muy", "sin", "vez", "mucho", "saber", "qué",
+        "sobre", "mi", "alguno", "mismo", "yo", "también", "hasta", "año",
+        "dos", "querer", "entre", "así", "primero", "desde", "grande",
+        "ella", "nosotros", "tiempo", "casa", "día", "uno", "bien",
+        "entonces", "poco", "después", "vida", "quien", "nuevo", "ahora",
+    ],
+    "it": [
+        "il", "di", "che", "e", "la", "a", "un", "in", "essere", "per",
+        "non", "con", "si", "da", "come", "lui", "anche", "quello", "fare",
+        "su", "ma", "del", "più", "le", "mi", "questo", "avere", "tutto",
+        "della", "se", "io", "lo", "molto", "bene", "ci", "al", "tempo",
+        "uno", "potere", "volere", "nel", "alla", "casa", "anno", "giorno",
+        "così", "quando", "essa", "dovere", "grande", "nuovo", "primo",
+        "stesso", "altro", "due", "dire", "qui", "cosa", "vita", "ancora",
+        "dopo", "senza", "perché", "vedere", "dove", "sempre", "loro",
+        "prima", "stato", "sapere", "donna", "andare", "mondo", "parte",
+    ],
+}
+
+
+def sample_text(lang: str, rng: random.Random, n_words: int | None = None) -> str:
+    """One deterministic pseudo-sentence paragraph in ``lang``: Zipf-weighted
+    draws from the embedded frequency list, sentence-cased with periods."""
+    words = _WORDS[lang]
+    weights = [1.0 / (r + 1) for r in range(len(words))]
+    n = n_words if n_words is not None else rng.randint(40, 90)
+    drawn = rng.choices(words, weights=weights, k=n)
+    out: list[str] = []
+    sentence_len = rng.randint(6, 14)
+    count = 0
+    for w in drawn:
+        if count == 0:
+            w = w[0].upper() + w[1:]
+        out.append(w)
+        count += 1
+        if count >= sentence_len:
+            out[-1] = out[-1] + "."
+            count = 0
+            sentence_len = rng.randint(6, 14)
+    if not out[-1].endswith("."):
+        out[-1] += "."
+    return " ".join(out)

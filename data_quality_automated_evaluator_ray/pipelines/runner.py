@@ -49,18 +49,28 @@ def run_resumable(
     Returns a summary dict {partitions_run, partitions_skipped, rows_kept}.
     """
     from ..rules import rules_fingerprint
+    from .quality_filter import METRIC_COLUMNS
 
     parts = plan_partitions(fragments, partition_size)
-    # checkpoint token covers fragments + user config + the rule constants:
-    # a threshold/pattern change must invalidate old manifests
+    # checkpoint token covers fragments + partition size + user config + the
+    # rule constants: a threshold/pattern/partitioning change must invalidate
+    # old manifests (is_committed additionally compares the fragment group)
     token = lineage.checkpoint_token(
-        fragments, config_fingerprint + ":" + rules_fingerprint())
+        fragments,
+        f"{config_fingerprint}:partition_size={partition_size}:"
+        + rules_fingerprint())
     lineage_dir = os.path.join(out_dir, "lineage")
+    metrics_root = os.path.join(out_dir, "metrics")
+    os.makedirs(metrics_root, exist_ok=True)
     run, skipped, kept_total = 0, 0, 0
+    metric_cols = (METRIC_COLUMNS if with_models else
+                   [c for c in METRIC_COLUMNS
+                    if c not in ("perplexity", "lang_conf")])
 
     for idx, frag_group in enumerate(parts):
         final_dir = os.path.join(out_dir, f"part-{idx:05d}")
-        if lineage.is_committed(lineage_dir, idx, token):
+        metrics_dir = os.path.join(metrics_root, f"part-{idx:05d}")
+        if lineage.is_committed(lineage_dir, idx, token, fragments=frag_group):
             skipped += 1
             continue
         if fail_after is not None and run >= fail_after:
@@ -72,14 +82,17 @@ def run_resumable(
                                   scorer_concurrency=scorer_concurrency)
 
         tmp_dir = os.path.join(out_dir, f".tmp-part-{idx:05d}")
-        if os.path.exists(tmp_dir):
-            import shutil
-            shutil.rmtree(tmp_dir)
+        tmp_metrics = os.path.join(out_dir, f".tmp-metrics-{idx:05d}")
+        import shutil
+        for d in (tmp_dir, tmp_metrics):
+            if os.path.exists(d):
+                shutil.rmtree(d)
 
         # Materialize the evaluated partition ONCE (bounded by partition_size;
-        # spills to the object store at scale), then both the tiny tally
-        # aggregate and the kept-row write consume it without re-running the
-        # model stages.
+        # spills to the object store at scale); the tally aggregate, the
+        # kept-row write AND the narrow metric-row write all consume it —
+        # model inference runs exactly once per row per run (the report later
+        # reads metrics/ instead of re-running the pipeline).
         evaluated = ds.materialize()
         reason_counts = evaluated.groupby("drop_reason").count().to_pandas()
         count_col = [c for c in reason_counts.columns if c != "drop_reason"][0]
@@ -91,9 +104,13 @@ def run_resumable(
         out_cols = OUTPUT_COLUMNS + (MODEL_COLUMNS if with_models else [])
         kept = evaluated.filter(expr="keep == True").select_columns(out_cols)
         kept.write_parquet(tmp_dir)
+        # narrow per-row metric columns (~100 B/row, no content): the
+        # report's aggregate input, committed atomically with the partition
+        evaluated.select_columns(metric_cols).write_parquet(tmp_metrics)
         rows_kept = rows_in - sum(drop_tallies.values())
 
         lineage.atomic_publish(tmp_dir, final_dir)
+        lineage.atomic_publish(tmp_metrics, metrics_dir)
         lineage.commit(lineage_dir, idx, fragments=frag_group, token=token,
                        rows_in=rows_in, rows_kept=rows_kept,
                        drop_tallies=drop_tallies)
@@ -102,4 +119,4 @@ def run_resumable(
 
     return {"partitions_run": run, "partitions_skipped": skipped,
             "rows_kept": kept_total, "checkpoint_token": token,
-            "n_partitions": len(parts)}
+            "n_partitions": len(parts), "metrics_dir": metrics_root}

@@ -4,8 +4,12 @@ All hashing is content-derived (md5/sha256/blake2) — never Python ``hash()``
 — so results are deterministic across processes, runs, and cluster layouts.
 
 Scale notes (100 TB):
-* exact_dedup — hash-partitioned groupby on a 64-hex sha256; shuffle moves
-  (hash, id) only, never content.
+* exact_dedup — built-in Min aggregate over the 64-hex sha256 (the shuffle
+  moves (hash, id) only, never content) + a hash join of keeper ids back to
+  rows on the row-unique id.
+* MinHash universal hashes are exact (a·h+b) mod (2^61−1) — the modular
+  multiply is overflow-free (see _mulmod_p61), so the collision-probability ≈
+  Jaccard guarantee of the (a,b) family formally holds.
 * minhash_lsh — shingle→minhash per batch (stateless, vectorized numpy),
   explode to (band, band_hash, id): the groupby shuffles b rows per doc of a
   few bytes each; candidate pairs are emitted per bucket group.
@@ -38,6 +42,34 @@ def _stable_u64(texts: list[str]) -> np.ndarray:
          for t in texts], dtype=np.uint64)
 
 
+def _mulmod_p61(a: np.ndarray, h: np.ndarray) -> np.ndarray:
+    """Exact (a*h) mod p for p = 2^61-1 on uint64 arrays with a, h < p —
+    no 2^64 wraparound, so the (a*h+b) mod p family keeps its universal-hash
+    collision guarantee. 32-bit split: a*h = a1·h1·2^64 + (a1·h0+a0·h1)·2^32
+    + a0·h0, reduced with 2^61 ≡ 1 (so 2^64 ≡ 8) — every partial product and
+    sum stays < 2^64. Broadcasting-safe (used as (P,1) × (1,S))."""
+    p = np.uint64(_MERSENNE)
+    mask32 = np.uint64(0xFFFFFFFF)
+    a1, a0 = a >> np.uint64(32), a & mask32
+    h1, h0 = h >> np.uint64(32), h & mask32
+    # high: a1·h1 < 2^58 → ·8 < 2^61
+    hi = (a1 * h1) * np.uint64(8)
+    # mid: a1·h0 + a0·h1 < 2^62; mid·2^32 = (mid>>29)·2^61 + (mid&(2^29-1))·2^32
+    mid = a1 * h0 + a0 * h1
+    mid_r = (mid >> np.uint64(29)) + ((mid & np.uint64((1 << 29) - 1))
+                                      << np.uint64(32))
+    # low: a0·h0 < 2^64 → one Mersenne fold brings it under 2^62
+    lo = a0 * h0
+    lo_r = (lo & p) + (lo >> np.uint64(61))
+    return (hi + mid_r + lo_r) % p
+
+
+def _minhash_values(a: np.ndarray, b: np.ndarray,
+                    hv: np.ndarray) -> np.ndarray:
+    """(num_perm, n_shingles) matrix of (a·h + b) mod p universal hashes."""
+    return (_mulmod_p61(a[:, None], hv[None, :]) + b[:, None]) % np.uint64(_MERSENNE)
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -50,19 +82,33 @@ def add_content_hash(batch: pa.Table, text_col: str = "text",
 
 
 def exact_dedup(ds: "ray.data.Dataset", text_col: str = "text",
-                id_col: str = "doc_id") -> "ray.data.Dataset":
+                id_col: str = "doc_id", *,
+                num_partitions: int = 16) -> "ray.data.Dataset":
     """Keep exactly one row per distinct content: the minimum ``id_col``.
 
-    hash-partition + per-group first (deterministic by min id).
+    Two built-in operations, no per-group Python:
+
+    1. ``groupby(content_hash).aggregate(Min(id))`` — the shuffle moves only
+       (64-hex hash, id) and the C++ aggregate collapses each group to one
+       keeper id (at 10^12 files: one row per DISTINCT content, never one
+       pandas DataFrame per group).
+    2. a hash join of the keeper-id table back to the full rows on the
+       row-unique ``id_col`` (``Dataset.join``; both sides partition by id).
     """
-    ds = ds.map_batches(lambda b: add_content_hash(b, text_col),
-                        batch_format="pyarrow", zero_copy_batch=True)
+    from ray.data.aggregate import Min
 
-    def _first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col).head(1)
-
-    out = ds.groupby("content_hash").map_groups(_first, batch_format="pandas")
-    return out.drop_columns(["content_hash"])
+    hashed = ds.map_batches(lambda b: add_content_hash(b, text_col),
+                            batch_format="pyarrow", zero_copy_batch=True) \
+               .materialize()
+    keepers = hashed.select_columns(["content_hash", id_col]) \
+        .groupby("content_hash") \
+        .aggregate(Min(id_col, alias_name="__keeper_id")) \
+        .select_columns(["__keeper_id"])
+    cols = [c for c in hashed.schema().names if c != "content_hash"]
+    out = hashed.drop_columns(["content_hash"]).join(
+        keepers, join_type="inner", num_partitions=num_partitions,
+        on=(id_col,), right_on=("__keeper_id",))
+    return out.select_columns(cols)
 
 
 # ---------------------------------------------------------------------------
@@ -98,9 +144,9 @@ def minhash_signature(text: str, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     if not sh:
         return np.full(a.shape, _MERSENNE, dtype=np.uint64)
     hv = _stable_u64(sorted(sh)) % _MERSENNE
-    # (a*h + b) mod p for all perms × shingles, min over shingles
-    prod = (a[:, None] * hv[None, :] + b[:, None]) % _MERSENNE
-    return prod.min(axis=1)
+    # (a*h + b) mod p for all perms × shingles (exact mod-p multiply —
+    # no 2^64 wraparound), min over shingles
+    return _minhash_values(a, b, hv).min(axis=1)
 
 
 class MinHasher:
@@ -143,7 +189,7 @@ class MinHasher:
             hv = _stable_u64(flat) % _MERSENNE
             offs = np.zeros(len(doc_ids), dtype=np.int64)
             np.cumsum(lens[:-1], out=offs[1:])
-            prod = (self.a[:, None] * hv[None, :] + self.b[:, None]) % _MERSENNE
+            prod = _minhash_values(self.a, self.b, hv)
             mins = np.minimum.reduceat(prod, offs[nonempty], axis=1)
             sigs[:, nonempty] = mins
         out_id, out_band, out_hash = [], [], []
@@ -310,7 +356,12 @@ def connected_components(pairs: "ray.data.Dataset", *,
         prop = lab_side.union(edge_side).groupby("node") \
             .map_groups(_propagate, batch_format="pandas")
         labels = prop.groupby("doc_id").min("label").materialize()
-        s = int(labels.to_pandas().iloc[:, 1].sum())
+        # distributed convergence check: labels only ever DECREASE under
+        # min-propagation, so the label sum is strictly monotone — equal sums
+        # ⇔ no label changed. One scalar reaches the driver; the label table
+        # itself never does.
+        label_col = [c for c in labels.columns() if c != "doc_id"][0]
+        s = int(labels.sum(label_col))
         if s == prev_sum:
             break
         prev_sum = s
@@ -356,7 +407,10 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", *, text_col: str = "text",
         return pa.table({"doc_id": pa.array(oid, pa.int64()),
                          "shingle": pa.array(osh, pa.string())})
 
-    exploded = ds.map_batches(_shingles, batch_format="pyarrow")
+    # materialize the (narrow) exploded shingles ONCE: both the size
+    # aggregation and the pair emission consume it — without this the
+    # shingle explode (and its upstream) executes twice
+    exploded = ds.map_batches(_shingles, batch_format="pyarrow").materialize()
 
     # small side: per-doc distinct-shingle counts, broadcast to pair scoring
     sizes_df = exploded.groupby("doc_id").count().to_pandas()

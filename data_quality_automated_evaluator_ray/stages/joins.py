@@ -24,6 +24,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -47,13 +48,17 @@ def broadcast_join(ds: "ray.data.Dataset", small: pd.DataFrame, *,
 
 def broadcast_semi_join(ds: "ray.data.Dataset", keys, *,
                         on: str) -> "ray.data.Dataset":
-    """Keep rows whose ``on`` value is in ``keys`` (exact broadcast set)."""
-    ref = ray.put(frozenset(keys))
+    """Keep rows whose ``on`` value is in ``keys`` (exact broadcast set).
+
+    Membership is the vectorized ``pc.is_in`` kernel against a broadcast
+    Arrow value set — no per-row Python. Null keys are dropped (a null never
+    matches a key)."""
+    ref = ray.put(pa.array(sorted(set(keys))))
 
     def _filter(batch: pa.Table) -> pa.Table:
-        keyset = ray.get(ref)
-        vals = batch.column(on).to_pylist()
-        mask = pa.array([v in keyset for v in vals], pa.bool_())
+        value_set = ray.get(ref)
+        mask = pc.fill_null(pc.is_in(batch.column(on), value_set=value_set),
+                            False)
         return batch.filter(mask)
 
     return ds.map_batches(_filter, batch_format="pyarrow")
@@ -61,13 +66,14 @@ def broadcast_semi_join(ds: "ray.data.Dataset", keys, *,
 
 def broadcast_anti_join(ds: "ray.data.Dataset", keys, *,
                         on: str) -> "ray.data.Dataset":
-    """Keep rows whose ``on`` value is NOT in ``keys``."""
-    ref = ray.put(frozenset(keys))
+    """Keep rows whose ``on`` value is NOT in ``keys`` (vectorized
+    ``pc.is_in`` + invert; null keys are kept — a null matches no key)."""
+    ref = ray.put(pa.array(sorted(set(keys))))
 
     def _filter(batch: pa.Table) -> pa.Table:
-        keyset = ray.get(ref)
-        vals = batch.column(on).to_pylist()
-        mask = pa.array([v not in keyset for v in vals], pa.bool_())
+        value_set = ray.get(ref)
+        mask = pc.fill_null(
+            pc.invert(pc.is_in(batch.column(on), value_set=value_set)), True)
         return batch.filter(mask)
 
     return ds.map_batches(_filter, batch_format="pyarrow")
@@ -97,6 +103,24 @@ class BloomFilter:
         return all(self.bits[p >> 3] & (1 << (p & 7))
                    for p in self._positions(value))
 
+    def contains_many(self, values: list) -> np.ndarray:
+        """Vectorized membership for a batch: the md5 digests are the only
+        per-row Python (hashlib has no batch API); all double-hash position
+        math and bit tests run as (n, k) numpy ops. Bit-identical to
+        ``__contains__`` per value."""
+        if not values:
+            return np.zeros(0, dtype=bool)
+        buf = b"".join(hashlib.md5(str(v).encode()).digest() for v in values)
+        d = np.frombuffer(buf, dtype=">u8").reshape(-1, 2)
+        h1 = d[:, 0] % np.uint64(self.m)
+        h2 = (d[:, 1] | np.uint64(1)) % np.uint64(self.m)
+        h2[h2 == 0] = 1
+        i = np.arange(self.k, dtype=np.uint64)[None, :]
+        pos = (h1[:, None] + i * h2[:, None]) % np.uint64(self.m)  # (n, k)
+        hit = (self.bits[(pos >> 3).astype(np.int64)]
+               >> (pos & np.uint64(7)).astype(np.uint8)) & 1
+        return hit.all(axis=1)
+
 
 def broadcast_semi_join_bloom(ds: "ray.data.Dataset", keys, *, on: str,
                               fp_rate: float = 0.01) -> "ray.data.Dataset":
@@ -111,8 +135,7 @@ def broadcast_semi_join_bloom(ds: "ray.data.Dataset", keys, *, on: str,
 
     def _filter(batch: pa.Table) -> pa.Table:
         f = ray.get(ref)
-        vals = batch.column(on).to_pylist()
-        mask = pa.array([v in f for v in vals], pa.bool_())
+        mask = pa.array(f.contains_many(batch.column(on).to_pylist()))
         return batch.filter(mask)
 
     return ds.map_batches(_filter, batch_format="pyarrow")

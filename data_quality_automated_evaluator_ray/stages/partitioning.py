@@ -22,8 +22,10 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -33,14 +35,36 @@ def _stable_mod(values: list[str], mod: int) -> list[int]:
                            .digest(), "big") % mod for v in values]
 
 
+def _stable_mod_column(col: "pa.ChunkedArray | pa.Array",
+                       mod: int) -> np.ndarray:
+    """Vectorized stable hash of an Arrow column: dictionary-encode so blake2
+    runs only on the DISTINCT values (for a partition key like ``repo`` that
+    is orders of magnitude fewer than rows), then gather hashes back through
+    the int32 index vector. Identical values to per-row ``_stable_mod``."""
+    enc = pc.dictionary_encode(
+        col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
+    distinct_hashes = np.asarray(_stable_mod(enc.dictionary.to_pylist(), mod),
+                                 dtype=np.int64)
+    if distinct_hashes.size == 0:
+        return np.zeros(len(enc), dtype=np.int64)
+    idx = enc.indices.to_numpy(zero_copy_only=False)
+    if enc.indices.null_count:
+        # null keys hash like the string "None" (parity with _stable_mod)
+        null_hash = _stable_mod([None], mod)[0]
+        out = np.full(len(enc), null_hash, dtype=np.int64)
+        valid = ~np.isnan(idx)
+        out[valid] = distinct_hashes[idx[valid].astype(np.int64)]
+        return out
+    return distinct_hashes[idx.astype(np.int64)]
+
+
 def add_partition_key(ds: "ray.data.Dataset", n_partitions: int,
                       key_col: str = "repo",
                       out_col: str = "part_key") -> "ray.data.Dataset":
     def _fn(batch: pa.Table) -> pa.Table:
-        keys = batch.column(key_col).to_pylist()
+        hashes = _stable_mod_column(batch.column(key_col), n_partitions)
         return batch.append_column(out_col,
-                                   pa.array(_stable_mod(keys, n_partitions),
-                                            pa.int32()))
+                                   pa.array(hashes.astype(np.int32), pa.int32()))
 
     return ds.map_batches(_fn, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -62,14 +86,20 @@ def add_salt(ds: "ray.data.Dataset", hot_keys: dict[str, int],
 
     ``salt_source_col`` must be row-unique-ish so the hot key's rows spread
     evenly; deterministic across runs (content-derived, no RNG)."""
-    hot = set(hot_keys)
+    hot = pa.array(sorted(hot_keys)) if hot_keys else None
 
     def _fn(batch: pa.Table) -> pa.Table:
-        keys = batch.column(key_col).to_pylist()
-        src = batch.column(salt_source_col).to_pylist()
-        salts = [m if k in hot else 0
-                 for k, m in zip(keys, _stable_mod(src, n_salts))]
-        return batch.append_column(out_col, pa.array(salts, pa.int32()))
+        # vectorized: is_in membership on the key column, blake2-on-distinct
+        # salt hashing on the salt source, one numpy where
+        if hot is None:
+            out = np.zeros(batch.num_rows, dtype=np.int32)
+        else:
+            is_hot = pc.fill_null(
+                pc.is_in(batch.column(key_col), value_set=hot),
+                False).to_numpy(zero_copy_only=False)
+            salts = _stable_mod_column(batch.column(salt_source_col), n_salts)
+            out = np.where(is_hot, salts, 0).astype(np.int32)
+        return batch.append_column(out_col, pa.array(out, pa.int32()))
 
     return ds.map_batches(_fn, batch_format="pyarrow", zero_copy_batch=True)
 

@@ -100,22 +100,21 @@ def fingerprint(batch: pa.Table, text_col: str = "text",
 
 
 class DocumentLangId:
-    """Actor stage: language-ID over a documents table (heuristic profile
-    classifier; the engine's from-scratch model, trained on code/markdown/text
-    grammars — over natural-language corpora it behaves as a best-effort
-    heuristic and is validated as deterministic rather than accurate)."""
+    """Actor stage: language-ID over a documents table — the from-scratch
+    NATURAL-language char-trigram model (en/de/fr/es/it profiles trained on
+    the embedded frequency-list generators, models/natural_text.py; accuracy
+    asserted on held-out labeled samples in tests/test_langid_natural.py).
+    Pass ``profile="code"`` for source-code corpora."""
 
-    def __init__(self) -> None:
+    def __init__(self, profile: str = "natural") -> None:
         from ..models import LangIdModel
-        self.model = LangIdModel.get()
+        self.model = (LangIdModel.get_natural() if profile == "natural"
+                      else LangIdModel.get())
 
     def __call__(self, batch: pa.Table, text_col: str = "text") -> pa.Table:
-        texts = batch.column(text_col).to_pylist()
-        preds, confs = [], []
-        for t in texts:
-            p, c = self.model.score(t)
-            preds.append(p)
-            confs.append(c)
+        # ONE vectorized score_batch call per batch (a single searchsorted
+        # over the batch's concatenated trigram codes) — no per-row loop
+        preds, confs = self.model.score_batch(batch.column(text_col).to_pylist())
         return (batch
                 .append_column("lang_pred", pa.array(preds, pa.string()))
                 .append_column("lang_conf", pa.array(confs, pa.float64())))

@@ -36,13 +36,20 @@ def apply_transformations(ds: "ray.data.Dataset",
 
 
 def apply_row_filter(ds: "ray.data.Dataset", expr: str) -> "ray.data.Dataset":
-    """Keep rows matching a pandas ``query`` expression
-    (e.g. ``"value > 50 and event_type == 'purchase'"``)."""
+    """Keep rows matching an expression
+    (e.g. ``"value > 50 and event_type == 'purchase'"``).
 
-    def _fn(df: pd.DataFrame) -> pd.DataFrame:
-        return df.query(expr)
+    Prefers Ray Data's native ``filter(expr=...)`` — the expression compiles
+    to an Arrow dataset expression, runs zero-copy, and can push down to the
+    Parquet read — falling back to a per-batch pandas ``query`` only when the
+    expression uses syntax the Arrow parser can't represent."""
+    try:
+        return ds.filter(expr=expr)
+    except Exception:
+        def _fn(df: pd.DataFrame) -> pd.DataFrame:
+            return df.query(expr)
 
-    return ds.map_batches(_fn, batch_format="pandas")
+        return ds.map_batches(_fn, batch_format="pandas")
 
 
 def deterministic_sample(ds: "ray.data.Dataset", *, on: str,

@@ -49,8 +49,13 @@ def sliding_window_aggregate(
     n_windows = window_days // slide_days
 
     def _explode(batch: pa.Table) -> pa.Table:
-        days = pc.cast(pc.floor_temporal(batch.column(date_col), unit="day"),
-                       pa.int64()).to_numpy(zero_copy_only=False)
+        # normalize to timestamp[us] BEFORE the int64 cast: Arrow's
+        # timestamp→int64 cast yields the column's NATIVE unit, so ns/ms/s
+        # inputs (e.g. pandas-written ns parquet) would otherwise produce
+        # garbage window starts (same normalization as session_windows)
+        floored = pc.cast(pc.floor_temporal(batch.column(date_col), unit="day"),
+                          pa.timestamp("us"))
+        days = pc.cast(floored, pa.int64()).to_numpy(zero_copy_only=False)
         vals = batch.column(value_col).to_numpy(zero_copy_only=False)
         day_idx = days // (_DAY_US * slide_days)
         starts, values = [], []

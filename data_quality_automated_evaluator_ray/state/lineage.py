@@ -39,14 +39,24 @@ def manifest_path(lineage_dir: str, part_idx: int) -> str:
     return os.path.join(lineage_dir, f"part-{part_idx:05d}.json")
 
 
-def is_committed(lineage_dir: str, part_idx: int, token: str) -> bool:
+def is_committed(lineage_dir: str, part_idx: int, token: str,
+                 fragments: list[str] | None = None) -> bool:
+    """A partition counts as committed only if the manifest carries the same
+    checkpoint token AND (when given) lists exactly the fragment group the
+    current plan assigns to this index — so a library caller who re-plans
+    with a different ``partition_size`` can never silently skip a partition
+    whose index matches but whose fragment slice differs."""
     p = manifest_path(lineage_dir, part_idx)
     if not os.path.exists(p):
         return False
     try:
         with open(p) as fh:
             m = json.load(fh)
-        return m.get("checkpoint_token") == token
+        if m.get("checkpoint_token") != token:
+            return False
+        if fragments is not None and m.get("fragments") != sorted(fragments):
+            return False
+        return True
     except (json.JSONDecodeError, OSError):
         return False
 

@@ -1,0 +1,76 @@
+"""Natural-language langid: accuracy on held-out labeled samples + stage
+plumbing. The held-out fixture uses a seed tag disjoint from the training tag
+("langid-train-natural"), so this is a genuine generalization check within
+the deterministic generator family."""
+
+import random
+
+import pandas as pd
+import pytest
+
+
+def _held_out(lang: str, k: int) -> str:
+    from data_quality_automated_evaluator_ray.models.natural_text import sample_text
+
+    return sample_text(lang, random.Random(f"langid-eval:{lang}:{k}"))
+
+
+def test_natural_langid_accuracy():
+    from data_quality_automated_evaluator_ray.models import LangIdModel
+    from data_quality_automated_evaluator_ray.models.natural_text import (
+        NATURAL_LANGUAGES)
+
+    model = LangIdModel.get_natural()
+    texts, labels = [], []
+    for lang in NATURAL_LANGUAGES:
+        for k in range(40):
+            texts.append(_held_out(lang, k))
+            labels.append(lang)
+    preds, confs = model.score_batch(texts)
+    acc = sum(p == y for p, y in zip(preds, labels)) / len(labels)
+    assert acc >= 0.95, f"accuracy {acc:.3f}"
+    # confident on correct predictions (median confidence well above chance)
+    correct_confs = sorted(c for p, y, c in zip(preds, labels, confs) if p == y)
+    assert correct_confs[len(correct_confs) // 2] > 0.5
+
+
+def test_natural_langid_deterministic():
+    from data_quality_automated_evaluator_ray.models.langid import LangIdModel
+
+    a = LangIdModel(profile="natural")
+    b = LangIdModel(profile="natural")
+    texts = [_held_out("fr", 100), _held_out("de", 100), None, ""]
+    assert a.score_batch(texts) == b.score_batch(texts)
+    preds, confs = a.score_batch(texts)
+    assert preds[2] == "unknown" and confs[2] == 0.0
+    assert preds[3] == "unknown" and confs[3] == 0.0
+
+
+def test_document_langid_stage_batches(ray_session):
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.text import DocumentLangId
+
+    df = pd.DataFrame({
+        "doc_id": range(6),
+        "text": [_held_out("en", 0), _held_out("de", 0), _held_out("fr", 0),
+                 _held_out("es", 0), _held_out("it", 0), None],
+    })
+    out = ray.data.from_pandas(df).map_batches(
+        DocumentLangId, batch_format="pyarrow", concurrency=1,
+        num_cpus=1).to_pandas().sort_values("doc_id")
+    assert list(out["lang_pred"])[:5] == ["en", "de", "fr", "es", "it"]
+    assert out["lang_pred"].iloc[5] == "unknown"
+
+
+def test_code_profile_unchanged():
+    """The code-profile model must be byte-identical to round 1 (same seed
+    tag, same grammars) — the flagship pipeline's golden parity depends on
+    it."""
+    from data_quality_automated_evaluator_ray.models import LangIdModel
+
+    m = LangIdModel.get()
+    assert m.profile == "code"
+    assert m.langs[0] == "python"
+    p, c = m.score("def main():\n    return 0\n")
+    assert p in m.langs and 0.0 < c <= 1.0
