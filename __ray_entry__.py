@@ -9,9 +9,13 @@ the library) calls ray.init()/ray.shutdown().
 * ``queries()`` — one callable per implemented operator family (SURVEY.md §2
   + the large-scale training-data ops); each takes sf_dir.
 * ``oracle_sql()`` — DuckDB-runnable ANSI SQL for every SQL-expressible
-  query, with matching column names and float rounding. Model-backed and
-  hash-sketch pipelines (langid, perplexity, minhash, simhash, code-corpus
-  flagship) are deliberately omitted → rows-only checks.
+  query, with matching column names and float rounding — including simhash
+  (integer bit votes), MinHash-LSH (HUGEINT universal hashes + string_agg
+  band keys), duplicate groups (recursive-CTE closure) and the heuristic
+  code-corpus filter. Only genuinely non-SQL pipelines stay rows-only: the
+  model-backed flagship (qf_code_corpus, partition_metrics_code_corpus,
+  langid_documents) and the seeded-index ANN paths (lsh/ivf_topk,
+  multimodal) — all covered by pytest golden/parity tests instead.
 """
 
 from __future__ import annotations
@@ -82,17 +86,6 @@ def _langid_documents(sf_dir: str):
              .select_columns(["doc_id", "lang_pred", "lang_conf"])
 
 
-def _minhash_lsh_documents(sf_dir: str):
-    import ray.data
-
-    from data_quality_automated_evaluator_ray.stages.dedup import (
-        minhash_lsh_candidates)
-
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
-    return minhash_lsh_candidates(ds)
-
-
 def _lsh_topk_embeddings(sf_dir: str):
     import numpy as np
     import pyarrow.parquet as pq
@@ -107,16 +100,6 @@ def _lsh_topk_embeddings(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     return lsh_topk(ds, q, qdf["vec_id"].astype(int).tolist(), k=5, dim=64) \
         .select_columns(["query_id", "neighbor_id", "rank"])
-
-
-def _duplicate_groups_documents(sf_dir: str):
-    import ray.data
-
-    from data_quality_automated_evaluator_ray.stages.dedup import duplicate_groups
-
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
-    return duplicate_groups(ds)
 
 
 def _ivf_topk_embeddings(sf_dir: str):
@@ -158,10 +141,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qf_code_corpus": _qf_code_corpus,
         "partition_metrics_code_corpus": _partition_metrics_code_corpus,
         "langid_documents": _langid_documents,
-        "minhash_lsh_documents": _minhash_lsh_documents,
         "lsh_topk_embeddings": _lsh_topk_embeddings,
         "ivf_topk_embeddings": _ivf_topk_embeddings,
-        "duplicate_groups_documents": _duplicate_groups_documents,
         "multimodal_features": _multimodal_features,
     })
     return out

@@ -128,18 +128,32 @@ class LangIdModel:
         → (predicted languages, softmax confidences); empty/None rows →
         ("unknown", 0.0).
         """
-        per_row = [_trigram_codes(t[:_MAX_SCORE_CHARS]) if t else
-                   np.empty(0, dtype=np.int64) for t in texts]
-        counts = np.array([c.size for c in per_row], dtype=np.int64)
+        # ONE utf-32 encode over the whole batch (no per-row encode loop):
+        # trigram codes are computed on the concatenated codepoint array and
+        # cross-row-boundary trigrams are excluded by a segmented-arange
+        # gather — bit-identical to encoding each row separately.
+        trunc = [t[:_MAX_SCORE_CHARS] if t else "" for t in texts]
+        lens = np.array([len(t) for t in trunc], dtype=np.int64)
+        counts = np.maximum(lens - 2, 0)
         nonempty = counts > 0
         preds = ["unknown"] * len(texts)
         confs = [0.0] * len(texts)
         if not nonempty.any():
             return preds, confs
-        concat = np.concatenate([c for c in per_row if c.size])
-        seg_counts = counts[nonempty]
-        offsets = np.zeros(seg_counts.size, dtype=np.int64)
-        np.cumsum(seg_counts[:-1], out=offsets[1:])
+        cat = np.frombuffer("".join(trunc).encode("utf-32-le"),
+                            dtype=np.uint32).astype(np.int64)
+        codes_full = (cat[:-2] * _CHAR_SPACE + cat[1:-1]) * _CHAR_SPACE + cat[2:]
+        starts = np.zeros(len(trunc), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        c, s = counts[nonempty], starts[nonempty]
+        offsets = np.zeros(c.size, dtype=np.int64)
+        np.cumsum(c[:-1], out=offsets[1:])
+        step = np.ones(int(c.sum()), dtype=np.int64)
+        step[0] = s[0]
+        if c.size > 1:
+            step[offsets[1:]] = s[1:] - s[:-1] - c[:-1] + 1
+        concat = codes_full[np.cumsum(step)]
+        seg_counts = c
         # one binary search against the union table, then a single 2-D
         # gather+where over the float32 tables and a segmented sum per row
         idx = np.searchsorted(self.union_codes, concat)

@@ -71,6 +71,24 @@ def _cast_overrides(overrides: dict[str, str]):
     return _apply
 
 
+def _read_xlsx(path: str | list[str], columns: list[str] | None) -> "ray.data.Dataset":
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "XLSX reading needs the 'openpyxl' package (not installed in "
+            "this environment); reference handle_data.py:106 uses "
+            "pl.read_excel the same eager way") from exc
+    import pandas as pd
+
+    paths = path if isinstance(path, list) else [path]
+    frames = [pd.read_excel(p) for p in paths]
+    df = frames[0] if len(frames) == 1 else pd.concat(frames, ignore_index=True)
+    if columns:
+        df = df[columns]
+    return ray.data.from_pandas(df)
+
+
 def read_source(source: dict[str, Any]) -> "ray.data.Dataset":
     """source = {"path": ..., "format"?: ..., "schema_overrides"?: {...},
     "columns"?: [...], "storage_options"?: {...}}"""
@@ -95,7 +113,13 @@ def read_source(source: dict[str, Any]) -> "ray.data.Dataset":
         ds = ray.data.read_json(path)
         if columns:
             ds = ds.select_columns(columns)
-    elif fmt in ("xlsx", "postgresql", "iceberg"):
+    elif fmt == "xlsx":
+        # reference handle_data.py:106,129-130 (eager pl.read_excel → lazy);
+        # here: eager pandas read → from_pandas. XLSX is inherently a small
+        # driver-side format (no splittable reader exists); gated on an Excel
+        # engine being installed (openpyxl — absent in this sandbox).
+        ds = _read_xlsx(path, columns)
+    elif fmt in ("postgresql", "iceberg"):
         raise NotImplementedError(
             f"source format {fmt!r} is recognised (reference handle_data.py:104-127) "
             "but not supported in this environment")

@@ -194,12 +194,15 @@ class MinHasher:
             sigs[:, nonempty] = mins
         out_id, out_band, out_hash = [], [], []
         for j, i in enumerate(doc_ids):
-            sig = np.ascontiguousarray(sigs[:, j])
+            sig = sigs[:, j]
             for bd in range(self.bands):
                 chunk = sig[bd * self.rows_per_band:(bd + 1) * self.rows_per_band]
                 out_id.append(i)
                 out_band.append(bd)
-                out_hash.append(hashlib.md5(chunk.tobytes()).hexdigest()[:16])
+                # delimiter-joined signature values: an equally-valid bucket
+                # key that a DuckDB oracle can reproduce (string_agg), unlike
+                # an md5 over numpy's byte layout
+                out_hash.append("-".join(map(str, chunk.tolist())))
         return pa.table({
             "doc_id": pa.array(out_id, pa.int64()),
             "band": pa.array(out_band, pa.int32()),

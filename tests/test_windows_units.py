@@ -1,0 +1,51 @@
+"""Timestamp-unit robustness for windowed aggregates: pandas-written parquet
+often carries ns-unit timestamps; window math must not depend on the column's
+native unit (ADVICE r1: sliding_window_aggregate cast int64 in the native
+unit and silently produced garbage starts for ns inputs)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _events(unit: str):
+    ts = pd.date_range("2024-03-01", periods=200, freq="7h")
+    return pa.table({
+        "ts": pa.array(ts, pa.timestamp(unit)),
+        "value": pa.array(np.arange(200, dtype=np.float64)),
+        "user_id": pa.array([i % 7 for i in range(200)], pa.int64()),
+    })
+
+
+def test_sliding_window_unit_invariant(ray_session):
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.windows import (
+        sliding_window_aggregate)
+
+    outs = {}
+    for unit in ("us", "ns", "ms", "s"):
+        ds = ray.data.from_arrow(_events(unit))
+        df = sliding_window_aggregate(ds, date_col="ts", value_col="value",
+                                      window_days=3, slide_days=1).to_pandas()
+        outs[unit] = df.reset_index(drop=True)
+    for unit in ("ns", "ms", "s"):
+        pd.testing.assert_frame_equal(outs["us"], outs[unit])
+    # sanity: starts are real calendar days of the input range
+    assert outs["us"]["window_start_day"].iloc[0].startswith("2024-02")
+    assert (outs["us"]["n_rows"] > 0).all()
+
+
+def test_session_window_unit_invariant(ray_session):
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.windows import session_windows
+
+    a = session_windows(ray.data.from_arrow(_events("us")),
+                        key_col="user_id", date_col="ts").to_pandas()
+    b = session_windows(ray.data.from_arrow(_events("ns")),
+                        key_col="user_id", date_col="ts").to_pandas()
+    key = ["user_id", "session_start_us"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True))
