@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import random
 
-NATURAL_LANGUAGES = ["en", "de", "fr", "es", "it"]
+NATURAL_LANGUAGES = ["en", "de", "fr", "es", "it", "zh"]
 
 _WORDS: dict[str, list[str]] = {
     "en": [
@@ -74,6 +74,18 @@ _WORDS: dict[str, list[str]] = {
         "stesso", "altro", "due", "dire", "qui", "cosa", "vita", "ancora",
         "dopo", "senza", "perché", "vedere", "dove", "sempre", "loro",
         "prima", "stato", "sapere", "donna", "andare", "mondo", "parte",
+    ],
+    # zh: most common single- and two-character words; the hanzi codepoint
+    # range alone makes the trigram profile near-perfectly separable
+    "zh": [
+        "的", "是", "不", "了", "在", "人", "有", "我", "他", "这",
+        "中", "大", "来", "上", "国", "个", "到", "说", "们", "为",
+        "和", "地", "以", "时", "要", "就", "出", "会", "可", "也",
+        "你", "对", "生", "能", "而", "子", "那", "得", "于", "着",
+        "下", "自", "之", "年", "过", "发", "后", "作", "里", "用",
+        "道", "行", "所", "然", "家", "种", "事", "成", "方", "多",
+        "没有", "我们", "他们", "什么", "一个", "知道", "现在", "可以",
+        "这个", "时候", "自己", "因为", "所以", "还是", "就是", "但是",
     ],
 }
 

@@ -54,6 +54,14 @@ class QualityFilterBatch:
         return apply_rules(b, heuristics_only=not self.with_models)
 
 
+def default_pool_size(total_cpus: int) -> int:
+    """Actor-pool size for the fused stage: ~85% of the cluster, but ALWAYS
+    leaving ≥1 CPU for the read/write task operators — an actor pool that
+    reserves every CPU starves them and deadlocks the streaming executor
+    (observed at num_cpus=2, where the old max(2, 85%·total) reserved 2/2)."""
+    return max(1, min(int(total_cpus * 0.85), total_cpus - 1))
+
+
 def apply_quality_filter(
     ds: "ray.data.Dataset",
     *,
@@ -82,7 +90,7 @@ def apply_quality_filter(
         import ray
 
         total = int(ray.cluster_resources().get("CPU", 8))
-        scorer_concurrency = max(2, int(total * 0.85))
+        scorer_concurrency = default_pool_size(total)
     return ds.map_batches(
         QualityFilterBatch, batch_format="pyarrow", batch_size=batch_size,
         concurrency=scorer_concurrency, num_cpus=1,

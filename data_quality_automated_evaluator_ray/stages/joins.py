@@ -30,6 +30,22 @@ import ray
 import ray.data
 
 
+def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset", *,
+              on: str, right_on: str | None = None,
+              join_type: str = "inner",
+              num_partitions: int = 16) -> "ray.data.Dataset":
+    """Large×large distributed hash join (``Dataset.join``): BOTH sides
+    hash-partition on the key across ``num_partitions`` aggregators — use
+    when the small side is too big to broadcast. Prefer ``broadcast_join``
+    whenever one side fits in the object store: it moves zero rows of the
+    big side. At scale, size num_partitions ≈ cluster cores and pick the
+    join key so hot keys don't serialize into one aggregator (salt first
+    via stages/partitioning.add_salt when skewed)."""
+    return left.join(right, join_type=join_type,
+                     num_partitions=num_partitions,
+                     on=(on,), right_on=(right_on or on,))
+
+
 def broadcast_join(ds: "ray.data.Dataset", small: pd.DataFrame, *,
                    on: str, how: str = "inner") -> "ray.data.Dataset":
     """Join a streaming Dataset against a small in-memory table (no shuffle)."""

@@ -52,15 +52,16 @@ def test_document_langid_stage_batches(ray_session):
     from data_quality_automated_evaluator_ray.stages.text import DocumentLangId
 
     df = pd.DataFrame({
-        "doc_id": range(6),
+        "doc_id": range(7),
         "text": [_held_out("en", 0), _held_out("de", 0), _held_out("fr", 0),
-                 _held_out("es", 0), _held_out("it", 0), None],
+                 _held_out("es", 0), _held_out("it", 0), _held_out("zh", 0),
+                 None],
     })
     out = ray.data.from_pandas(df).map_batches(
         DocumentLangId, batch_format="pyarrow", concurrency=1,
         num_cpus=1).to_pandas().sort_values("doc_id")
-    assert list(out["lang_pred"])[:5] == ["en", "de", "fr", "es", "it"]
-    assert out["lang_pred"].iloc[5] == "unknown"
+    assert list(out["lang_pred"])[:6] == ["en", "de", "fr", "es", "it", "zh"]
+    assert out["lang_pred"].iloc[6] == "unknown"
 
 
 def test_code_profile_unchanged():

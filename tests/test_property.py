@@ -57,3 +57,25 @@ def test_features_match_oracle(contents):
                 assert g == pytest.approx(v, rel=1e-12), (k, repr(c))
             else:
                 assert g == v, (k, repr(c))
+
+
+# ---------------------------------------------------------------------------
+# Exact modular multiply for the MinHash universal-hash family
+# ---------------------------------------------------------------------------
+_P61 = (1 << 61) - 1
+_u61 = st.integers(min_value=0, max_value=_P61 - 1)
+
+
+@given(_u61, _u61, _u61)
+@settings(max_examples=500, deadline=None, derandomize=True)
+def test_mulmod_p61_matches_bigint_math(a, h, b):
+    import numpy as np
+
+    from data_quality_automated_evaluator_ray.stages.dedup import (
+        _minhash_values, _mulmod_p61)
+
+    aa = np.array([a], dtype=np.uint64)
+    hh = np.array([h], dtype=np.uint64)
+    bb = np.array([b], dtype=np.uint64)
+    assert int(_mulmod_p61(aa, hh)[0]) == (a * h) % _P61
+    assert int(_minhash_values(aa, bb, hh)[0, 0]) == (a * h + b) % _P61

@@ -150,3 +150,15 @@ def test_single_row_pipeline(ray_session):
     out = apply_quality_filter(ray.data.from_arrow(one),
                                scorer_concurrency=1).to_pandas()
     assert len(out) == 1 and bool(out["keep"].iloc[0])
+
+
+def test_default_pool_size_never_reserves_every_cpu():
+    from data_quality_automated_evaluator_ray.pipelines.quality_filter import (
+        default_pool_size)
+
+    for total in range(1, 65):
+        n = default_pool_size(total)
+        assert 1 <= n, total
+        assert total == 1 or n <= total - 1, (total, n)
+    assert default_pool_size(32) == 27
+    assert default_pool_size(2) == 1
