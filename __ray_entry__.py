@@ -12,10 +12,11 @@ the library) calls ray.init()/ray.shutdown().
   query, with matching column names and float rounding — including simhash
   (integer bit votes), MinHash-LSH (HUGEINT universal hashes + string_agg
   band keys), duplicate groups (recursive-CTE closure) and the heuristic
-  code-corpus filter. Only genuinely non-SQL pipelines stay rows-only: the
-  model-backed flagship (qf_code_corpus, partition_metrics_code_corpus,
-  langid_documents) and the seeded-index ANN paths (lsh/ivf_topk,
-  multimodal) — all covered by pytest golden/parity tests instead.
+  code-corpus filter and the multimodal fake-decode (sha256 byte math).
+  Only genuinely non-SQL pipelines stay rows-only: the model-backed
+  flagship (qf_code_corpus, partition_metrics_code_corpus,
+  langid_documents) and the seeded-index ANN paths (lsh/ivf_topk) — all
+  covered by pytest golden/parity tests instead.
 """
 
 from __future__ import annotations
@@ -118,18 +119,6 @@ def _ivf_topk_embeddings(sf_dir: str):
         .select_columns(["query_id", "neighbor_id", "rank"])
 
 
-def _multimodal_features(sf_dir: str):
-    import ray.data
-
-    from data_quality_automated_evaluator_ray.stages.multimodal import (
-        ImageFeatureExtractor, make_fake_payload_table)
-
-    t = make_fake_payload_table(200)
-    return ray.data.from_arrow(t).map_batches(
-        ImageFeatureExtractor, fn_constructor_kwargs=dict(decode_backend="fake"),
-        batch_format="pyarrow", batch_size=64, concurrency=1)
-
-
 def queries() -> dict[str, Callable[[str], Any]]:
     from data_quality_automated_evaluator_ray.pipelines.queries import SQL_QUERIES
 
@@ -143,7 +132,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_documents": _langid_documents,
         "lsh_topk_embeddings": _lsh_topk_embeddings,
         "ivf_topk_embeddings": _ivf_topk_embeddings,
-        "multimodal_features": _multimodal_features,
     })
     return out
 

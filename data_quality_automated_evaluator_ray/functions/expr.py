@@ -1,0 +1,177 @@
+"""Compile row-wise expression strings to vectorized pyarrow.compute calls.
+
+The reference applies ordered column transformations and row filters as
+engine-evaluated SQL expressions (reference preprocess.py:97-124). Round 1
+evaluated them with per-batch pandas ``eval`` — an Arrow→pandas→Arrow
+round-trip on every batch. This module parses the same expression strings
+with Python's ``ast`` and evaluates them directly against ``pyarrow`` arrays,
+so the transform stage stays zero-copy Arrow end to end. Anything the
+compiler can't express (method calls, string ops, ``in`` lists …) raises
+``UnsupportedExpression`` and the caller falls back to pandas ``eval`` —
+capability is never narrowed, only the hot path widens.
+
+Supported surface (the subset both pandas ``eval`` and DuckDB agree on):
+arithmetic ``+ - * / // % **``, unary ``-``, comparisons
+``== != < <= > >=`` (including chained ``a < b < c``), boolean
+``and/or/&/|`` and ``not/~``, column names, numeric/string/bool/None
+literals, and parentheses.
+"""
+
+from __future__ import annotations
+
+import ast
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+class UnsupportedExpression(ValueError):
+    """Raised when an expression uses syntax outside the Arrow-compilable
+    subset; callers fall back to the pandas ``eval`` path."""
+
+
+_BIN_OPS = {
+    ast.Add: "add", ast.Sub: "subtract", ast.Mult: "multiply",
+    ast.Div: "divide", ast.Mod: None, ast.FloorDiv: None, ast.Pow: "power",
+}
+_CMP_OPS = {
+    ast.Eq: "equal", ast.NotEq: "not_equal", ast.Lt: "less",
+    ast.LtE: "less_equal", ast.Gt: "greater", ast.GtE: "greater_equal",
+}
+
+
+def _is_arr(x) -> bool:
+    return isinstance(x, (pa.Array, pa.ChunkedArray))
+
+
+def _true_div(left, right):
+    """pandas-eval semantics: ``/`` is ALWAYS true division (int/int → float),
+    while pc.divide on two integer arrays does integer division."""
+    def _f(x):
+        if _is_arr(x) and pa.types.is_integer(x.type):
+            return pc.cast(x, pa.float64())
+        if isinstance(x, int) and not isinstance(x, bool):
+            return float(x)
+        return x
+    return pc.divide(_f(left), _f(right))
+
+
+def _floor_div(left, right):
+    # pc.divide truncates toward zero for ints; Python // floors. Match
+    # Python/pandas by flooring the float quotient, then casting back when
+    # both sides are integral.
+    q = pc.floor(_true_div(left, right))
+    int_l = (_is_arr(left) and pa.types.is_integer(left.type)) or (
+        isinstance(left, int) and not isinstance(left, bool))
+    int_r = (_is_arr(right) and pa.types.is_integer(right.type)) or (
+        isinstance(right, int) and not isinstance(right, bool))
+    if int_l and int_r:
+        return pc.cast(q, pa.int64())
+    return q
+
+
+def _mod(left, right):
+    # Python/pandas %: result has the sign of the divisor (floored mod);
+    # build it as  l - floor(l/r)*r.
+    prod = pc.multiply(_floor_div(left, right), right)
+    return pc.subtract(left, prod)
+
+
+class _Compiler(ast.NodeVisitor):
+    def __init__(self, batch: pa.Table):
+        self.batch = batch
+
+    # -- leaves ------------------------------------------------------------
+    def visit_Name(self, node: ast.Name):
+        if node.id in ("True", "False", "None"):  # py<3.8 compat spelling
+            return {"True": True, "False": False, "None": None}[node.id]
+        if node.id not in self.batch.column_names:
+            raise UnsupportedExpression(f"unknown column {node.id!r}")
+        return self.batch.column(node.id)
+
+    def visit_Constant(self, node: ast.Constant):
+        if isinstance(node.value, (int, float, str, bool)) or node.value is None:
+            return node.value
+        raise UnsupportedExpression(f"literal {node.value!r}")
+
+    # -- operators ---------------------------------------------------------
+    def visit_BinOp(self, node: ast.BinOp):
+        op = type(node.op)
+        if op not in _BIN_OPS:
+            raise UnsupportedExpression(ast.dump(node.op))
+        left, right = self.visit(node.left), self.visit(node.right)
+        if op is ast.Div:
+            return _true_div(left, right)
+        if op is ast.FloorDiv:
+            return _floor_div(left, right)
+        if op is ast.Mod:
+            return _mod(left, right)
+        return getattr(pc, _BIN_OPS[op])(left, right)
+
+    def visit_UnaryOp(self, node: ast.UnaryOp):
+        val = self.visit(node.operand)
+        if isinstance(node.op, ast.USub):
+            return pc.negate(val) if _is_arr(val) else -val
+        if isinstance(node.op, ast.UAdd):
+            return val
+        if isinstance(node.op, (ast.Not, ast.Invert)):
+            return pc.invert(val) if _is_arr(val) else (not val)
+        raise UnsupportedExpression(ast.dump(node.op))
+
+    def visit_Compare(self, node: ast.Compare):
+        left = self.visit(node.left)
+        result = None
+        for op, comparator in zip(node.ops, node.comparators):
+            if type(op) not in _CMP_OPS:
+                raise UnsupportedExpression(ast.dump(op))
+            right = self.visit(comparator)
+            part = getattr(pc, _CMP_OPS[type(op)])(left, right)
+            result = part if result is None else pc.and_kleene(result, part)
+            left = right
+        return result
+
+    def visit_BoolOp(self, node: ast.BoolOp):
+        fn = pc.and_kleene if isinstance(node.op, ast.And) else pc.or_kleene
+        vals = [self.visit(v) for v in node.values]
+        out = vals[0]
+        for v in vals[1:]:
+            out = fn(out, v)
+        return out
+
+    def generic_visit(self, node):
+        raise UnsupportedExpression(type(node).__name__)
+
+
+def compile_expr(expr: str) -> ast.expression:
+    """Parse once (driver side); raises UnsupportedExpression on syntax the
+    Arrow evaluator can't handle so callers can pick the pandas path BEFORE
+    shipping the stage to workers."""
+    try:
+        tree = ast.parse(expr, mode="eval")
+    except SyntaxError as e:  # pandas eval accepts a superset (e.g. `@var`)
+        raise UnsupportedExpression(str(e)) from e
+    _validate(tree.body)
+    return tree
+
+
+_OK_NODES = (ast.Expression, ast.BinOp, ast.UnaryOp, ast.Compare, ast.BoolOp,
+             ast.Name, ast.Constant, ast.Load,
+             ast.Add, ast.Sub, ast.Mult, ast.Div, ast.FloorDiv, ast.Mod,
+             ast.Pow, ast.USub, ast.UAdd, ast.Not, ast.Invert,
+             ast.And, ast.Or, ast.Eq, ast.NotEq, ast.Lt, ast.LtE, ast.Gt,
+             ast.GtE)
+
+
+def _validate(node: ast.AST) -> None:
+    for n in ast.walk(node):
+        if not isinstance(n, _OK_NODES):
+            raise UnsupportedExpression(type(n).__name__)
+
+
+def eval_expr(batch: pa.Table, tree: ast.expression):
+    """Evaluate a compiled expression against one Arrow batch; returns an
+    Arrow array (or a scalar for constant expressions)."""
+    out = _Compiler(batch).visit(tree.body)
+    if not _is_arr(out):
+        out = pa.array([out] * batch.num_rows)
+    return out

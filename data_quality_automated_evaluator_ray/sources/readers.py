@@ -4,8 +4,10 @@
 by file extension (reference handle_data.py:104-127), applies schema
 overrides (handle_data.py:142-174) as a post-read Arrow cast stage, and
 substitutes ``$ENV_VAR`` indirections in storage options
-(handle_data.py:177-222). Unsupported reference sources (XLSX, PostgreSQL,
-Iceberg) raise a clear error instead of silently degrading.
+(handle_data.py:177-222). SQL sources (reference handle_data.py:42-47 reads
+PostgreSQL via a connection URI) map to ``ray.data.read_sql`` over any DBAPI
+connection factory — tested against stdlib sqlite3, documented for psycopg2;
+Iceberg raises a clear error instead of silently degrading (pyiceberg absent).
 """
 
 from __future__ import annotations
@@ -89,12 +91,74 @@ def _read_xlsx(path: str | list[str], columns: list[str] | None) -> "ray.data.Da
     return ray.data.from_pandas(df)
 
 
+def _read_sql(source: dict[str, Any],
+              columns: list[str] | None) -> "ray.data.Dataset":
+    """SQL source → ``ray.data.read_sql`` (reference handle_data.py:42-47
+    reads PostgreSQL with a URI + query; the rebuilt surface takes any DBAPI
+    driver). The connection factory runs INSIDE each read task, so
+    credentials resolve on the worker and no connection object is shipped.
+
+    source keys: ``query`` (or ``table``), and one of
+      * ``connection_factory`` — a zero-arg callable returning a DBAPI
+        connection (most general), or
+      * ``driver`` + ``connect_args`` — e.g. ``{"driver": "sqlite3",
+        "connect_args": {"database": "/path/db.sqlite"}}`` or
+        ``{"driver": "psycopg2", "connect_args": {"host": ..., "password":
+        "$PGPASSWORD"}}`` ($ENV substitution applies, matching the
+        reference's env indirection for credentials).
+    Optional ``shard_keys`` (+ ``override_num_blocks``) enable Ray's sharded
+    parallel read (each task reads one hash shard of the key); without them
+    the read is a single task — fine for lookup tables, wrong for the main
+    corpus (use Parquet for that).
+    """
+    import importlib
+
+    query = source.get("query")
+    if query is None:
+        table = source.get("table")
+        if table is None:
+            raise ValueError("SQL source needs 'query' or 'table'")
+        if not table.replace("_", "").replace(".", "").isalnum():
+            raise ValueError(f"unsafe table name {table!r}")
+        query = f"SELECT * FROM {table}"
+
+    factory = source.get("connection_factory")
+    if factory is None:
+        driver = source.get("driver", "psycopg2")
+        connect_args = substitute_env(source.get("connect_args", {}))
+        try:
+            mod = importlib.import_module(driver)
+        except ImportError as exc:
+            raise NotImplementedError(
+                f"SQL source needs the {driver!r} DBAPI package, which is "
+                "not installed in this environment") from exc
+
+        def factory(mod=mod, kw=connect_args):
+            return mod.connect(**kw)
+
+    kwargs: dict[str, Any] = {}
+    if source.get("shard_keys"):
+        kwargs["shard_keys"] = list(source["shard_keys"])
+        if source.get("shard_hash_fn"):
+            kwargs["shard_hash_fn"] = source["shard_hash_fn"]
+    if source.get("override_num_blocks"):
+        kwargs["override_num_blocks"] = int(source["override_num_blocks"])
+    ds = ray.data.read_sql(query, factory, **kwargs)
+    if columns:
+        ds = ds.select_columns(columns)
+    return ds
+
+
 def read_source(source: dict[str, Any]) -> "ray.data.Dataset":
     """source = {"path": ..., "format"?: ..., "schema_overrides"?: {...},
     "columns"?: [...], "storage_options"?: {...}}"""
-    path = source["path"]
+    path = source.get("path")
     fmt = source.get("format")
     if fmt is None:
+        if path is None:
+            raise ValueError(
+                "source needs 'path' (file formats) or an explicit "
+                "'format' (e.g. 'sql' with 'query'/'table')")
         p = path[0] if isinstance(path, list) else path
         ext = os.path.splitext(p.rstrip("/"))[1].lstrip(".").lower()
         fmt = ext or "parquet"
@@ -119,10 +183,15 @@ def read_source(source: dict[str, Any]) -> "ray.data.Dataset":
         # driver-side format (no splittable reader exists); gated on an Excel
         # engine being installed (openpyxl — absent in this sandbox).
         ds = _read_xlsx(path, columns)
-    elif fmt in ("postgresql", "iceberg"):
+    elif fmt in ("sql", "postgresql", "sqlite"):
+        if fmt == "sqlite" and "driver" not in source:
+            source = {**source, "driver": "sqlite3"}
+        ds = _read_sql(source, columns)
+    elif fmt == "iceberg":
         raise NotImplementedError(
-            f"source format {fmt!r} is recognised (reference handle_data.py:104-127) "
-            "but not supported in this environment")
+            "source format 'iceberg' is recognised (reference "
+            "handle_data.py:104-127) but needs pyiceberg, which is not "
+            "installed in this environment")
     else:
         raise ValueError(f"cannot infer a reader for source format {fmt!r}")
 

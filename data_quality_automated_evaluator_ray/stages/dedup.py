@@ -86,23 +86,22 @@ def exact_dedup(ds: "ray.data.Dataset", text_col: str = "text",
                 num_partitions: int = 16) -> "ray.data.Dataset":
     """Keep exactly one row per distinct content: the minimum ``id_col``.
 
-    Two built-in operations, no per-group Python:
-
-    1. ``groupby(content_hash).aggregate(Min(id))`` — the shuffle moves only
-       (64-hex hash, id) and the C++ aggregate collapses each group to one
-       keeper id (at 10^12 files: one row per DISTINCT content, never one
-       pandas DataFrame per group).
+    1. min-id per content hash — the shuffle moves only (64-hex hash, id);
+       the per-hash min runs as a C-level pandas groupby inside coarse hash
+       partitions (_apply_per_bucket), because the group cardinality is
+       ≈ the number of distinct contents and Ray's sort-based Aggregate
+       pays per-GROUP Python cost at that cardinality.
     2. a hash join of the keeper-id table back to the full rows on the
        row-unique ``id_col`` (``Dataset.join``; both sides partition by id).
     """
-    from ray.data.aggregate import Min
-
     hashed = ds.map_batches(lambda b: add_content_hash(b, text_col),
                             batch_format="pyarrow", zero_copy_batch=True) \
                .materialize()
-    keepers = hashed.select_columns(["content_hash", id_col]) \
-        .groupby("content_hash") \
-        .aggregate(Min(id_col, alias_name="__keeper_id")) \
+    keepers = _apply_per_bucket(
+        hashed.select_columns(["content_hash", id_col]), ["content_hash"],
+        lambda part: part.groupby("content_hash", as_index=False, sort=False,
+                                  dropna=False)[[id_col]].min()
+                         .rename(columns={id_col: "__keeper_id"})) \
         .select_columns(["__keeper_id"])
     cols = [c for c in hashed.schema().names if c != "content_hash"]
     out = hashed.drop_columns(["content_hash"]).join(
@@ -121,15 +120,52 @@ def _token_shingles(text: str, k: int) -> list[str]:
     return [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
 
 
-def _emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
-    """All (id_a < id_b) pairs among the distinct doc_ids of one bucket group
-    — vectorized via triu indices, no Python nested loop."""
-    ids = np.sort(g["doc_id"].unique())
-    if ids.size < 2:
-        return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
-                             "id_b": pd.Series(dtype="int64")})
-    i, j = np.triu_indices(ids.size, k=1)
-    return pd.DataFrame({"id_a": ids[i], "id_b": ids[j]})
+def _apply_per_bucket(ds: "ray.data.Dataset", key_cols: list[str],
+                      per_bucket_fn, *,
+                      num_partitions: int = 64) -> "ray.data.Dataset":
+    """Run a VECTORIZED partition function over co-located (key_cols)
+    buckets without one Ray group per bucket: buckets are hash-assigned to
+    ``num_partitions`` coarse partitions (vectorized), ONE shuffle co-locates
+    each bucket wholly inside its partition, and ``per_bucket_fn`` processes
+    the whole partition at once (see _merge_pairs_fn — a pandas self-merge,
+    never a Python loop over buckets). LSH bucket tables have ~1 row per
+    bucket on average, so per-bucket ``map_groups`` pays Ray's per-group
+    cost ~N times (measured 11 s of an 18 s query at sf0.1); this pays it
+    ``num_partitions`` times. At cluster scale raise num_partitions to
+    ~cluster cores — partition assignment never affects output values, only
+    placement."""
+    P = np.uint64(num_partitions)
+    mix = np.uint64(0x9E3779B97F4A7C15)
+
+    def _addpart(df: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(len(df), dtype=np.uint64)
+        for c in key_cols:
+            hv = pd.util.hash_pandas_object(df[c], index=False) \
+                .to_numpy().view(np.uint64)
+            acc = acc * mix + hv
+        df["__part"] = (acc % P).astype(np.int64)
+        return df
+
+    def _part_fn(part: pd.DataFrame) -> pd.DataFrame:
+        return per_bucket_fn(part.drop(columns="__part"))
+
+    return ds.map_batches(_addpart, batch_format="pandas") \
+        .groupby("__part").map_groups(_part_fn, batch_format="pandas")
+
+
+def _merge_pairs_fn(key_cols: list[str], id_col: str = "doc_id"):
+    """Vectorized pair emission over ALL buckets of a partition at once: a
+    pandas self-merge on the bucket key (a C-level hash join) replaces any
+    per-bucket Python loop. Output size is exactly the pair multiplicity the
+    per-bucket version would produce."""
+    def fn(part: pd.DataFrame) -> pd.DataFrame:
+        df = part[key_cols + [id_col]].drop_duplicates()
+        m = df.merge(df, on=key_cols, suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        return pd.DataFrame(
+            {"id_a": m[f"{id_col}_a"].to_numpy(dtype=np.int64),
+             "id_b": m[f"{id_col}_b"].to_numpy(dtype=np.int64)})
+    return fn
 
 
 def _minhash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
@@ -220,12 +256,13 @@ def minhash_lsh_candidates(ds: "ray.data.Dataset", *, text_col: str = "text",
                                               text_col=text_col, id_col=id_col),
         batch_format="pyarrow", concurrency=concurrency, num_cpus=1)
 
-    pairs = banded.groupby(["band", "band_hash"]).map_groups(
-        _emit_pairs, batch_format="pandas")
-    # distinct pairs (a pair can collide in several bands): tiny built-in
-    # aggregation instead of one Python group per pair
-    return pairs.groupby(["id_a", "id_b"]).count() \
-                .select_columns(["id_a", "id_b"])
+    pairs = _apply_per_bucket(banded, ["band", "band_hash"],
+                              _merge_pairs_fn(["band", "band_hash"]))
+    # distinct pairs (a pair can collide in several bands): coarse-partition
+    # + vectorized drop_duplicates — never one Ray group per pair
+    return _apply_per_bucket(
+        pairs, ["id_a", "id_b"],
+        lambda part: part.drop_duplicates(["id_a", "id_b"]))
 
 
 # ---------------------------------------------------------------------------
@@ -271,30 +308,34 @@ def simhash_candidates(ds: "ray.data.Dataset", *, text_col: str = "text",
 
     banded = ds.map_batches(_band, batch_format="pyarrow")
 
-    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        sims = g["simhash"].to_numpy(dtype=np.uint64)
-        if ids.size < 2:
+    def _pairs(part: pd.DataFrame) -> pd.DataFrame:
+        # all buckets of the partition at once: self-merge on the bucket key
+        # (C-level hash join), then vectorized xor + popcount verification
+        df = part[["band", "key", "doc_id", "simhash"]] \
+            .drop_duplicates(["band", "key", "doc_id"])
+        m = df.merge(df, on=["band", "key"], suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        if not len(m):
             return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
                                  "id_b": pd.Series(dtype="int64"),
                                  "hamming": pd.Series(dtype="int64")})
-        i, j = np.triu_indices(ids.size, k=1)
-        x = sims[i] ^ sims[j]
-        # vectorized popcount via uint8 view + bit-count lookup table
+        x = m["simhash_a"].to_numpy(dtype=np.uint64) ^ \
+            m["simhash_b"].to_numpy(dtype=np.uint64)
         ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
         keep = ham <= max_hamming
-        return pd.DataFrame({"id_a": ids[i][keep].astype(np.int64),
-                             "id_b": ids[j][keep].astype(np.int64),
-                             "hamming": ham[keep].astype(np.int64)})
+        return pd.DataFrame(
+            {"id_a": m["doc_id_a"].to_numpy(dtype=np.int64)[keep],
+             "id_b": m["doc_id_b"].to_numpy(dtype=np.int64)[keep],
+             "hamming": ham[keep].astype(np.int64)})
 
-    pairs = banded.groupby(["band", "key"]).map_groups(_pairs, batch_format="pandas")
+    pairs = _apply_per_bucket(banded, ["band", "key"], _pairs)
 
-    def _min_ham(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    return pairs.groupby(["id_a", "id_b"]).map_groups(_min_ham,
-                                                      batch_format="pandas")
+    # a pair can collide in several bands with the SAME hamming (it is a
+    # function of the two simhashes): coarse-partition + vectorized
+    # drop_duplicates dedups without a Ray group per pair
+    return _apply_per_bucket(
+        pairs, ["id_a", "id_b"],
+        lambda part: part.drop_duplicates(["id_a", "id_b"]))
 
 
 # ---------------------------------------------------------------------------
@@ -421,11 +462,17 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", *, text_col: str = "text",
     sizes_ref = ray.put(dict(zip(sizes_df["doc_id"].astype(int),
                                  sizes_df[size_col].astype(int))))
 
-    pairs = exploded.groupby("shingle").map_groups(_emit_pairs,
-                                                   batch_format="pandas")
-    # |A∩B| per pair via the built-in count aggregate (one row per pair, no
-    # Python group per pair), then vectorized Jaccard with broadcast sizes
-    inter = pairs.groupby(["id_a", "id_b"]).count()
+    pairs = _apply_per_bucket(exploded, ["shingle"],
+                              _merge_pairs_fn(["shingle"]))
+    # |A∩B| per pair: high-cardinality count (≈1 group per pair) — Ray's
+    # sort-based Aggregate pays per-GROUP Python cost (~0.2 ms/group;
+    # measured 219 s for 1.1M pair-groups at sf0.1), so count via the same
+    # coarse-partition + C-level pandas groupby pattern (2.4 s)
+    inter = _apply_per_bucket(
+        pairs, ["id_a", "id_b"],
+        lambda part: part.groupby(["id_a", "id_b"], as_index=False,
+                                  sort=False, dropna=False).size()
+                         .rename(columns={"size": "n_shared"}))
 
     def _score(batch: pa.Table) -> pa.Table:
         sizes = ray.get(sizes_ref)

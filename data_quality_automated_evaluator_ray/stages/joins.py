@@ -30,6 +30,72 @@ import ray
 import ray.data
 
 
+def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset", *,
+              on: str, by: str, right_cols: list[str],
+              suffix: str = "_asof") -> "ray.data.Dataset":
+    """Backward as-of join: for each left row, attach the right row with the
+    greatest ``on`` value ≤ the left row's, within the same ``by`` key
+    (left join; unmatched rows get nulls). Equivalent to DuckDB
+    ``ASOF LEFT JOIN … ON l.by = r.by AND l.on >= r.on`` and pandas
+    ``merge_asof`` — the oracle in pipelines/queries.py checks exactly that.
+
+    Ray Data has no native as-of join; this is the composition path the
+    project brief prescribes: tag each side, union (one narrow schema), ONE
+    hash shuffle on ``by`` via groupby, then a vectorized
+    ``pandas.merge_asof`` per key group. Partitioning assumption: all rows
+    of one ``by`` key must fit in a worker (same contract as any
+    ``map_groups``); at 100 TB pre-bucket hot keys by coarse time range
+    first, then as-of join inside each (key, range) bucket with a one-bucket
+    overlap on the right side.
+
+    Right-side ``on`` ties: the LAST right row in (on, input-order) wins —
+    make (by, on) unique on the right side for engine-independent output.
+    """
+    lschema, rschema = left.schema(), right.schema()
+    lcols = list(lschema.names)
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = dict(zip(rschema.names, rschema.types))
+    rename = {c: f"{c}{suffix}" if c in lcols else c for c in right_cols}
+    out_right = [rename[c] for c in right_cols]
+    # one union schema: left cols + renamed right cols + side tag, so the
+    # two streams union into a single narrow exchange keyed by `by`
+    union_fields = [(c, ltypes[c]) for c in lcols] + \
+                   [(rename[c], rtypes[c]) for c in right_cols] + \
+                   [("__side", pa.int8())]
+
+    unrename = {v: k for k, v in rename.items()}
+
+    def _align(b: pa.Table, side: int) -> pa.Table:
+        # source column in this side's input for each union field, or None
+        n = b.num_rows
+        arrays = {}
+        for name, typ in union_fields:
+            if name == "__side":
+                arrays[name] = pa.array([side] * n, pa.int8())
+                continue
+            if side == 0:
+                src = name if name in lcols else None
+            else:
+                src = name if name in (by, on) else unrename.get(name)
+            arrays[name] = b.column(src) if src else pa.nulls(n, typ)
+        return pa.table(arrays)
+
+    tagged_l = left.map_batches(lambda b: _align(b, 0), batch_format="pyarrow")
+    tagged_r = right.map_batches(lambda b: _align(b, 1), batch_format="pyarrow")
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__side"] == 0].drop(columns=["__side"] + out_right)
+        rg = g[g["__side"] == 1][[on] + out_right]
+        if not len(lg):
+            return lg
+        lg = lg.sort_values(on, kind="stable")
+        rg = rg.sort_values(on, kind="stable")
+        return pd.merge_asof(lg, rg, on=on, direction="backward")
+
+    return tagged_l.union(tagged_r).groupby(by) \
+        .map_groups(_merge, batch_format="pandas")
+
+
 def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset", *,
               on: str, right_on: str | None = None,
               join_type: str = "inner",

@@ -61,8 +61,10 @@ class ImageFeatureExtractor:
             raise NotImplementedError(
                 "image decoding requires an image library not present in this "
                 "environment; use decode_backend='fake' for pipeline testing")
-        # deterministic fake: digest bytes → pseudo mean pixel intensity
-        d = hashlib.blake2b(payload, digest_size=8).digest()
+        # deterministic fake: digest bytes → pseudo mean pixel intensity.
+        # sha256 (not blake2) so a SQL oracle can recompute it:
+        # ('0x' || substr(sha256(x),1,16))::UBIGINT % 256 / 255.0 in DuckDB
+        d = hashlib.sha256(payload).digest()[:8]
         return int.from_bytes(d, "big") % 256 / 255.0
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -24,8 +24,33 @@ def apply_transformations(ds: "ray.data.Dataset",
 
     ``{"disc_price": "l_extendedprice * (1 - l_discount)",
        "big": "disc_price > 1000"}``
-    """
+
+    Expressions are compiled ONCE on the driver to pyarrow.compute calls
+    (functions/expr.py) and evaluated zero-copy per Arrow batch; only if
+    some expression uses syntax outside that subset does the whole ordered
+    chain fall back to per-batch pandas ``eval`` (alias visibility requires
+    a single engine for the chain)."""
+    from ..functions.expr import UnsupportedExpression, compile_expr, eval_expr
+
     items = list(transformations.items())
+
+    try:
+        compiled = [(alias, compile_expr(expr)) for alias, expr in items]
+    except UnsupportedExpression:
+        compiled = None
+
+    if compiled is not None:
+        def _arrow_fn(batch: "pa.Table") -> "pa.Table":
+            for alias, tree in compiled:
+                col = eval_expr(batch, tree)
+                if alias in batch.column_names:
+                    batch = batch.set_column(
+                        batch.column_names.index(alias), alias, col)
+                else:
+                    batch = batch.append_column(alias, col)
+            return batch
+
+        return ds.map_batches(_arrow_fn, batch_format="pyarrow")
 
     def _fn(df: pd.DataFrame) -> pd.DataFrame:
         for alias, expr in items:

@@ -1,0 +1,133 @@
+"""Arrow expression compiler (functions/expr.py): parity with pandas eval on
+the supported subset, clean fallback signalling outside it, and the
+transform stage staying on the Arrow path for typical configs."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from data_quality_automated_evaluator_ray.functions.expr import (
+    UnsupportedExpression, compile_expr, eval_expr)
+
+
+def _batch():
+    rng = np.random.RandomState(7)
+    return pa.table({
+        "a": rng.randint(-50, 50, 200).astype(np.int64),
+        "b": rng.randint(1, 20, 200).astype(np.int64),
+        "x": np.round(rng.standard_normal(200) * 10, 3),
+        "flag": rng.rand(200) > 0.5,
+        "s": pd.Series(rng.choice(["u", "v", "w"], 200)),
+    })
+
+
+SUPPORTED = [
+    "a + b",
+    "a - 2 * b",
+    "x / 4",
+    "a / b",              # int/int must be true division (pandas semantics)
+    "a // b",
+    "a % b",              # floored modulo, sign of divisor
+    "x ** 2",
+    "-a + +b",
+    "a > 10",
+    "x <= 0.5",
+    "10 < a < 40",        # chained comparison
+    "s == 'v'",
+    "flag and a > 0",
+    "flag or x < 0",
+    "not flag",
+    "~flag",
+    "(a + b) * 2 > 30 and s != 'w'",
+    "a * 1.5 + x",
+    "3",                  # constant broadcast
+]
+
+
+@pytest.mark.parametrize("expr", SUPPORTED)
+def test_matches_pandas_eval(expr):
+    batch = _batch()
+    got = eval_expr(batch, compile_expr(expr))
+    want = batch.to_pandas().eval(expr)
+    got_np = np.asarray(got)
+    if np.isscalar(want) or isinstance(want, (int, float)):
+        want = np.full(batch.num_rows, want)
+    want_np = np.asarray(want)
+    if got_np.dtype.kind == "f" or want_np.dtype.kind == "f":
+        np.testing.assert_allclose(got_np.astype(float),
+                                   want_np.astype(float), rtol=1e-12)
+    else:
+        np.testing.assert_array_equal(got_np, want_np)
+
+
+UNSUPPORTED = [
+    "s.str.upper()",          # method call
+    "a in [1, 2, 3]",         # membership
+    "f(a)",                   # call
+    "a if flag else b",       # conditional
+    "[a, b]",                 # list
+    "@external",              # pandas local-variable ref (syntax error in ast)
+    "a = 5",                  # statement, not expression
+    "nope + 1",               # unknown column caught at eval time
+]
+
+
+@pytest.mark.parametrize("expr", UNSUPPORTED[:-1])
+def test_unsupported_raises_at_compile(expr):
+    with pytest.raises(UnsupportedExpression):
+        compile_expr(expr)
+
+
+def test_unknown_column_raises_at_eval():
+    tree = compile_expr("nope + 1")
+    with pytest.raises(UnsupportedExpression):
+        eval_expr(_batch(), tree)
+
+
+def test_kleene_null_semantics_match_duckdb():
+    """On nulls the Arrow path follows SQL three-valued logic (what the
+    DuckDB oracles compute), e.g. null > 5 -> null, null and False -> False."""
+    import duckdb
+
+    batch = pa.table({"v": pa.array([1.0, None, 10.0]),
+                      "f": pa.array([True, None, False])})
+    for expr, sql in [("v > 5", "v > 5"),
+                      ("f and v > 5", "f and v > 5"),
+                      ("f or v > 5", "f or v > 5")]:
+        got = eval_expr(batch, compile_expr(expr)).to_pylist()
+        want = [r[0] for r in duckdb.sql(
+            f"select {sql} from batch").fetchall()]
+        assert got == want, expr
+
+
+def test_apply_transformations_arrow_path_ordered_aliases(ray_session):
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.transforms import (
+        apply_transformations)
+
+    df = pd.DataFrame({"p": [10.0, 20.0, 30.0], "d": [0.1, 0.0, 0.5]})
+    out = apply_transformations(
+        ray.data.from_pandas(df),
+        {"disc_price": "p * (1 - d)",
+         "big": "disc_price > 12",      # sees the earlier alias
+         "p": "p * 2"},                 # replaces an existing column
+    ).to_pandas()
+    assert list(out["disc_price"]) == [9.0, 20.0, 15.0]
+    assert list(out["big"]) == [False, True, True]
+    assert list(out["p"]) == [20.0, 40.0, 60.0]
+
+
+def test_apply_transformations_fallback_still_works(ray_session):
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.transforms import (
+        apply_transformations)
+
+    df = pd.DataFrame({"s": ["ab", "c", "def"]})
+    out = apply_transformations(
+        ray.data.from_pandas(df),
+        {"n": "s.str.len()"},           # not Arrow-compilable -> pandas eval
+    ).to_pandas()
+    assert list(out["n"]) == [2, 1, 3]

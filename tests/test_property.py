@@ -5,6 +5,8 @@ Arrow/RE2 pipeline path and the Python-re oracle path is a real engine bug
 (these two paths gate the per-row sha256 equality invariant).
 """
 
+import re
+
 import pyarrow as pa
 import pytest
 from hypothesis import given, settings, strategies as st
@@ -79,3 +81,40 @@ def test_mulmod_p61_matches_bigint_math(a, h, b):
     bb = np.array([b], dtype=np.uint64)
     assert int(_mulmod_p61(aa, hh)[0]) == (a * h) % _P61
     assert int(_minhash_values(aa, bb, hh)[0, 0]) == (a * h + b) % _P61
+
+
+# ---------------------------------------------------------------------------
+# DuckDB scrub-SQL generation: the regexp_replace chain built by
+# _scrub_sql_expr must equal the ordered Python `re` scrub for ANY pattern
+# list — including patterns/replacements containing single quotes.
+# ---------------------------------------------------------------------------
+_lit_chars = st.text(
+    alphabet="abcXY0 9_'-@.", min_size=1, max_size=6)
+_classes = st.sampled_from([r"[0-9]+", r"[a-z]{2}", r"\d+", r"x'y",
+                            r"q[uo]+te'", r"[A-Z][a-z]*"])
+_pattern = st.one_of(_lit_chars.map(re.escape), _classes)
+_repl = st.sampled_from(["<X>", "''", "it's", "<EMAIL>", ""])
+_texts = st.lists(
+    st.text(alphabet="abcxyzXY '0129 quote@._-\n", max_size=40),
+    min_size=1, max_size=5)
+
+
+@given(st.lists(st.tuples(_pattern, _repl), min_size=1, max_size=4), _texts)
+@settings(max_examples=150, deadline=None, derandomize=True)
+def test_scrub_sql_expr_matches_re_oracle(patterns, texts):
+    import duckdb
+    import pandas as pd
+
+    from data_quality_automated_evaluator_ray.pipelines.queries import (
+        _scrub_sql_expr)
+
+    def py_scrub(t):
+        for pat, repl in patterns:
+            t = re.sub(pat, repl.replace("\\", "\\\\"), t, flags=re.ASCII)
+        return t
+
+    want = [py_scrub(t) for t in texts]
+    tbl = pd.DataFrame({"text": texts})
+    got = [r[0] for r in duckdb.sql(
+        f"select {_scrub_sql_expr('text', patterns)} from tbl").fetchall()]
+    assert got == want, patterns

@@ -96,6 +96,6 @@ def test_rows_only_queries_run(ray_session):
     oracles = e.oracle_sql()
     rows_only = [k for k in q if k not in oracles]
     assert rows_only, "expected some rows-only queries"
-    for name in ["multimodal_features", "lsh_topk_embeddings"]:
+    for name in ["ivf_topk_embeddings", "lsh_topk_embeddings"]:
         df = _to_pandas(q[name](SF))
         assert len(df) > 0, name

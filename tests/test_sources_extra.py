@@ -46,3 +46,47 @@ def test_config_validation(tmp_path):
     bad2.write_text(json.dumps({"source": {"path": "x"}, "pipeline": "nope"}))
     with pytest.raises(ValueError, match="unknown pipeline"):
         load_config(str(bad2))
+
+
+def test_read_sql_sqlite(ray_session, tmp_path, monkeypatch):
+    """SQL source path (reference reads PostgreSQL; any DBAPI driver works):
+    table read via stdlib sqlite3, $ENV substitution in connect_args, schema
+    overrides applied post-read, unsafe table names rejected."""
+    import sqlite3
+
+    import pytest
+
+    from data_quality_automated_evaluator_ray.sources.readers import read_source
+
+    db = str(tmp_path / "t.sqlite")
+    con = sqlite3.connect(db)
+    con.execute("create table items (id integer, name text, price real, d text)")
+    con.executemany("insert into items values (?,?,?,?)",
+                    [(i, f"n{i}", i * 1.5, "2024-01-0%d" % (i + 1))
+                     for i in range(5)])
+    con.commit()
+    con.close()
+
+    monkeypatch.setenv("TEST_SQLITE_DB", db)
+    out = read_source({
+        "format": "sqlite",
+        "table": "items",
+        "connect_args": {"database": "$TEST_SQLITE_DB"},
+        "columns": ["id", "name", "d"],
+        "schema_overrides": {"d": "Date"},
+    }).to_pandas().sort_values("id")
+    assert list(out.columns) == ["id", "name", "d"]
+    assert len(out) == 5
+    assert str(out["d"].iloc[2]) == "2024-01-03"
+
+    # arbitrary SQL pushdown: the engine (not Ray) evaluates the query
+    out2 = read_source({
+        "format": "sql", "driver": "sqlite3",
+        "query": "select id, price from items where price > 3",
+        "connect_args": {"database": db},
+    }).to_pandas()
+    assert sorted(out2["id"]) == [3, 4]
+
+    with pytest.raises(ValueError, match="unsafe table"):
+        read_source({"format": "sqlite", "table": "items; drop table items",
+                     "connect_args": {"database": db}})

@@ -162,3 +162,48 @@ def test_default_pool_size_never_reserves_every_cpu():
         assert total == 1 or n <= total - 1, (total, n)
     assert default_pool_size(32) == 27
     assert default_pool_size(2) == 1
+
+
+def test_asof_join_backward_semantics(ray_session):
+    import pandas as pd
+
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.joins import asof_join
+
+    left = pd.DataFrame({
+        "id": [1, 2, 3, 4, 5],
+        "k": ["a", "a", "a", "b", "c"],
+        "t": [10, 25, 5, 50, 7],
+    })
+    right = pd.DataFrame({
+        "k": ["a", "a", "b", "b"],
+        "t": [10, 20, 60, 1],
+        "v": [1.0, 2.0, 3.0, 4.0],
+    })
+    out = asof_join(ray.data.from_pandas(left), ray.data.from_pandas(right),
+                    on="t", by="k", right_cols=["v"]) \
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    # id1 t=10: exact match t=10 -> 1.0; id2 t=25: latest <=25 is t=20 -> 2.0
+    # id3 t=5: nothing <=5 for a -> null; id4 t=50: b latest <=50 is t=1 -> 4.0
+    # id5: key c has no right rows -> null
+    assert out["v"].tolist()[:2] == [1.0, 2.0]
+    assert pd.isna(out["v"].iloc[2])
+    assert out["v"].iloc[3] == 4.0
+    assert pd.isna(out["v"].iloc[4])
+    assert list(out.columns) == ["id", "k", "t", "v"]
+
+
+def test_asof_join_name_collision_suffix(ray_session):
+    import pandas as pd
+
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.joins import asof_join
+
+    left = pd.DataFrame({"k": [1], "t": [5], "v": [99.0]})
+    right = pd.DataFrame({"k": [1], "t": [3], "v": [7.0]})
+    out = asof_join(ray.data.from_pandas(left), ray.data.from_pandas(right),
+                    on="t", by="k", right_cols=["v"]).to_pandas()
+    assert out["v"].iloc[0] == 99.0       # left column untouched
+    assert out["v_asof"].iloc[0] == 7.0   # right column suffixed
