@@ -363,8 +363,12 @@ def connected_components(pairs: "ray.data.Dataset", *,
     def _init(t: pa.Table) -> pa.Table:
         return pa.table({"doc_id": t.column("node"), "label": t.column("node")})
 
-    labels = edges.map_batches(_init, batch_format="pyarrow") \
-                  .groupby("doc_id").min("label").materialize()
+    def _min_label(part: pd.DataFrame) -> pd.DataFrame:
+        return part.groupby("doc_id", as_index=False, sort=False)["label"].min()
+
+    labels = _apply_per_bucket(
+        edges.map_batches(_init, batch_format="pyarrow"),
+        ["doc_id"], _min_label).materialize()
     if labels.count() == 0:  # no candidate pairs → no components
         return ray.data.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()),
                                              "component": pa.array([], pa.int64())}))
@@ -389,17 +393,20 @@ def connected_components(pairs: "ray.data.Dataset", *,
                                       pa.array([-1] * t.num_rows, pa.int64())),
             batch_format="pyarrow")
 
-        def _propagate(g: pd.DataFrame) -> pd.DataFrame:
-            lab_rows = g[g["peer"] == -1]
-            label = int(lab_rows["label"].min())
-            peers = g.loc[g["peer"] != -1, "peer"].astype("int64")
-            out = {"doc_id": peers.tolist() + [int(g["node"].iloc[0])],
-                   "label": [label] * (len(peers) + 1)}
-            return pd.DataFrame(out)
+        def _propagate(part: pd.DataFrame) -> pd.DataFrame:
+            # whole partition at once: the label rows form a lookup table,
+            # a C-level merge sends each node's label to its edge peers
+            labs = part.loc[part["peer"] == -1, ["node", "label"]]
+            edge_rows = part.loc[part["peer"] != -1, ["node", "peer"]]
+            sent = edge_rows.merge(labs, on="node")
+            return pd.concat([
+                sent[["peer", "label"]].rename(columns={"peer": "doc_id"}),
+                labs.rename(columns={"node": "doc_id"}),
+            ], ignore_index=True)
 
-        prop = lab_side.union(edge_side).groupby("node") \
-            .map_groups(_propagate, batch_format="pandas")
-        labels = prop.groupby("doc_id").min("label").materialize()
+        prop = _apply_per_bucket(lab_side.union(edge_side), ["node"],
+                                 _propagate)
+        labels = _apply_per_bucket(prop, ["doc_id"], _min_label).materialize()
         # distributed convergence check: labels only ever DECREASE under
         # min-propagation, so the label sum is strictly monotone — equal sums
         # ⇔ no label changed. One scalar reaches the driver; the label table
