@@ -196,10 +196,19 @@ def partition_metrics_scalable(ds: "ray.data.Dataset",
     # At extreme scale, fold metrics into the runner's per-partition pass.
     narrow = ds.select_columns(KEY + ["keep", "content_sha256"] + NUMERIC_FEATURES) \
                .materialize()
+    from .partitioning import partitioned_groupby
+
     partials = narrow.map_batches(_partials, batch_format="pyarrow",
                                   batch_size=8192, zero_copy_batch=True)
-    stats = partials.groupby(KEY).map_groups(_combine, batch_format="pandas") \
-                    .to_pandas()
+    # coarse partitions + per-partition combine: Ray's map_groups pays
+    # per-GROUP Python overhead (~1.5 ms/group here — 5.5 s for 3495 keys at
+    # 1M rows); grouping inside the partition is a cheap pandas slice loop
+    stats = partitioned_groupby(
+        partials, KEY,
+        lambda part: pd.concat(
+            [_combine(g) for _, g in part.groupby(KEY, sort=False)],
+            ignore_index=True),
+    ).to_pandas()
 
     if approx_distinct:
         # HLL sketches: ~1.6% standard error; the shuffle is O(keys × batches
@@ -227,13 +236,12 @@ def partition_metrics_scalable(ds: "ray.data.Dataset",
         triples = narrow.map_batches(_distinct_triples, batch_format="pyarrow",
                                      batch_size=8192, zero_copy_batch=True)
 
-        def _nunique(g: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame([{"repo": g["repo"].iloc[0],
-                                  "lang": g["lang"].iloc[0],
-                                  "n_unique_sha": int(g["content_sha256"].nunique())}])
+        def _nunique_part(part: pd.DataFrame) -> pd.DataFrame:
+            out = part.groupby(KEY, sort=False)["content_sha256"] \
+                .nunique().reset_index()
+            return out.rename(columns={"content_sha256": "n_unique_sha"})
 
-        uniq = triples.groupby(KEY).map_groups(_nunique, batch_format="pandas") \
-                      .to_pandas()
+        uniq = partitioned_groupby(triples, KEY, _nunique_part).to_pandas()
 
     if approx_median:
         from ..functions.quantiles import merge_quantile

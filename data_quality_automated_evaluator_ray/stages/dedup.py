@@ -33,6 +33,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from .partitioning import partitioned_groupby as _apply_per_bucket
+
 _MERSENNE = (1 << 61) - 1
 
 
@@ -118,39 +120,6 @@ def _token_shingles(text: str, k: int) -> list[str]:
     if len(toks) < k:
         return [" ".join(toks)] if toks else []
     return [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
-
-
-def _apply_per_bucket(ds: "ray.data.Dataset", key_cols: list[str],
-                      per_bucket_fn, *,
-                      num_partitions: int = 64) -> "ray.data.Dataset":
-    """Run a VECTORIZED partition function over co-located (key_cols)
-    buckets without one Ray group per bucket: buckets are hash-assigned to
-    ``num_partitions`` coarse partitions (vectorized), ONE shuffle co-locates
-    each bucket wholly inside its partition, and ``per_bucket_fn`` processes
-    the whole partition at once (see _merge_pairs_fn — a pandas self-merge,
-    never a Python loop over buckets). LSH bucket tables have ~1 row per
-    bucket on average, so per-bucket ``map_groups`` pays Ray's per-group
-    cost ~N times (measured 11 s of an 18 s query at sf0.1); this pays it
-    ``num_partitions`` times. At cluster scale raise num_partitions to
-    ~cluster cores — partition assignment never affects output values, only
-    placement."""
-    P = np.uint64(num_partitions)
-    mix = np.uint64(0x9E3779B97F4A7C15)
-
-    def _addpart(df: pd.DataFrame) -> pd.DataFrame:
-        acc = np.zeros(len(df), dtype=np.uint64)
-        for c in key_cols:
-            hv = pd.util.hash_pandas_object(df[c], index=False) \
-                .to_numpy().view(np.uint64)
-            acc = acc * mix + hv
-        df["__part"] = (acc % P).astype(np.int64)
-        return df
-
-    def _part_fn(part: pd.DataFrame) -> pd.DataFrame:
-        return per_bucket_fn(part.drop(columns="__part"))
-
-    return ds.map_batches(_addpart, batch_format="pandas") \
-        .groupby("__part").map_groups(_part_fn, batch_format="pandas")
 
 
 def _merge_pairs_fn(key_cols: list[str], id_col: str = "doc_id"):
