@@ -44,6 +44,24 @@ def load_config(path: str) -> dict[str, Any]:
     return cfg
 
 
+def _write_charts(cfg, metrics, out_dir, criterion,
+                  key_cols=("repo", "lang")) -> int:
+    """Chart export with the reference's format knob (reference
+    README.md:239, plot.py:67-71): ``chart_format`` = "svg" (default,
+    dependency-free markup) or "png" (from-scratch raster, pipelines/
+    raster.py). Both draw the same series + outlier-bound semantics."""
+    fmt = cfg.get("chart_format", "svg")
+    if fmt == "png":
+        from .pipelines.raster import write_charts_png
+        return len(write_charts_png(metrics, out_dir, criterion=criterion,
+                                    key_cols=key_cols))
+    if fmt == "svg":
+        from .pipelines.charts import write_charts
+        return len(write_charts(metrics, out_dir, criterion=criterion,
+                                key_cols=key_cols))
+    raise ValueError(f"unsupported chart_format {fmt!r}; use 'svg' or 'png'")
+
+
 def run_config(cfg: dict[str, Any]) -> dict[str, Any]:
     """Execute a config end-to-end; returns a run summary dict."""
     from .functions.outliers import drift_flags
@@ -78,12 +96,11 @@ def run_config(cfg: dict[str, Any]) -> dict[str, Any]:
                          title="Temporal data quality report",
                          key_cols=("time_interval",))
         path = write_report(md, out_dir)
-        from .pipelines.charts import write_charts
-        charts = write_charts(metrics, out_dir, criterion=criterion,
-                              key_cols=("time_interval",))
+        charts = _write_charts(cfg, metrics, out_dir, criterion,
+                               key_cols=("time_interval",))
         return {"pipeline": "temporal_report", "intervals": len(metrics),
                 "drift_flags": len(flags), "report": path,
-                "charts": len(charts)}
+                "charts": charts}
 
     # quality_filter
     from .pipelines.runner import run_resumable
@@ -117,9 +134,7 @@ def run_config(cfg: dict[str, Any]) -> dict[str, Any]:
         md = make_report(metrics, manifests=manifests, criterion=criterion)
         summary["report"] = write_report(md, out_dir)
         summary["partitions_metrics"] = len(metrics)
-        from .pipelines.charts import write_charts
-        summary["charts"] = len(write_charts(metrics, out_dir,
-                                             criterion=criterion))
+        summary["charts"] = _write_charts(cfg, metrics, out_dir, criterion)
     return summary
 
 

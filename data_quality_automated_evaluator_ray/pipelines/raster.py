@@ -1,0 +1,139 @@
+"""Dependency-free PNG chart export (reference K2 raster formats).
+
+The reference exports Plotly charts as PNG/JPEG/WebP/PDF via a kaleido
+subprocess (reference plot.py:67-71; format knob README.md:239). Neither
+kaleido nor any image library exists in this environment, so the raster path
+is built from scratch: charts are rasterized into a numpy RGB buffer
+(horizontal guide lines, anti-alias-free Bresenham polyline, square outlier
+markers — the same visual semantics as the SVG twin in charts.py) and
+encoded as PNG with stdlib ``zlib`` only (one IDAT, filter type 0).
+
+Deterministic output: same metrics in → byte-identical PNG out.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import zlib
+
+import numpy as np
+import pandas as pd
+
+from ..functions.outliers import criterion_bounds
+
+_W, _H, _PAD = 480, 120, 8
+_BG = (255, 255, 255)
+_SERIES = (43, 108, 176)    # #2b6cb0 — matches the SVG twin
+_GUIDE = (204, 51, 51)      # #cc3333
+_MARK = (204, 51, 51)
+
+
+def encode_png(rgb: np.ndarray) -> bytes:
+    """Minimal PNG encoder: 8-bit RGB, no interlace, filter 0 per scanline."""
+    if rgb.dtype != np.uint8 or rgb.ndim != 3 or rgb.shape[2] != 3:
+        raise ValueError("expected (H, W, 3) uint8")
+    h, w, _ = rgb.shape
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit, color type 2
+    raw = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8),               # filter byte 0
+         rgb.reshape(h, w * 3)], axis=1).tobytes()
+    return (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 9))
+            + chunk(b"IEND", b""))
+
+
+def _draw_hline(img: np.ndarray, y: int, color, dash: int = 0) -> None:
+    if not (0 <= y < img.shape[0]):
+        return
+    xs = np.arange(_PAD, _W - _PAD)
+    if dash:
+        xs = xs[(xs // dash) % 2 == 0]
+    img[y, xs] = color
+
+
+def _draw_polyline(img: np.ndarray, pts: list[tuple[int, int]], color) -> None:
+    """1-px Bresenham segments between consecutive points."""
+    for (x0, y0), (x1, y1) in zip(pts, pts[1:]):
+        dx, dy = abs(x1 - x0), -abs(y1 - y0)
+        sx = 1 if x0 < x1 else -1
+        sy = 1 if y0 < y1 else -1
+        err = dx + dy
+        x, y = x0, y0
+        while True:
+            if 0 <= y < img.shape[0] and 0 <= x < img.shape[1]:
+                img[y, x] = color
+            if x == x1 and y == y1:
+                break
+            e2 = 2 * err
+            if e2 >= dy:
+                err += dy
+                x += sx
+            if e2 <= dx:
+                err += dx
+                y += sy
+
+
+def _draw_square(img: np.ndarray, x: int, y: int, color, r: int = 2) -> None:
+    img[max(y - r, 0):y + r + 1, max(x - r, 0):x + r + 1] = color
+
+
+def sparkline_png(values, lower: float | None = None,
+                  upper: float | None = None) -> bytes:
+    """Raster twin of charts.sparkline_svg: series polyline, dashed outlier
+    bound guides, square markers on points beyond the bounds."""
+    x = np.asarray(values, dtype=np.float64)
+    img = np.empty((_H, _W, 3), dtype=np.uint8)
+    img[:] = _BG
+    valid = ~np.isnan(x)
+    if valid.sum() == 0:
+        return encode_png(img)
+    guides = [v for v in (lower, upper) if v is not None and np.isfinite(v)]
+    lo = min(float(np.nanmin(x)), *(guides or [float(np.nanmin(x))]))
+    hi = max(float(np.nanmax(x)), *(guides or [float(np.nanmax(x))]))
+    span = (hi - lo) or 1.0
+
+    def sx(i: int) -> int:
+        return int(round(_PAD + (_W - 2 * _PAD) * (i / max(len(x) - 1, 1))))
+
+    def sy(v: float) -> int:
+        return int(round(_H - _PAD - (_H - 2 * _PAD) * ((v - lo) / span)))
+
+    for g in (lower, upper):
+        if g is not None and np.isfinite(g):
+            _draw_hline(img, sy(float(g)), _GUIDE, dash=4)
+    pts = [(sx(i), sy(v)) for i, v in enumerate(x) if not np.isnan(v)]
+    _draw_polyline(img, pts, _SERIES)
+    if lower is not None and upper is not None:
+        for i, v in enumerate(x):
+            if not np.isnan(v) and (v < lower or v > upper):
+                _draw_square(img, sx(i), sy(v), _MARK)
+    return encode_png(img)
+
+
+def write_charts_png(metrics: pd.DataFrame, out_dir: str,
+                     criterion: str = "IQR",
+                     key_cols: tuple[str, ...] = ("repo", "lang")) -> list[str]:
+    """One PNG per numeric metric column → ``<out_dir>/charts/<metric>.png``
+    (raster sibling of charts.write_charts; reference plot.py:67-71)."""
+    charts_dir = os.path.join(out_dir, "charts")
+    os.makedirs(charts_dir, exist_ok=True)
+    written = []
+    for c in metrics.columns:
+        if c in key_cols or not pd.api.types.is_numeric_dtype(metrics[c]):
+            continue
+        x = metrics[c].to_numpy(dtype=np.float64)
+        if np.isnan(x).all():
+            continue
+        lo, hi = criterion_bounds(x[~np.isnan(x)], criterion)
+        path = os.path.join(charts_dir, f"{c}.png")
+        with open(path, "wb") as fh:
+            fh.write(sparkline_png(x, lo, hi))
+        written.append(path)
+    return sorted(written)

@@ -1,0 +1,94 @@
+"""PNG chart export: valid PNG structure, deterministic bytes, correct pixel
+semantics (series color present, guide rows dashed red, outlier markers)."""
+
+import struct
+import zlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from data_quality_automated_evaluator_ray.pipelines.raster import (
+    encode_png, sparkline_png, write_charts_png)
+
+
+def _decode_png(data: bytes) -> np.ndarray:
+    """Tiny PNG decoder for the encoder's own output (filter 0 only)."""
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    pos, idat, w = 8, b"", None
+    while pos < len(data):
+        ln = struct.unpack(">I", data[pos:pos + 4])[0]
+        tag = data[pos + 4:pos + 8]
+        payload = data[pos + 8:pos + 8 + ln]
+        crc = struct.unpack(">I", data[pos + 8 + ln:pos + 12 + ln])[0]
+        assert crc == zlib.crc32(tag + payload) & 0xFFFFFFFF
+        if tag == b"IHDR":
+            w, h, depth, ctype = struct.unpack(">IIBB", payload[:10])
+            assert depth == 8 and ctype == 2
+        elif tag == b"IDAT":
+            idat += payload
+        pos += 12 + ln
+    raw = zlib.decompress(idat)
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + w * 3)
+    assert (rows[:, 0] == 0).all()  # filter 0
+    return rows[:, 1:].reshape(h, w, 3)
+
+
+def test_png_roundtrip_and_determinism():
+    vals = [1.0, 2.0, 10.0, 2.0, np.nan, 3.0]
+    a = sparkline_png(vals, lower=0.5, upper=5.0)
+    b = sparkline_png(vals, lower=0.5, upper=5.0)
+    assert a == b
+    img = _decode_png(a)
+    assert img.shape == (120, 480, 3)
+    # series pixels present
+    assert (img == np.array([43, 108, 176], np.uint8)).all(axis=2).any()
+    # outlier marker red present (value 10 > upper 5)
+    assert (img == np.array([204, 51, 51], np.uint8)).all(axis=2).any()
+
+
+def test_png_empty_series_is_blank():
+    img = _decode_png(sparkline_png([np.nan, np.nan]))
+    assert (img == 255).all()
+
+
+def test_write_charts_png(tmp_path):
+    m = pd.DataFrame({"repo": ["a", "b", "c", "d", "e"],
+                      "lang": ["x"] * 5,
+                      "n_files": [10, 12, 11, 300, 9],
+                      "keep_rate": [.9, .91, .88, .9, .92]})
+    paths = write_charts_png(m, str(tmp_path))
+    names = sorted(p.split("/")[-1] for p in paths)
+    assert names == ["keep_rate.png", "n_files.png"]
+    for p in paths:
+        img = _decode_png(open(p, "rb").read())
+        assert img.shape == (120, 480, 3)
+
+
+def test_encode_png_rejects_bad_input():
+    with pytest.raises(ValueError):
+        encode_png(np.zeros((4, 4), dtype=np.uint8))
+
+
+def test_config_chart_format_png(ray_session, tmp_path):
+    import glob
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_quality_automated_evaluator_ray.config import run_config
+    from data_quality_automated_evaluator_ray.sources.codegen import write_corpus
+
+    corpus = str(tmp_path / "corpus")
+    write_corpus(corpus, n_rows=400, seed=5, n_files=2)
+    cfg = {
+        "pipeline": "quality_filter",
+        "source": {"path": corpus},
+        "output": {"dir": str(tmp_path / "out"), "partition_size": 1},
+        "chart_format": "png",
+    }
+    summary = run_config(cfg)
+    pngs = glob.glob(str(tmp_path / "out" / "charts" / "*.png"))
+    assert summary["charts"] == len(pngs) > 0
+    _decode_png(open(pngs[0], "rb").read())  # structurally valid
