@@ -112,6 +112,131 @@ def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset", *,
                      on=(on,), right_on=(right_on or on,))
 
 
+def skew_join(left: "ray.data.Dataset", right: "ray.data.Dataset", *,
+              on: str, right_on: str | None = None,
+              hot_threshold_frac: float = 0.05,
+              num_partitions: int = 16) -> "ray.data.Dataset":
+    """Skew-aware inner equi-join for a LEFT side with hot keys.
+
+    A plain hash join serializes every row of a hot key into one aggregator;
+    at 100 TB one Zipf-head key can be 10% of the table. Split plan:
+
+    * narrow pre-pass counts left keys (only the key column moves);
+    * keys above ``hot_threshold_frac`` of left rows are HOT → their right
+      rows (few: one per key per dimension row) are pulled driver-side and
+      BROADCAST-joined against the streaming hot-left rows (zero shuffle of
+      the fat side);
+    * the cold remainder goes through the normal ``Dataset.join`` hash
+      shuffle, now guaranteed skew-free;
+    * union of both halves.
+
+    Right side must be join-key-unique-ish on hot keys (dimension-table
+    shape): the broadcast pulls ``right ⋉ hot_keys`` driver-side, documented
+    bounded by (#hot keys × right rows per key).
+    """
+    rkey = right_on or on
+    from .partitioning import partitioned_groupby
+
+    # narrow pre-pass: per-key counts via the coarse-partition vectorized
+    # groupby (key cardinality can be ≈ row count — never one Ray group per
+    # key), materialized once; only the HOT keys ever reach the driver
+    counts = partitioned_groupby(
+        left.select_columns([on]), [on],
+        lambda part: part.groupby(on, as_index=False, sort=False)
+                         .size().rename(columns={"size": "__n"})) \
+        .materialize()
+    total = int(counts.sum("__n"))
+    n_keys = counts.count()
+    thresh = hot_threshold_frac * total
+    hot_df = counts.map_batches(lambda df: df[df["__n"] > thresh],
+                                batch_format="pandas").to_pandas()
+    if not len(hot_df):
+        return hash_join(left, right, on=on, right_on=right_on,
+                         num_partitions=num_partitions)
+    hot_keys = list(hot_df[on])
+    hot_ref = ray.put(set(hot_keys))
+
+    def _is_hot(b: pa.Table, invert: bool) -> pa.Table:
+        keys = ray.get(hot_ref)
+        mask = pc.is_in(b.column(on), value_set=pa.array(sorted(keys)))
+        return b.filter(pc.invert(mask) if invert else mask)
+
+    hot_left = left.map_batches(lambda b: _is_hot(b, False),
+                                batch_format="pyarrow")
+    # small side of the hot half: right rows for hot keys only
+    hot_right_df = right.map_batches(
+        lambda b: b.filter(pc.is_in(b.column(rkey),
+                                    value_set=pa.array(sorted(hot_keys)))),
+        batch_format="pyarrow").to_pandas()
+    if rkey != on:
+        hot_right_df = hot_right_df.rename(columns={rkey: on})
+    hot_half = broadcast_join(hot_left, hot_right_df, on=on)
+    if len(hot_df) == n_keys:
+        # every key is hot: no cold half (an all-empty join side loses its
+        # schema inside Ray's hash-shuffle aggregator and aborts)
+        return hot_half
+    cold_left = left.map_batches(lambda b: _is_hot(b, True),
+                                 batch_format="pyarrow")
+    cold_half = hash_join(cold_left, right, on=on, right_on=right_on,
+                          num_partitions=num_partitions)
+    return hot_half.union(cold_half)
+
+
+def range_join(points: "ray.data.Dataset", intervals: "ray.data.Dataset", *,
+               by: str, value_col: str, lo_col: str, hi_col: str,
+               bucket_width: int,
+               num_partitions: int = 16) -> "ray.data.Dataset":
+    """Point-in-interval join (custom operator — Ray Data has none): match
+    each point row to every interval row of the same ``by`` key with
+    ``lo_col <= value_col <= hi_col`` (inner; unmatched points drop).
+
+    Bucketing makes it an equi-join: both sides key on
+    ``floor(value / bucket_width)``. A point lives in exactly ONE bucket and
+    an interval replicates into each bucket it overlaps, so every true
+    (point, interval) match is produced exactly once — no post-dedup shuffle.
+    Pick ``bucket_width`` ≈ the typical interval length: replication factor
+    is interval_len / bucket_width + 1, while too-wide buckets put unrelated
+    rows in one join partition. Values must be integers (e.g. epoch
+    microseconds)."""
+    w = int(bucket_width)
+
+    def _bucket_points(b: pa.Table) -> pa.Table:
+        v = b.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column("__bucket",
+                               pa.array(v // w, pa.int64()))
+
+    def _replicate_intervals(df: pd.DataFrame) -> pd.DataFrame:
+        lo = df[lo_col].to_numpy().astype(np.int64)
+        hi = df[hi_col].to_numpy().astype(np.int64)
+        b0, b1 = lo // w, hi // w
+        reps = (b1 - b0 + 1).clip(min=0)
+        idx = np.repeat(np.arange(len(df)), reps)
+        out = df.iloc[idx].reset_index(drop=True)
+        # bucket index within each interval's replica run
+        run_start = np.repeat(b0, reps)
+        offsets = np.arange(reps.sum()) - np.repeat(
+            np.concatenate([[0], np.cumsum(reps[:-1])]), reps)
+        out["__bucket__r"] = (run_start + offsets).astype(np.int64)
+        out = out.rename(columns={by: f"{by}__r"})
+        return out
+
+    pts = points.map_batches(_bucket_points, batch_format="pyarrow")
+    ivs = intervals.map_batches(_replicate_intervals, batch_format="pandas")
+    joined = pts.join(ivs, join_type="inner", num_partitions=num_partitions,
+                      on=(by, "__bucket"), right_on=(f"{by}__r", "__bucket__r"))
+
+    def _verify(b: pa.Table) -> pa.Table:
+        v = b.column(value_col)
+        keep = pc.and_(pc.greater_equal(v, b.column(lo_col)),
+                       pc.less_equal(v, b.column(hi_col)))
+        out = b.filter(keep)
+        drop = [c for c in ("__bucket", "__bucket__r", f"{by}__r")
+                if c in out.column_names]
+        return out.drop_columns(drop)
+
+    return joined.map_batches(_verify, batch_format="pyarrow")
+
+
 def broadcast_join(ds: "ray.data.Dataset", small: pd.DataFrame, *,
                    on: str, how: str = "inner") -> "ray.data.Dataset":
     """Join a streaming Dataset against a small in-memory table (no shuffle)."""

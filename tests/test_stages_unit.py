@@ -207,3 +207,64 @@ def test_asof_join_name_collision_suffix(ray_session):
                     on="t", by="k", right_cols=["v"]).to_pandas()
     assert out["v"].iloc[0] == 99.0       # left column untouched
     assert out["v_asof"].iloc[0] == 7.0   # right column suffixed
+
+
+def test_skew_join_hot_and_cold_halves(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.joins import (
+        hash_join, skew_join)
+
+    # key "hot" holds 60% of left rows; "c1".."c5" are cold
+    left = pd.DataFrame({
+        "k": ["hot"] * 60 + [f"c{i % 5}" for i in range(40)],
+        "x": np.arange(100, dtype=np.int64),
+    })
+    right = pd.DataFrame({"k": ["hot"] + [f"c{i}" for i in range(5)] + ["zz"],
+                          "v": np.arange(7, dtype=np.int64) * 10})
+    want = left.merge(right, on="k").sort_values(["x"]).reset_index(drop=True)
+
+    got = skew_join(ray.data.from_pandas(left), ray.data.from_pandas(right),
+                    on="k", hot_threshold_frac=0.2) \
+        .to_pandas()[["k", "x", "v"]].sort_values("x").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want[["k", "x", "v"]])
+
+    # no hot keys -> pure hash-join path, same result
+    got2 = skew_join(ray.data.from_pandas(left), ray.data.from_pandas(right),
+                     on="k", hot_threshold_frac=0.99) \
+        .to_pandas()[["k", "x", "v"]].sort_values("x").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got2, want[["k", "x", "v"]])
+
+
+def test_range_join_semantics(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.joins import range_join
+
+    points = pd.DataFrame({
+        "k": ["a", "a", "a", "b", "b"],
+        "pid": [1, 2, 3, 4, 5],
+        "v": np.array([5, 25, 99, 10, 11], dtype=np.int64),
+    })
+    intervals = pd.DataFrame({
+        "k": ["a", "a", "b"],
+        "iid": [100, 101, 102],
+        "lo": np.array([0, 20, 10], dtype=np.int64),
+        # iid=100 spans many buckets (width 10); iid overlaps 101 at 20..30
+        "hi": np.array([30, 40, 10], dtype=np.int64),
+    })
+    out = range_join(ray.data.from_pandas(points),
+                     ray.data.from_pandas(intervals),
+                     by="k", value_col="v", lo_col="lo", hi_col="hi",
+                     bucket_width=10).to_pandas()
+    got = sorted(zip(out["pid"], out["iid"]))
+    # pid1 v=5 in [0,30]; pid2 v=25 in BOTH [0,30] and [20,40] (exactly once
+    # each despite multi-bucket replication); pid3 v=99 matches nothing;
+    # pid4 v=10 in [10,10] (inclusive bounds); pid5 v=11 not in [10,10]
+    assert got == [(1, 100), (2, 100), (2, 101), (4, 102)]
