@@ -11,12 +11,14 @@ the library) calls ray.init()/ray.shutdown().
 * ``oracle_sql()`` — DuckDB-runnable ANSI SQL for every SQL-expressible
   query, with matching column names and float rounding — including simhash
   (integer bit votes), MinHash-LSH (HUGEINT universal hashes + string_agg
-  band keys), duplicate groups (recursive-CTE closure) and the heuristic
-  code-corpus filter and the multimodal fake-decode (sha256 byte math).
-  Only genuinely non-SQL pipelines stay rows-only: the model-backed
-  flagship (qf_code_corpus, partition_metrics_code_corpus,
-  langid_documents) and the seeded-index ANN paths (lsh/ivf_topk) — all
-  covered by pytest golden/parity tests instead.
+  band keys), duplicate groups (recursive-CTE closure), the heuristic
+  code-corpus filter, the multimodal fake-decode (sha256 byte math), and
+  LSH ANN top-k (seeded hyperplanes embedded as DOUBLE[] literals +
+  list_dot_product). Only genuinely non-SQL pipelines stay rows-only: the
+  model-backed flagship (qf_code_corpus, partition_metrics_code_corpus,
+  langid_documents) and ivf_topk (centroids are k-means over a data
+  sample — not expressible as a static SQL string) — all covered by
+  pytest golden/parity tests instead.
 """
 
 from __future__ import annotations
@@ -87,22 +89,6 @@ def _langid_documents(sf_dir: str):
              .select_columns(["doc_id", "lang_pred", "lang_conf"])
 
 
-def _lsh_topk_embeddings(sf_dir: str):
-    import numpy as np
-    import pyarrow.parquet as pq
-
-    import ray.data
-
-    from data_quality_automated_evaluator_ray.stages.similarity import lsh_topk
-
-    emb = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
-    qdf = emb[emb["vec_id"] < 5].sort_values("vec_id")
-    q = np.array(qdf["embedding"].tolist(), dtype=np.float64)
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    return lsh_topk(ds, q, qdf["vec_id"].astype(int).tolist(), k=5, dim=64) \
-        .select_columns(["query_id", "neighbor_id", "rank"])
-
-
 def _ivf_topk_embeddings(sf_dir: str):
     import numpy as np
     import pyarrow.parquet as pq
@@ -130,7 +116,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qf_code_corpus": _qf_code_corpus,
         "partition_metrics_code_corpus": _partition_metrics_code_corpus,
         "langid_documents": _langid_documents,
-        "lsh_topk_embeddings": _lsh_topk_embeddings,
         "ivf_topk_embeddings": _ivf_topk_embeddings,
     })
     return out
