@@ -102,10 +102,8 @@ def run_bench() -> dict:
     n_parts = m.count()
     timings["qf_metrics"] = time.perf_counter() - t0
 
-    # operator suite over the provided sf tables. NOTE exact n-gram Jaccard
-    # is deliberately absent: it is quadratic in co-occurring docs and exists
-    # as the verification oracle for candidates; MinHash-LSH is the scale
-    # path and is what gets timed here.
+    # operator suite over the provided sf tables (round-2 additions appended
+    # so round-over-round keys stay comparable)
     import __ray_entry__ as entry_mod
 
     extra = {"minhash_lsh_documents": entry_mod.queries()["minhash_lsh_documents"]}
@@ -113,7 +111,12 @@ def run_bench() -> dict:
              for name in ["interval_overview_events", "pricing_summary_lineitem",
                           "topk_revenue_orders", "dedup_exact_documents",
                           "scrub_documents", "ann_topk_embeddings",
-                          "text_quality_documents"]}
+                          "text_quality_documents",
+                          # round 2: joins + exact-jaccard (vectorized pair
+                          # emission made exact n-gram viable at sf0.1)
+                          "ngram_jaccard_documents", "asof_purchase_events",
+                          "session_range_join_events", "skewed_events_by_type",
+                          "order_priority_by_nation"]}
     suite.update(extra)
     for name, fn in suite.items():
         t0 = time.perf_counter()
