@@ -123,17 +123,29 @@ class NgramLM:
             m = self.models[lg]
             k = m.V + 1
             vocab_get = m.vocab.get
-            id_lists, keep_rows = [], []
+            tok_lists, keep_rows = [], []
             for i in rows:
                 toks = _TOKEN_RE.findall(texts[i][:_MAX_CHARS])[:_MAX_TOKENS]
                 if toks:
-                    id_lists.append([vocab_get(t, -1) for t in toks])
+                    tok_lists.append(toks)
                     keep_rows.append(i)
             if not keep_rows:
                 continue
-            lens = np.array([len(x) for x in id_lists], dtype=np.int64)
-            ids = np.fromiter((v for lst in id_lists for v in lst),
-                              dtype=np.int64, count=int(lens.sum()))
+            lens = np.array([len(x) for x in tok_lists], dtype=np.int64)
+            # token→id via ONE hash pass over the batch (pd.factorize) plus a
+            # dict lookup per DISTINCT token (~2% of tokens on this corpus) —
+            # replaces a per-token dict.get loop; ids are bit-identical
+            import pandas as pd
+
+            flat = np.empty(int(lens.sum()), dtype=object)
+            pos = 0
+            for lst in tok_lists:
+                flat[pos:pos + len(lst)] = lst
+                pos += len(lst)
+            codes, uniques = pd.factorize(flat)
+            uid = np.fromiter((vocab_get(u, -1) for u in uniques),
+                              dtype=np.int64, count=len(uniques))
+            ids = uid[codes]
             offsets = np.zeros(lens.size, dtype=np.int64)
             np.cumsum(lens[:-1], out=offsets[1:])
             prev = np.empty_like(ids)
