@@ -44,6 +44,13 @@ def _is_arr(x) -> bool:
     return isinstance(x, (pa.Array, pa.ChunkedArray))
 
 
+def _norm(x):
+    """pc kernels on two scalars return a pa.Scalar, whose Python truthiness
+    is object-default (always True) — unbox to the Python value so scalar
+    subexpressions (e.g. ``not (2 < 2)``) behave like Python/SQL."""
+    return x.as_py() if isinstance(x, pa.Scalar) else x
+
+
 def _true_div(left, right):
     """pandas-eval semantics: ``/`` is ALWAYS true division (int/int → float),
     while pc.divide on two integer arrays does integer division."""
@@ -101,12 +108,12 @@ class _Compiler(ast.NodeVisitor):
             raise UnsupportedExpression(ast.dump(node.op))
         left, right = self.visit(node.left), self.visit(node.right)
         if op is ast.Div:
-            return _true_div(left, right)
+            return _norm(_true_div(left, right))
         if op is ast.FloorDiv:
-            return _floor_div(left, right)
+            return _norm(_floor_div(left, right))
         if op is ast.Mod:
-            return _mod(left, right)
-        return getattr(pc, _BIN_OPS[op])(left, right)
+            return _norm(_mod(left, right))
+        return _norm(getattr(pc, _BIN_OPS[op])(left, right))
 
     def visit_UnaryOp(self, node: ast.UnaryOp):
         val = self.visit(node.operand)
@@ -125,8 +132,9 @@ class _Compiler(ast.NodeVisitor):
             if type(op) not in _CMP_OPS:
                 raise UnsupportedExpression(ast.dump(op))
             right = self.visit(comparator)
-            part = getattr(pc, _CMP_OPS[type(op)])(left, right)
-            result = part if result is None else pc.and_kleene(result, part)
+            part = _norm(getattr(pc, _CMP_OPS[type(op)])(left, right))
+            result = part if result is None else _norm(
+                pc.and_kleene(result, part))
             left = right
         return result
 
@@ -135,7 +143,7 @@ class _Compiler(ast.NodeVisitor):
         vals = [self.visit(v) for v in node.values]
         out = vals[0]
         for v in vals[1:]:
-            out = fn(out, v)
+            out = _norm(fn(out, v))
         return out
 
     def generic_visit(self, node):

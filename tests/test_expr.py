@@ -131,3 +131,53 @@ def test_apply_transformations_fallback_still_works(ray_session):
         {"n": "s.str.len()"},           # not Arrow-compilable -> pandas eval
     ).to_pandas()
     assert list(out["n"]) == [2, 1, 3]
+
+
+# ---------------------------------------------------------------------------
+# Property: on randomly generated expressions from the supported grammar, the
+# Arrow compiler must match DuckDB evaluating the same expression over the
+# same table (both follow SQL three-valued logic; `and`/`or` spelled the same).
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings, strategies as st
+
+_num_leaf = st.sampled_from(["a", "b", "x", "2", "10", "0.5", "-3"])
+_num_expr = st.recursive(
+    _num_leaf,
+    lambda inner: st.tuples(inner, st.sampled_from(["+", "-", "*"]), inner)
+        .map(lambda t: f"({t[0]} {t[1]} {t[2]})"),
+    max_leaves=6)
+_cmp = st.tuples(_num_expr, st.sampled_from(["<", "<=", ">", ">=", "==", "!="]),
+                 _num_expr).map(lambda t: f"({t[0]} {t[1]} {t[2]})")
+_bool_expr = st.recursive(
+    _cmp,
+    lambda inner: st.one_of(
+        st.tuples(inner, st.sampled_from(["and", "or"]), inner)
+            .map(lambda t: f"({t[0]} {t[1]} {t[2]})"),
+        inner.map(lambda e: f"(not {e})")),
+    max_leaves=5)
+
+
+def _table_with_nulls():
+    return pa.table({
+        "a": pa.array([1, None, -4, 7, 0], pa.int64()),
+        "b": pa.array([2, 3, None, 1, 5], pa.int64()),
+        "x": pa.array([0.5, -1.25, 3.0, None, 2.0], pa.float64()),
+    })
+
+
+@given(st.one_of(_num_expr, _cmp, _bool_expr))
+@settings(max_examples=300, deadline=None, derandomize=True)
+def test_expr_matches_duckdb(expr):
+    import duckdb
+
+    batch = _table_with_nulls()
+    got = eval_expr(batch, compile_expr(expr)).to_pylist()
+    sql = expr.replace("==", "=").replace("!=", "<>")
+    want = [r[0] for r in duckdb.sql(f"select {sql} from batch").fetchall()]
+    for g, w in zip(got, want):
+        if isinstance(w, float) or isinstance(g, float):
+            assert (g is None) == (w is None)
+            if g is not None:
+                assert g == pytest.approx(w, rel=1e-12), expr
+        else:
+            assert g == w, expr
