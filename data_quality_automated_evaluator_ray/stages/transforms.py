@@ -98,3 +98,32 @@ def deterministic_sample(ds: "ray.data.Dataset", *, on: str,
         return batch.filter(mask)
 
     return ds.map_batches(_fn, batch_format="pyarrow")
+
+
+def stratified_sample(ds: "ray.data.Dataset", *, on: str, strata_col: str,
+                      fractions: dict[str, float],
+                      default_fraction: float = 0.0) -> "ray.data.Dataset":
+    """Per-stratum deterministic Bernoulli sample — e.g. downsample the
+    head language of a Zipf corpus while keeping all of the tail
+    (``{"en": 0.1, "fr": 1.0}``). Same md5-keyed predicate as
+    ``deterministic_sample`` but the threshold varies by ``strata_col``:
+    partitioning-independent, rerun-stable, and exactly reproducible by a
+    SQL oracle. Strata absent from ``fractions`` use ``default_fraction``.
+    No shuffle — the stratum thresholds broadcast inside the stage."""
+    import hashlib
+
+    import pyarrow as pa
+
+    thresholds = {k: int(v * 10000) for k, v in fractions.items()}
+    default_t = int(default_fraction * 10000)
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        vals = batch.column(on).to_pylist()
+        strata = batch.column(strata_col).to_pylist()
+        mask = pa.array(
+            [int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) % 10000
+             < thresholds.get(s, default_t)
+             for v, s in zip(vals, strata)], pa.bool_())
+        return batch.filter(mask)
+
+    return ds.map_batches(_fn, batch_format="pyarrow")
