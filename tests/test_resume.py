@@ -90,3 +90,26 @@ def test_crash_between_publish_and_manifest(ray_session, small_corpus, tmp_path)
     s = run_resumable(paths, crash_dir, partition_size=1, with_models=False)
     assert s["partitions_run"] == 1 and s["partitions_skipped"] == len(paths) - 1
     assert _read_all(ref_dir).equals(_read_all(crash_dir))
+
+
+def test_resume_with_changed_partition_size_never_skips_wrong_slice(
+        ray_session, small_corpus, tmp_path):
+    """ADVICE r1: a crash under partition_size=2 followed by a direct
+    library-API resume with partition_size=1 must NOT silently skip
+    partitions whose index matches but whose fragment slice differs —
+    the checkpoint token covers partition_size and is_committed compares
+    the fragment group, so every old manifest is invalidated."""
+    d, paths = small_corpus
+    ref_dir = str(tmp_path / "ref")
+    run_resumable(paths, ref_dir, partition_size=1, with_models=False)
+
+    out = str(tmp_path / "changed")
+    with pytest.raises(RuntimeError):
+        run_resumable(paths, out, partition_size=2, with_models=False,
+                      fail_after=1)
+    s = run_resumable(paths, out, partition_size=1, with_models=False)
+    # nothing from the partition_size=2 run may count as committed
+    assert s["partitions_skipped"] == 0
+    assert s["partitions_run"] == len(paths)
+    import pandas as pd
+    pd.testing.assert_frame_equal(_read_all(out), _read_all(ref_dir))
