@@ -48,3 +48,33 @@ def test_deterministic_failure_surfaces(ray_session):
     ds = ray.data.range(10).map_batches(always_bad, batch_format="pyarrow")
     with pytest.raises(Exception, match="deterministic bug"):
         ds.count()
+
+
+def test_two_cpu_cluster_does_not_deadlock(tmp_path):
+    """Regression: scorer pool sizing used to reserve EVERY cpu at
+    num_cpus=2, starving the read/write task operators and deadlocking the
+    streaming executor. Run the full pipeline in a fresh 2-CPU Ray session
+    (subprocess — must finish well inside the timeout)."""
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent(f"""
+        import ray
+        ray.init(address="local", num_cpus=2, include_dashboard=False,
+                 logging_level="ERROR")
+        from ray.data import DataContext
+        DataContext.get_current().enable_progress_bars = False
+        from data_quality_automated_evaluator_ray.sources.codegen import write_corpus
+        from data_quality_automated_evaluator_ray.pipelines.quality_filter import (
+            apply_quality_filter, read_corpus)
+        write_corpus(r"{tmp_path}/c", n_rows=600, seed=3, n_files=2)
+        n = apply_quality_filter(read_corpus(r"{tmp_path}/c")).count()
+        assert n == 600, n
+        print("OK", n)
+        ray.shutdown()
+    """)
+    out = subprocess.run([sys.executable, "-c", script], cwd="/root/repo",
+                         capture_output=True, text=True, timeout=240)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "OK 600" in out.stdout
