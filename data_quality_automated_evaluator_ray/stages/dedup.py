@@ -330,7 +330,13 @@ def connected_components(pairs: "ray.data.Dataset", *,
         }), batch_format="pyarrow").materialize()
 
     def _init(t: pa.Table) -> pa.Table:
-        return pa.table({"doc_id": t.column("node"), "label": t.column("node")})
+        # 1-hop warm start: label(node) = min(node, min direct neighbor) —
+        # still an upper bound on the final component id, so min-propagation
+        # converges to the same fixpoint one round sooner than label=node
+        return pa.table({
+            "doc_id": t.column("node"),
+            "label": pc.min_element_wise(t.column("node"), t.column("peer")),
+        })
 
     def _min_label(part: pd.DataFrame) -> pd.DataFrame:
         return part.groupby("doc_id", as_index=False, sort=False)["label"].min()
