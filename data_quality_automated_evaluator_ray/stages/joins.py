@@ -145,9 +145,27 @@ def skew_join(left: "ray.data.Dataset", right: "ray.data.Dataset", *,
         lambda part: part.groupby(on, as_index=False, sort=False)
                          .size().rename(columns={"size": "__n"})) \
         .materialize()
-    total = int(counts.sum("__n"))
+    total_raw = counts.sum("__n")  # None when the left side is empty
     n_keys = counts.count()
-    thresh = hot_threshold_frac * total
+    if not total_raw:
+        # inner join with an empty left side is empty; joining an all-empty
+        # stream crashes Ray's hash-shuffle aggregator (schema loss), so
+        # build the typed empty result directly
+        def _pa_type(t):
+            if isinstance(t, pa.DataType):
+                return t
+            try:  # pandas-backed datasets report numpy dtypes
+                return pa.from_numpy_dtype(t)
+            except (pa.ArrowNotImplementedError, TypeError):
+                return pa.string()  # object dtype
+
+        lsch, rsch = left.schema(), right.schema()
+        fields = list(zip(lsch.names, lsch.types))
+        fields += [(n, t) for n, t in zip(rsch.names, rsch.types)
+                   if n != rkey and n not in lsch.names]
+        return ray.data.from_arrow(
+            pa.table({n: pa.array([], type=_pa_type(t)) for n, t in fields}))
+    thresh = hot_threshold_frac * int(total_raw)
     hot_df = counts.map_batches(lambda df: df[df["__n"] > thresh],
                                 batch_format="pandas").to_pandas()
     if not len(hot_df):

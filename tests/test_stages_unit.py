@@ -268,3 +268,22 @@ def test_range_join_semantics(ray_session):
     # each despite multi-bucket replication); pid3 v=99 matches nothing;
     # pid4 v=10 in [10,10] (inclusive bounds); pid5 v=11 not in [10,10]
     assert got == [(1, 100), (2, 100), (2, 101), (4, 102)]
+
+
+def test_skew_join_empty_left(ray_session):
+    import pandas as pd
+
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.joins import skew_join
+
+    left = pd.DataFrame({"k": pd.Series(dtype="object"),
+                         "x": pd.Series(dtype="int64")})
+    right = pd.DataFrame({"k": ["a"], "v": [1.0]})
+    ds = skew_join(ray.data.from_pandas(left), ray.data.from_pandas(right),
+                   on="k")
+    # must not crash (a fully-empty join side aborts Ray's hash-shuffle
+    # aggregator) and must be empty; Ray's to_pandas drops column names on
+    # 0-row datasets, so assert the schema on the Dataset side
+    assert ds.count() == 0
+    assert set(ds.schema().names) == {"k", "x", "v"}
