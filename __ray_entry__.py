@@ -12,13 +12,17 @@ the library) calls ray.init()/ray.shutdown().
   query, with matching column names and float rounding — including simhash
   (integer bit votes), MinHash-LSH (HUGEINT universal hashes + string_agg
   band keys), duplicate groups (recursive-CTE closure), the heuristic
-  code-corpus filter, the multimodal fake-decode (sha256 byte math), and
-  LSH ANN top-k (seeded hyperplanes embedded as DOUBLE[] literals +
-  list_dot_product). Only genuinely non-SQL pipelines stay rows-only: the
-  model-backed flagship (qf_code_corpus, partition_metrics_code_corpus,
-  langid_documents) and ivf_topk (centroids are k-means over a data
-  sample — not expressible as a static SQL string) — all covered by
-  pytest golden/parity tests instead.
+  code-corpus filter, the multimodal fake-decode (sha256 byte math), LSH
+  ANN top-k (seeded hyperplanes embedded as DOUBLE[] literals +
+  list_dot_product), and natural-language identification (the full trigram
+  profile table embedded as literals; avg log-likelihood + softmax redone
+  in SQL — the natural profile is float64 precisely so the double-summing
+  oracle matches). Only genuinely non-SQL pipelines stay rows-only: the
+  perplexity-model flagship twins (qf_code_corpus,
+  partition_metrics_code_corpus — the LM's vocab/threshold tables are two
+  orders larger than the langid profile) and ivf_topk (centroids are
+  k-means over a data sample — not expressible as a static SQL string) —
+  all covered by pytest golden/parity tests instead.
 """
 
 from __future__ import annotations
@@ -78,17 +82,6 @@ def _partition_metrics_code_corpus(sf_dir: str):
     return partition_metrics(ds)
 
 
-def _langid_documents(sf_dir: str):
-    import ray.data
-
-    from data_quality_automated_evaluator_ray.stages.text import DocumentLangId
-
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
-    return ds.map_batches(DocumentLangId, batch_format="pyarrow",
-                          concurrency=2, num_cpus=1) \
-             .select_columns(["doc_id", "lang_pred", "lang_conf"])
-
-
 def _ivf_topk_embeddings(sf_dir: str):
     import numpy as np
     import pyarrow.parquet as pq
@@ -115,7 +108,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # model-backed / sketch pipelines: rows-only checks (non-SQL-expressible)
         "qf_code_corpus": _qf_code_corpus,
         "partition_metrics_code_corpus": _partition_metrics_code_corpus,
-        "langid_documents": _langid_documents,
         "ivf_topk_embeddings": _ivf_topk_embeddings,
     })
     return out
