@@ -1,0 +1,75 @@
+"""Benchmark decontamination: flag corpus docs sharing n-grams with an
+evaluation set.
+
+The canonical pre-training hygiene step (no analogue in the reference —
+part of the task mandate's training-data operator family): any document
+that shares at least one token k-gram with a benchmark/eval document is
+flagged so it can be dropped or audited before training.
+
+Ray-Data shape: the benchmark side is SMALL by definition (eval sets are
+thousands of rows, the corpus is billions), so its distinct shingle-hash
+set is collected once and broadcast via ``ray.put``; the corpus streams
+through one ``map_batches`` membership check — zero shuffles, zero joins
+on the fat side. Shingles are md5-hex of the k-token window (128-bit:
+collisions are negligible and the DuckDB oracle hashes the same way).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from .dedup import _token_shingles
+
+
+def _shingle_hashes(text: str | None, k: int) -> set[str]:
+    if not text:
+        return set()
+    return {hashlib.md5(s.encode("utf-8")).hexdigest()
+            for s in set(_token_shingles(text, k))}
+
+
+def benchmark_shingle_set(benchmark: "ray.data.Dataset", *,
+                          text_col: str = "text", k: int = 8) -> set[str]:
+    """Distinct shingle hashes of the benchmark side, collected driver-side.
+    Bounded by the benchmark's size — eval sets are small; do NOT point this
+    at a full corpus (use minhash_lsh for corpus×corpus overlap instead)."""
+    def _explode(b: pa.Table) -> pa.Table:
+        out = set()
+        for t in b.column(text_col).to_pylist():
+            out |= _shingle_hashes(t, k)
+        return pa.table({"shingle": pa.array(sorted(out), pa.string())})
+
+    exploded = benchmark.map_batches(_explode, batch_format="pyarrow")
+    return set(exploded.unique("shingle"))
+
+
+def contamination_flags(corpus: "ray.data.Dataset",
+                        benchmark: "ray.data.Dataset", *,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        k: int = 8) -> "ray.data.Dataset":
+    """→ (id, n_shared_shingles, contaminated) per corpus row.
+
+    ``n_shared_shingles`` counts DISTINCT k-gram shingles the document
+    shares with the benchmark; ``contaminated`` = any overlap at all.
+    """
+    bench_ref = ray.put(benchmark_shingle_set(benchmark, text_col=text_col,
+                                              k=k))
+
+    def _check(b: pa.Table) -> pa.Table:
+        bench = ray.get(bench_ref)
+        ids = b.column(id_col).to_pylist()
+        texts = b.column(text_col).to_pylist()
+        n_shared = [len(_shingle_hashes(t, k) & bench) for t in texts]
+        return pa.table({
+            id_col: pa.array(ids),
+            "n_shared_shingles": pa.array(n_shared, pa.int64()),
+            "contaminated": pa.array([n > 0 for n in n_shared], pa.bool_()),
+        })
+
+    return corpus.map_batches(_check, batch_format="pyarrow")

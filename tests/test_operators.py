@@ -357,3 +357,37 @@ def test_bloom_semi_join_no_false_negatives(ray_session):
     bf = BloomFilter(100)
     bf.add("hello")
     assert "hello" in bf and "absent-key" not in bf
+
+
+# ---------------------------------------------------------------------------
+# Decontamination
+# ---------------------------------------------------------------------------
+def test_contamination_flags_planted_overlap(ray_session):
+    import pandas as pd
+
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.decontaminate import (
+        contamination_flags)
+
+    bench = pd.DataFrame({
+        "doc_id": [100],
+        "text": ["the quick brown fox jumps over the lazy dog tonight"],
+    })
+    corpus = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            # shares the 5-gram "quick brown fox jumps over" (and more)
+            "she saw the quick brown fox jumps over a fence",
+            "completely unrelated words about databases and engines",
+            None,
+            "short text",  # <5 tokens: whole-text shingle, no overlap
+        ],
+    })
+    out = contamination_flags(
+        ray.data.from_pandas(corpus), ray.data.from_pandas(bench),
+        k=5).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert bool(out["contaminated"].iloc[0]) is True
+    assert out["n_shared_shingles"].iloc[0] >= 1
+    assert list(out["contaminated"])[1:] == [False, False, False]
+    assert list(out["n_shared_shingles"])[1:] == [0, 0, 0]
