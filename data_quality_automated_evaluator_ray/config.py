@@ -8,7 +8,12 @@ README.md:106-124). The rebuild keeps that surface:
                "storage_options"?},                       # sources/readers.py
   "pipeline": "quality_filter" | "temporal_report",
   "with_models": true,                                    # quality_filter only
-  "filter":   {"expr": "keep == True"},                   # row filter
+  "filter":   {"expr": "value > 50"},                     # row filter (applied
+                                                          # FIRST, reference
+                                                          # preprocess.py:33)
+  "transformations": {"alias": "sql_like_expr", ...},     # ordered; later
+                                                          # entries see earlier
+                                                          # aliases (34-35)
   "partition_key": ["repo", "lang"],
   "date_column": "ts", "time_interval": "1d",             # temporal_report
   "target_column": "is_fraud",
@@ -75,6 +80,17 @@ def run_config(cfg: dict[str, Any]) -> dict[str, Any]:
 
     if cfg["pipeline"] == "temporal_report":
         ds = read_source(cfg["source"])
+        # reference preprocessing order is load-bearing (preprocess.py:33-35,
+        # SURVEY §7): row filter FIRST, then ordered column transformations
+        # (later aliases see earlier ones), then date handling/aggregation
+        if cfg.get("filter"):
+            from .stages.transforms import apply_row_filter
+
+            ds = apply_row_filter(ds, cfg["filter"]["expr"])
+        if cfg.get("transformations"):
+            from .stages.transforms import apply_transformations
+
+            ds = apply_transformations(ds, cfg["transformations"])
         explicit = any(cfg.get(k) for k in
                        ("numeric_columns", "nunique_columns", "nullrate_columns"))
         agg = interval_aggregate(

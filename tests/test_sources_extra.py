@@ -90,3 +90,45 @@ def test_read_sql_sqlite(ray_session, tmp_path, monkeypatch):
     with pytest.raises(ValueError, match="unsafe table"):
         read_source({"format": "sqlite", "table": "items; drop table items",
                      "connect_args": {"database": db}})
+
+
+def test_config_temporal_filter_and_transformations(ray_session, tmp_path):
+    """Reference preprocessing order through the config surface: row filter
+    first, then ordered transformations (later aliases visible), then the
+    interval aggregation — verified against a DuckDB recomputation."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_quality_automated_evaluator_ray.config import run_config
+
+    rng = np.random.RandomState(5)
+    n = 500
+    df = pd.DataFrame({
+        "ts": pd.to_datetime("2024-03-01")
+              + pd.to_timedelta(rng.randint(0, 5 * 86400, n), unit="s"),
+        "value": np.round(rng.rand(n) * 100, 2),
+        "flag": rng.rand(n) > 0.5,
+    })
+    src = str(tmp_path / "ev.parquet")
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), src)
+
+    cfg = {
+        "pipeline": "temporal_report",
+        "source": {"path": src},
+        "date_column": "ts", "time_interval": "1d",
+        "filter": {"expr": "value > 20"},
+        "transformations": {"doubled": "value * 2",
+                            "big": "doubled > 150"},
+        "numeric_columns": ["doubled"],
+        "output": {"dir": str(tmp_path / "out")},
+    }
+    summary = run_config(cfg)
+    want = duckdb.sql(f"""
+        select count(distinct date_trunc('day', ts)) from (
+          select ts, value * 2 as doubled
+          from read_parquet('{src}') where value > 20)
+    """).fetchone()[0]
+    assert summary["intervals"] == want
