@@ -18,31 +18,58 @@ import pandas as pd
 import ray.data
 
 
+_DATE_RE = None  # compiled lazily (keeps module import light)
+
+
 def apply_transformations(ds: "ray.data.Dataset",
                           transformations: dict[str, str]) -> "ray.data.Dataset":
     """Add/replace columns in order; later expressions see earlier aliases.
 
     ``{"disc_price": "l_extendedprice * (1 - l_discount)",
-       "big": "disc_price > 1000"}``
+       "big": "disc_price > 1000",
+       "ts": "DATE(ts, '%Y-%m-%d %H:%M:%S')"}``
 
-    Expressions are compiled ONCE on the driver to pyarrow.compute calls
-    (functions/expr.py) and evaluated zero-copy per Arrow batch; only if
-    some expression uses syntax outside that subset does the whole ordered
-    chain fall back to per-batch pandas ``eval`` (alias visibility requires
-    a single engine for the chain)."""
+    ``DATE(col, 'fmt')`` is the reference's string→datetime cast inside a
+    transformation (reference README.md:342, 462). Everything else is
+    compiled ONCE on the driver to pyarrow.compute calls (functions/expr.py)
+    and evaluated zero-copy per Arrow batch; only if some expression uses
+    syntax outside that subset does the whole ordered chain fall back to
+    per-batch pandas ``eval`` (alias visibility requires a single engine
+    for the chain)."""
+    import re as _re
+
     from ..functions.expr import UnsupportedExpression, compile_expr, eval_expr
 
-    items = list(transformations.items())
+    global _DATE_RE
+    if _DATE_RE is None:
+        _DATE_RE = _re.compile(
+            r"^\s*DATE\(\s*([A-Za-z_]\w*)\s*,\s*'([^']*)'\s*\)\s*$")
 
-    try:
-        compiled = [(alias, compile_expr(expr)) for alias, expr in items]
-    except UnsupportedExpression:
-        compiled = None
+    plans: list[tuple] = []
+    all_arrow = True
+    for alias, expr in transformations.items():
+        m = _DATE_RE.match(expr)
+        if m:
+            plans.append(("date", alias, m.group(1), m.group(2)))
+            continue
+        try:
+            plans.append(("arrow", alias, compile_expr(expr), None))
+        except UnsupportedExpression:
+            plans.append(("pandas", alias, expr, None))
+            all_arrow = False
 
-    if compiled is not None:
+    if all_arrow:
+        import pyarrow.compute as pc
+
         def _arrow_fn(batch: "pa.Table") -> "pa.Table":
-            for alias, tree in compiled:
-                col = eval_expr(batch, tree)
+            for plan in plans:
+                if plan[0] == "date":
+                    _, alias, src, fmt = plan
+                    col = pc.strptime(batch.column(src), format=fmt,
+                                      unit="us")
+                else:
+                    _, alias, tree, _ = plan
+                    col = eval_expr(batch, tree)
                 if alias in batch.column_names:
                     batch = batch.set_column(
                         batch.column_names.index(alias), alias, col)
@@ -52,9 +79,15 @@ def apply_transformations(ds: "ray.data.Dataset",
 
         return ds.map_batches(_arrow_fn, batch_format="pyarrow")
 
+    exprs = dict(transformations)
+
     def _fn(df: pd.DataFrame) -> pd.DataFrame:
-        for alias, expr in items:
-            df[alias] = df.eval(expr)
+        for plan in plans:
+            kind, alias = plan[0], plan[1]
+            if kind == "date":
+                df[alias] = pd.to_datetime(df[plan[2]], format=plan[3])
+            else:
+                df[alias] = df.eval(exprs[alias])
         return df
 
     return ds.map_batches(_fn, batch_format="pandas")

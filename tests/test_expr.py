@@ -181,3 +181,30 @@ def test_expr_matches_duckdb(expr):
                 assert g == pytest.approx(w, rel=1e-12), expr
         else:
             assert g == w, expr
+
+
+def test_apply_transformations_date_function(ray_session):
+    """Reference DATE(col, 'fmt') inside a transformation (README.md:342):
+    string -> timestamp on the Arrow path, and on the pandas-fallback path
+    when mixed with a non-compilable expression."""
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.transforms import (
+        apply_transformations)
+
+    df = pd.DataFrame({"d": ["2024-01-02 03:04:05", "2024-06-07 08:09:10"],
+                       "v": [1.0, 2.0]})
+    # arrow path (all items compilable)
+    out = apply_transformations(
+        ray.data.from_pandas(df),
+        {"d": "DATE(d, '%Y-%m-%d %H:%M:%S')", "w": "v * 3"}).to_pandas()
+    assert str(out["d"].iloc[0]) == "2024-01-02 03:04:05"
+    assert out["d"].dtype.kind == "M"
+    assert list(out["w"]) == [3.0, 6.0]
+    # pandas fallback path (string method forces it); DATE still works
+    out2 = apply_transformations(
+        ray.data.from_pandas(df),
+        {"d": "DATE(d, '%Y-%m-%d %H:%M:%S')",
+         "n": "v.astype('int64')"}).to_pandas()
+    assert out2["d"].dtype.kind == "M"
+    assert list(out2["n"]) == [1, 2]
