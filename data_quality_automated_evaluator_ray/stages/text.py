@@ -49,6 +49,33 @@ def text_features(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return out
 
 
+def repetition_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Within-document repetition signals (Gopher-rule family): the fraction
+    of duplicate LINES and of duplicate whitespace TOKENS — boilerplate,
+    log spam, and template junk light these up long before n-gram dedup
+    sees them. The per-document distinct counts run through pandas'
+    C-level unique (the Python loop is per document, not per line/token)."""
+    import pandas as pd
+
+    t = batch.column(text_col).to_pylist()
+    dup_line, dup_tok = [], []
+    for s in t:
+        if not s:
+            dup_line.append(None if s is None else 0.0)
+            dup_tok.append(None if s is None else 0.0)
+            continue
+        lines = s.split("\n")
+        toks = s.split()
+        nl, nt = len(lines), len(toks)
+        ul = pd.unique(pd.Index(lines)).size
+        ut = pd.unique(pd.Index(toks)).size if nt else 0
+        dup_line.append((nl - ul) / nl)
+        dup_tok.append(((nt - ut) / nt) if nt else 0.0)
+    return (batch
+            .append_column("dup_line_ratio", pa.array(dup_line, pa.float64()))
+            .append_column("dup_token_ratio", pa.array(dup_tok, pa.float64())))
+
+
 def quality_score(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Composite heuristic quality score in [0,1]:
     0.4·length_score + 0.3·alpha_ratio + 0.3·stopword presence score."""
