@@ -84,7 +84,7 @@ def _partials(batch: pa.Table) -> pa.Table:
     t = t.append_column("null_i", pc.cast(pc.is_null(t.column("content_sha256")),
                                           pa.int64()))
     # per-key partial moments (n, mean, M2 = variance(ddof=0)·n): merged with
-    # Chan's parallel-variance formula in _combine — numerically stable even
+    # Chan's parallel-variance formula in _combine_partials — stable even
     # for near-constant features, unlike a sum-of-squares partial
     var0 = pc.VarianceOptions(ddof=0)
     aggs = [("keep_i", "sum"), ("null_i", "sum"), ("keep_i", "count")]
@@ -108,38 +108,47 @@ def _distinct_triples(batch: pa.Table) -> pa.Table:
     return t.group_by(KEY + ["content_sha256"]).aggregate([])
 
 
-def _combine(g: pd.DataFrame) -> pd.DataFrame:
-    n = int(g["n"].sum())
-    rec = {
-        "repo": g["repo"].iloc[0], "lang": g["lang"].iloc[0],
-        "n_files": n,
-        "keep_rate": float(g["keep_sum"].sum()) / n,
-        "null_rate": float(g["null_sum"].sum()) / n,
-        "n_nonnull": n - int(g["null_sum"].sum()),
-    }
+def _combine_partials(part: pd.DataFrame) -> pd.DataFrame:
+    """Merge partial rows for ALL (repo, lang) groups in one vectorized pass.
+
+    Chan's pairwise variance merge telescopes to the closed form
+    ``M2_tot = Σ M2_i + Σ n_i·(m_i − m̄)²`` (a weighted two-pass variance
+    over the partial means — same stability class as the sequential merge),
+    so every group reduces with three ``np.bincount`` calls instead of a
+    Python loop per group (~1.5 ms/group measured via Ray map_groups)."""
+    gb = part.groupby(KEY, sort=False)
+    agg = {"n": "sum", "keep_sum": "sum", "null_sum": "sum"}
     for c in NUMERIC_FEATURES:
-        ns = g[f"{c}_n"].to_numpy(dtype=np.int64)
-        means = g[f"{c}_mean"].to_numpy(dtype=np.float64)
-        m2s = g[f"{c}_var0"].to_numpy(dtype=np.float64) * ns
-        n_tot, m_tot, m2_tot = 0, 0.0, 0.0
-        for ni, mi, m2i in zip(ns, means, m2s):
-            if ni == 0:
-                continue
-            tot = n_tot + ni
-            delta = mi - m_tot
-            m2_tot = m2_tot + m2i + delta * delta * n_tot * ni / tot
-            m_tot = m_tot + delta * ni / tot
-            n_tot = tot
-        if n_tot:
-            rec[f"{c}_min"] = float(g[f"{c}_min"].min())
-            rec[f"{c}_max"] = float(g[f"{c}_max"].max())
-            rec[f"{c}_mean"] = m_tot
-            rec[f"{c}_std"] = (float(np.sqrt(max(m2_tot, 0.0) / (n_tot - 1)))
-                               if n_tot > 1 else None)
-        else:
-            for s_ in ("min", "max", "mean", "std"):
-                rec[f"{c}_{s_}"] = None
-    return pd.DataFrame([rec])
+        agg[f"{c}_min"] = "min"
+        agg[f"{c}_max"] = "max"
+    out = gb.agg(agg).reset_index()
+    gidx = gb.ngroup().to_numpy()  # row → output-row index (appearance order)
+    G = len(out)
+    res = {"repo": out["repo"], "lang": out["lang"],
+           "n_files": out["n"].astype(np.int64),
+           "keep_rate": out["keep_sum"] / out["n"],
+           "null_rate": out["null_sum"] / out["n"],
+           "n_nonnull": (out["n"] - out["null_sum"]).astype(np.int64)}
+    for c in NUMERIC_FEATURES:
+        raw_n = part[f"{c}_n"].to_numpy(dtype=np.float64)
+        ns = np.nan_to_num(raw_n)
+        means = np.nan_to_num(part[f"{c}_mean"].to_numpy(dtype=np.float64))
+        m2s = np.nan_to_num(part[f"{c}_var0"].to_numpy(dtype=np.float64)) * ns
+        n_tot = np.bincount(gidx, weights=ns, minlength=G)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            m_tot = np.bincount(gidx, weights=ns * means, minlength=G) / n_tot
+        dev = means - np.nan_to_num(m_tot)[gidx]
+        m2_tot = np.bincount(gidx, weights=m2s + ns * dev * dev, minlength=G)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            std = np.sqrt(np.maximum(m2_tot, 0.0) / (n_tot - 1))
+        std[n_tot <= 1] = np.nan
+        empty = n_tot == 0
+        m_tot[empty] = np.nan
+        res[f"{c}_min"] = out[f"{c}_min"].to_numpy(dtype=np.float64)
+        res[f"{c}_max"] = out[f"{c}_max"].to_numpy(dtype=np.float64)
+        res[f"{c}_mean"] = m_tot
+        res[f"{c}_std"] = std
+    return pd.DataFrame(res)
 
 
 def _hll_partials(batch: pa.Table) -> pa.Table:
@@ -200,15 +209,11 @@ def partition_metrics_scalable(ds: "ray.data.Dataset",
 
     partials = narrow.map_batches(_partials, batch_format="pyarrow",
                                   batch_size=8192, zero_copy_batch=True)
-    # coarse partitions + per-partition combine: Ray's map_groups pays
-    # per-GROUP Python overhead (~1.5 ms/group here — 5.5 s for 3495 keys at
-    # 1M rows); grouping inside the partition is a cheap pandas slice loop
-    stats = partitioned_groupby(
-        partials, KEY,
-        lambda part: pd.concat(
-            [_combine(g) for _, g in part.groupby(KEY, sort=False)],
-            ignore_index=True),
-    ).to_pandas()
+    # coarse partitions + fully-vectorized per-partition combine: Ray's
+    # map_groups pays per-GROUP Python overhead (~1.5 ms/group — 5.5 s for
+    # 3495 keys at 1M rows); _combine_partials reduces every group in the
+    # partition with C-level groupby + bincount
+    stats = partitioned_groupby(partials, KEY, _combine_partials).to_pandas()
 
     if approx_distinct:
         # HLL sketches: ~1.6% standard error; the shuffle is O(keys × batches
