@@ -310,92 +310,165 @@ def simhash_candidates(ds: "ray.data.Dataset", *, text_col: str = "text",
 # ---------------------------------------------------------------------------
 # Duplicate groups: connected components over candidate pairs
 # ---------------------------------------------------------------------------
-def connected_components(pairs: "ray.data.Dataset", *,
-                         max_rounds: int = 20) -> "ray.data.Dataset":
+_CC_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _cc_bucket_of(ids: np.ndarray, num_buckets: int) -> np.ndarray:
+    """Deterministic bucket id per int64 node id (splitmix-style multiply,
+    mod buckets) — the SAME function places edges by node and routes label
+    messages by destination, so a node's edges and its label always land in
+    one bucket."""
+    return (ids.astype(np.int64).view(np.uint64) * _CC_MIX
+            % np.uint64(num_buckets)).astype(np.int64)
+
+
+def _cc_split(a: np.ndarray, b: np.ndarray, key: np.ndarray,
+              num_buckets: int, names: tuple[str, str]) -> list[pa.Table]:
+    """Split the (a, b) column pair into per-bucket Arrow tables by
+    hash(key): one stable argsort + boundary searchsorted, no Python loop
+    over rows."""
+    bk = _cc_bucket_of(key, num_buckets)
+    order = np.argsort(bk, kind="stable")
+    bounds = np.searchsorted(bk[order], np.arange(num_buckets + 1))
+    return [pa.table({names[0]: a[order[bounds[p]:bounds[p + 1]]],
+                      names[1]: b[order[bounds[p]:bounds[p + 1]]]})
+            for p in range(num_buckets)]
+
+
+def _cc_min_by_doc(doc: np.ndarray, lab: np.ndarray) -> tuple[np.ndarray,
+                                                              np.ndarray]:
+    """Vectorized groupby-min: sort by doc, segment boundaries, reduceat."""
+    if doc.size == 0:
+        return doc, lab
+    order = np.argsort(doc, kind="stable")
+    d, v = doc[order], lab[order]
+    starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+    return d[starts], np.minimum.reduceat(v, starts)
+
+
+@ray.remote
+def _cc_split_edges(tbl: pa.Table, num_buckets: int) -> list[pa.Table]:
+    """One candidate-pair block → per-bucket (node, peer) edge tables, both
+    directions, bucketed by node."""
+    if tbl.num_rows == 0 or "id_a" not in tbl.column_names:
+        # empty map_groups partitions can surface as column-less blocks
+        empty = np.array([], dtype=np.int64)
+        return _cc_split(empty, empty, empty, num_buckets, ("node", "peer"))
+    a = np.asarray(tbl.column("id_a").to_numpy(zero_copy_only=False),
+                   dtype=np.int64)
+    b = np.asarray(tbl.column("id_b").to_numpy(zero_copy_only=False),
+                   dtype=np.int64)
+    node = np.concatenate([a, b])
+    peer = np.concatenate([b, a])
+    return _cc_split(node, peer, node, num_buckets, ("node", "peer"))
+
+
+@ray.remote(num_returns=2)
+def _cc_bucket_init(*parts: pa.Table):
+    """Concat a bucket's edge slices (held for the WHOLE loop) and compute
+    its 1-hop warm-start labels: label(node) = min(node, min direct
+    neighbor) — an upper bound on the final component id, so
+    min-propagation converges to the same fixpoint one round sooner than
+    label=node."""
+    edges = pa.concat_tables(parts)
+    node = np.asarray(edges.column("node").to_numpy(zero_copy_only=False),
+                      dtype=np.int64)
+    peer = np.asarray(edges.column("peer").to_numpy(zero_copy_only=False),
+                      dtype=np.int64)
+    d, v = _cc_min_by_doc(node, np.minimum(node, peer))
+    return edges, pa.table({"doc_id": d, "component": v})
+
+
+@ray.remote
+def _cc_send(labels: pa.Table, edges: pa.Table,
+             num_buckets: int) -> list[pa.Table]:
+    """One bucket's propagation half-step: look up each edge's node label
+    (sorted labels + searchsorted — every node in this bucket has exactly
+    one label row here by construction) and emit (peer, label) messages
+    plus the self rows, split by destination bucket."""
+    ld = np.asarray(labels.column("doc_id").to_numpy(zero_copy_only=False),
+                    dtype=np.int64)
+    ll = np.asarray(labels.column("component").to_numpy(zero_copy_only=False),
+                    dtype=np.int64)
+    node = np.asarray(edges.column("node").to_numpy(zero_copy_only=False),
+                      dtype=np.int64)
+    peer = np.asarray(edges.column("peer").to_numpy(zero_copy_only=False),
+                      dtype=np.int64)
+    order = np.argsort(ld)
+    edge_lab = ll[order][np.searchsorted(ld[order], node)]
+    doc = np.concatenate([peer, ld])
+    lab = np.concatenate([edge_lab, ll])
+    return _cc_split(doc, lab, doc, num_buckets, ("doc_id", "component"))
+
+
+@ray.remote(num_returns=2)
+def _cc_recv(*msgs: pa.Table):
+    """One bucket's combine half-step: min label per node over incoming
+    messages + self rows, plus the bucket's int64 label-sum partial for the
+    driver's convergence scalar."""
+    t = pa.concat_tables(msgs)
+    doc = np.asarray(t.column("doc_id").to_numpy(zero_copy_only=False),
+                     dtype=np.int64)
+    lab = np.asarray(t.column("component").to_numpy(zero_copy_only=False),
+                     dtype=np.int64)
+    d, v = _cc_min_by_doc(doc, lab)
+    return (pa.table({"doc_id": d, "component": v}),
+            int(v.sum(dtype=np.int64)))
+
+
+def connected_components(pairs: "ray.data.Dataset", *, max_rounds: int = 20,
+                         num_buckets: int = 32) -> "ray.data.Dataset":
     """Distributed connected components over (id_a, id_b) candidate-pair
     edges → (doc_id, component) where component = min doc_id in the group.
 
-    Iterative min-label propagation: each round, every node adopts the
-    minimum label in its neighborhood (edges both directions + self), via one
-    groupby per round; converges in O(component diameter) rounds. Driver
-    state is one scalar (the convergence checksum) per round — the label
-    table itself stays distributed.
+    Bucketed BSP min-label propagation on raw Ray tasks (the one place the
+    Dataset API genuinely can't express the semantics: an edge partition
+    REUSED across iterations). Edges are hash-bucketed by node ONCE and the
+    bucket tables stay in the object store for the whole loop; each round
+    moves only the narrow (doc_id, component) label messages — two task
+    waves of ``num_buckets`` tasks, no Ray Data groupby (measured ~1–4 s
+    fixed shuffle overhead per round on the old Dataset path). Converges in
+    O(component diameter) rounds.
+
+    Convergence: labels only ever DECREASE under min-propagation, so the
+    global label sum is strictly monotone until the fixpoint — equal
+    consecutive sums ⇔ no label changed. Per-bucket int64 partials are
+    summed as Python ints on the driver; int64 wraparound inside one bucket
+    is deterministic, and ``max_rounds`` bounds the cost of the
+    astronomically-unlikely wraparound collision. Driver state per round is
+    ``num_buckets`` scalars — the label table itself never leaves the
+    object store.
+
+    At cluster scale set ``num_buckets`` ≈ cluster cores; bucket placement
+    never affects output values, only co-location.
     """
-    edges = pairs.map_batches(
-        lambda t: pa.table({
-            "node": pa.concat_arrays([t.column("id_a").combine_chunks(),
-                                      t.column("id_b").combine_chunks()]),
-            "peer": pa.concat_arrays([t.column("id_b").combine_chunks(),
-                                      t.column("id_a").combine_chunks()]),
-        }), batch_format="pyarrow").materialize()
-
-    def _init(t: pa.Table) -> pa.Table:
-        # 1-hop warm start: label(node) = min(node, min direct neighbor) —
-        # still an upper bound on the final component id, so min-propagation
-        # converges to the same fixpoint one round sooner than label=node
-        return pa.table({
-            "doc_id": t.column("node"),
-            "label": pc.min_element_wise(t.column("node"), t.column("peer")),
-        })
-
-    def _min_label(part: pd.DataFrame) -> pd.DataFrame:
-        return part.groupby("doc_id", as_index=False, sort=False)["label"].min()
-
-    labels = _apply_per_bucket(
-        edges.map_batches(_init, batch_format="pyarrow"),
-        ["doc_id"], _min_label).materialize()
-    if labels.count() == 0:  # no candidate pairs → no components
+    num_buckets = max(2, num_buckets)
+    mat = pairs.materialize()
+    if mat.count() == 0:  # no candidate pairs → no components
         return ray.data.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()),
                                              "component": pa.array([], pa.int64())}))
-
-    def _norm(t: pa.Table) -> pa.Table:
-        return pa.table({"doc_id": pc.cast(t.column(t.column_names[0]), pa.int64()),
-                         "label": pc.cast(t.column(t.column_names[1]), pa.int64())})
+    block_refs = mat.to_arrow_refs()
+    splits = [_cc_split_edges.options(num_returns=num_buckets)
+              .remote(r, num_buckets) for r in block_refs]
+    inits = [_cc_bucket_init.remote(*[s[p] for s in splits])
+             for p in range(num_buckets)]
+    edge_refs = [i[0] for i in inits]
+    label_refs = [i[1] for i in inits]
 
     prev_sum = None
     for _ in range(max_rounds):
-        labels = labels.map_batches(_norm, batch_format="pyarrow")
-        # distributed join-by-groupby: each node's group holds its current
-        # label row (peer == -1 marker) plus its outgoing edges; the group
-        # broadcasts the label to every edge's peer
-        lab_side = labels.map_batches(
-            lambda t: pa.table({"node": t.column("doc_id"),
-                                "peer": pa.array([-1] * t.num_rows, pa.int64()),
-                                "label": t.column("label")}),
-            batch_format="pyarrow")
-        edge_side = edges.map_batches(
-            lambda t: t.append_column("label",
-                                      pa.array([-1] * t.num_rows, pa.int64())),
-            batch_format="pyarrow")
-
-        def _propagate(part: pd.DataFrame) -> pd.DataFrame:
-            # whole partition at once: the label rows form a lookup table,
-            # a C-level merge sends each node's label to its edge peers
-            labs = part.loc[part["peer"] == -1, ["node", "label"]]
-            edge_rows = part.loc[part["peer"] != -1, ["node", "peer"]]
-            sent = edge_rows.merge(labs, on="node")
-            return pd.concat([
-                sent[["peer", "label"]].rename(columns={"peer": "doc_id"}),
-                labs.rename(columns={"node": "doc_id"}),
-            ], ignore_index=True)
-
-        prop = _apply_per_bucket(lab_side.union(edge_side), ["node"],
-                                 _propagate)
-        labels = _apply_per_bucket(prop, ["doc_id"], _min_label).materialize()
-        # distributed convergence check: labels only ever DECREASE under
-        # min-propagation, so the label sum is strictly monotone — equal sums
-        # ⇔ no label changed. One scalar reaches the driver; the label table
-        # itself never does.
-        label_col = [c for c in labels.columns() if c != "doc_id"][0]
-        s = int(labels.sum(label_col))
+        outs = [_cc_send.options(num_returns=num_buckets)
+                .remote(label_refs[p], edge_refs[p], num_buckets)
+                for p in range(num_buckets)]
+        rec = [_cc_recv.remote(*[outs[p][q] for p in range(num_buckets)])
+               for q in range(num_buckets)]
+        label_refs = [r[0] for r in rec]
+        s = sum(ray.get([r[1] for r in rec]))
         if s == prev_sum:
             break
         prev_sum = s
 
-    return labels.map_batches(
-        lambda t: pa.table({"doc_id": t.column(t.column_names[0]),
-                            "component": t.column(t.column_names[1])}),
-        batch_format="pyarrow")
+    return ray.data.from_arrow_refs(label_refs)
 
 
 def duplicate_groups(ds: "ray.data.Dataset", *, text_col: str = "text",
