@@ -116,7 +116,11 @@ def run_bench() -> dict:
     # so round-over-round keys stay comparable)
     import __ray_entry__ as entry_mod
 
-    extra = {"minhash_lsh_documents": entry_mod.queries()["minhash_lsh_documents"]}
+    extra = {name: entry_mod.queries()[name]
+             for name in ["minhash_lsh_documents",
+                          # round 2 (late): BSP connected components — tracks
+                          # the build-once edge-cache propagation loop
+                          "duplicate_groups_documents"]}
     suite = {name: SQL_QUERIES[name][0]
              for name in ["interval_overview_events", "pricing_summary_lineitem",
                           "topk_revenue_orders", "dedup_exact_documents",
