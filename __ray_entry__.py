@@ -82,22 +82,6 @@ def _partition_metrics_code_corpus(sf_dir: str):
     return partition_metrics(ds)
 
 
-def _ivf_topk_embeddings(sf_dir: str):
-    import numpy as np
-    import pyarrow.parquet as pq
-
-    import ray.data
-
-    from data_quality_automated_evaluator_ray.stages.similarity import ivf_topk
-
-    emb = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
-    qdf = emb[emb["vec_id"] < 5].sort_values("vec_id")
-    q = np.array(qdf["embedding"].tolist(), dtype=np.float64)
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    return ivf_topk(ds, q, qdf["vec_id"].astype(int).tolist(), k=5) \
-        .select_columns(["query_id", "neighbor_id", "rank"])
-
-
 def queries() -> dict[str, Callable[[str], Any]]:
     from data_quality_automated_evaluator_ray.pipelines.queries import SQL_QUERIES
 
@@ -105,10 +89,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         name: fn for name, (fn, _sql) in SQL_QUERIES.items()
     }
     out.update({
-        # model-backed / sketch pipelines: rows-only checks (non-SQL-expressible)
+        # model-backed pipelines: rows-only checks (the perplexity LM's
+        # count tables are ~100x the langid profile — a literal-table SQL
+        # oracle would be a multi-MB string, so these two stay rows-only;
+        # ivf_topk_embeddings graduated to a hard oracle in round 2)
         "qf_code_corpus": _qf_code_corpus,
         "partition_metrics_code_corpus": _partition_metrics_code_corpus,
-        "ivf_topk_embeddings": _ivf_topk_embeddings,
     })
     return out
 

@@ -135,12 +135,17 @@ def lsh_topk(ds: "ray.data.Dataset", queries: np.ndarray, query_ids: list[int],
 
 
 def _kmeans(sample: np.ndarray, k: int, iters: int = 10,
-            seed: int = 17) -> np.ndarray:
+            seed: int = 17, init_idx: "np.ndarray | None" = None) -> np.ndarray:
     """Deterministic mini k-means (seeded init, fixed iterations) on
-    normalized vectors → (k, d) centroids. Driver-side on a sample."""
-    rng = np.random.RandomState(seed)
+    normalized vectors → (k, d) centroids. Driver-side on a sample.
+
+    ``init_idx`` overrides the seeded choice with explicit sample-row
+    positions (used by the engine-independent deterministic-sample path)."""
     k = min(k, sample.shape[0])  # degenerate inputs: fewer clusters than rows
-    cent = sample[rng.choice(sample.shape[0], size=k, replace=False)]
+    if init_idx is None:
+        rng = np.random.RandomState(seed)
+        init_idx = rng.choice(sample.shape[0], size=k, replace=False)
+    cent = sample[np.asarray(init_idx[:k], dtype=np.int64)].copy()
     for _ in range(iters):
         assign = np.argmax(sample @ cent.T, axis=1)
         for j in range(k):
@@ -169,17 +174,43 @@ class IvfIndexer:
 def ivf_topk(ds: "ray.data.Dataset", queries: np.ndarray, query_ids: list[int],
              k: int = 5, *, n_clusters: int = 16, nprobe: int = 3,
              sample_size: int = 2000, id_col: str = "vec_id",
-             emb_col: str = "embedding", concurrency=2) -> "ray.data.Dataset":
+             emb_col: str = "embedding", concurrency=2,
+             deterministic_sample: bool = False) -> "ray.data.Dataset":
     """IVF approximate top-k: coarse k-means quantizer (trained driver-side on
     a deterministic sample, broadcast via ray.put), rows bucketed by nearest
     centroid, each query searched only in its ``nprobe`` nearest clusters.
 
     Partitioning assumption: one cluster's rows co-locate via the groupby
     shuffle; recall is controlled by nprobe/n_clusters.
+
+    ``deterministic_sample=True`` switches the quantizer's training sample
+    from "first ``sample_size`` rows in block order" (cheapest; order depends
+    on the read plan) to "rows with ``id_col < sample_size``, ordered by
+    ``id_col``" with k-means init = the first ``n_clusters`` entries of a
+    seeded permutation of ``range(sample_size)`` that exist in the sample.
+    Same cost (a pushdown-able filter bounded by ``sample_size`` rows), but
+    the whole quantizer becomes a pure function of the table contents —
+    reproducible by any engine, which is what the DuckDB oracle replays.
     """
-    sample_df = ds.select_columns([emb_col]).limit(sample_size).to_pandas()
-    sample = _normalize(np.array(sample_df[emb_col].tolist(), dtype=np.float64))
-    centroids = _kmeans(sample, n_clusters)
+    if deterministic_sample:
+        sample_df = (ds.select_columns([id_col, emb_col])
+                     .filter(expr=f"{id_col} < {int(sample_size)}")
+                     .to_pandas().sort_values(id_col).reset_index(drop=True))
+        present = np.zeros(sample_size, dtype=bool)
+        ids = sample_df[id_col].to_numpy(dtype=np.int64)
+        present[ids] = True
+        perm = np.random.RandomState(17).permutation(sample_size)
+        init_ids = [v for v in perm if present[v]][:n_clusters]
+        # sample rows are id-sorted, so position of id v is searchsorted(ids, v)
+        init_idx = np.searchsorted(ids, np.asarray(init_ids, dtype=np.int64))
+        sample = _normalize(np.array(sample_df[emb_col].tolist(),
+                                     dtype=np.float64))
+        centroids = _kmeans(sample, n_clusters, init_idx=init_idx)
+    else:
+        sample_df = ds.select_columns([emb_col]).limit(sample_size).to_pandas()
+        sample = _normalize(np.array(sample_df[emb_col].tolist(),
+                                     dtype=np.float64))
+        centroids = _kmeans(sample, n_clusters)
     cent_ref = ray.put(centroids)
 
     qn = _normalize(np.asarray(queries, dtype=np.float64))
