@@ -1,0 +1,106 @@
+"""Sequence packing for LLM training-data preparation.
+
+Assigns every document a ``(seq_id, seq_offset)`` inside fixed
+token-capacity training sequences, independently per partition column
+(e.g. ``lang``), in ascending id order.
+
+Semantics — concat-and-chunk: per partition, documents are laid out in
+ascending ``id_col`` order as one virtual token stream; a document whose
+stream start offset is ``s`` gets ``seq_id = s // capacity`` and
+``seq_offset = s % capacity``. This is the streaming "concatenate, then
+chunk every C tokens" packing used to build LLM pretraining batches
+(documents may straddle a chunk boundary; the trainer slices them) — NOT
+first-fit bin packing. The choice makes the operator a pure windowed
+prefix sum: deterministic under any physical partitioning, and exactly
+expressible as an ANSI-SQL window (the DuckDB oracle in
+pipelines/queries.py).
+
+Distributed prefix-sum (scan) pattern — no global sort, no driver
+materialization of rows:
+
+1. ``map_batches``: narrow projection ``(id, part, tokens)`` plus a coarse
+   range key ``rkey = id // range_size`` (ids need not be dense — ranges
+   are only a co-location grain).
+2. Tiny aggregate ``SUM(tokens) GROUP BY (part, rkey)`` → driver. The
+   driver table is bounded by ``#parts × ceil(id_space / range_size)``;
+   pick ``range_size`` so this stays ≤ ~10^6 rows (a deeper scan tree
+   generalizes the same two-level construction if it ever cannot).
+   Exclusive prefix offsets per partition in rkey order are broadcast
+   once via ``ray.put``.
+3. ``groupby(part, rkey).map_groups``: local id-sort + cumsum + broadcast
+   base offset = the global running offset. Group count equals the
+   (coarse) range count, so the per-group overhead of Ray's map_groups is
+   amortized over ``range_size`` rows.
+
+The narrow table is materialized between passes 1/2 and 3 so tokenization
+runs once, not twice (pattern: ngram_jaccard_pairs); at extreme scale the
+object store spills the narrow blocks, which is still far cheaper than
+re-tokenizing the corpus.
+
+No analogue in the reference (``/root/reference`` has no packing op);
+token counting matches stages/text.text_features (same regex family).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+from .text import _WS_TOKEN_PATTERN
+
+
+def pack_sequences(ds: "ray.data.Dataset", capacity: int, *,
+                   id_col: str = "doc_id", part_col: str = "lang",
+                   tokens_col: str | None = None, text_col: str = "text",
+                   range_size: int = 1 << 14) -> "ray.data.Dataset":
+    """Concat-and-chunk packing → columns (id, part, tokens, seq_id,
+    seq_offset). ``tokens_col`` supplies precomputed token counts;
+    otherwise whitespace tokens of ``text_col`` are counted (vectorized
+    Arrow regex, identical to text_features)."""
+    if capacity <= 0:
+        raise ValueError("capacity must be positive")
+
+    def _narrow(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column(id_col), pa.int64())
+        if tokens_col is not None:
+            toks = pc.cast(batch.column(tokens_col), pa.int64())
+        else:
+            t = pc.cast(batch.column(text_col), pa.string())
+            toks = pc.cast(pc.count_substring_regex(t, _WS_TOKEN_PATTERN),
+                           pa.int64())
+        toks = pc.fill_null(toks, 0)
+        rkey = pc.divide(ids, pa.scalar(range_size, pa.int64()))
+        return pa.table({id_col: ids, part_col: batch.column(part_col),
+                         "tokens": toks, "rkey": rkey})
+
+    narrow = ds.map_batches(_narrow, batch_format="pyarrow").materialize()
+
+    # pass 2: coarse per-range totals → exclusive prefix offsets (driver-side
+    # over the SMALL range table, never over rows)
+    sums = (narrow.groupby([part_col, "rkey"])
+            .aggregate(Sum("tokens", alias_name="rtotal")).to_pandas())
+    sums = sums.sort_values([part_col, "rkey"]).reset_index(drop=True)
+    excl = (sums.groupby(part_col, sort=False)["rtotal"].cumsum()
+            - sums["rtotal"]).to_numpy(dtype=np.int64)
+    base = {(p, int(r)): int(b) for p, r, b in
+            zip(sums[part_col], sums["rkey"], excl)}
+    base_ref = ray.put(base)
+
+    def _pack(g: pd.DataFrame) -> pd.DataFrame:
+        offsets = ray.get(base_ref)
+        g = g.sort_values(id_col).reset_index(drop=True)
+        b = offsets[(g[part_col].iloc[0], int(g["rkey"].iloc[0]))]
+        toks = g["tokens"].to_numpy(dtype=np.int64)
+        start = b + np.cumsum(toks) - toks
+        g["seq_id"] = start // capacity
+        g["seq_offset"] = start % capacity
+        return g.drop(columns=["rkey"])
+
+    return narrow.groupby([part_col, "rkey"]).map_groups(
+        _pack, batch_format="pandas")

@@ -391,3 +391,61 @@ def test_contamination_flags_planted_overlap(ray_session):
     assert out["n_shared_shingles"].iloc[0] >= 1
     assert list(out["contaminated"])[1:] == [False, False, False]
     assert list(out["n_shared_shingles"])[1:] == [0, 0, 0]
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (distributed prefix-sum)
+# ---------------------------------------------------------------------------
+def test_pack_sequences_planted(ray_session):
+    import pandas as pd
+
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.packing import pack_sequences
+
+    # lang a: token counts 3, 4, 5 in doc_id order, capacity 6:
+    #   starts 0, 3, 7 -> seq (0,0), (0,3), (1,1)
+    df = pd.DataFrame({
+        "doc_id": [2, 1, 3, 10],
+        "text": ["b b b b", "a a a", "c c c c c", "z"],
+        "lang": ["a", "a", "a", "b"],
+    })
+    out = (pack_sequences(ray.data.from_pandas(df), capacity=6, range_size=2)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert list(out["tokens"]) == [3, 4, 5, 1]
+    assert list(out["seq_id"]) == [0, 0, 1, 0]
+    assert list(out["seq_offset"]) == [0, 3, 1, 0]
+
+
+def test_pack_sequences_partitioning_invariant(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.packing import pack_sequences
+
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame({
+        "doc_id": rng.permutation(400),
+        "text": [" ".join(["w"] * int(n)) for n in rng.randint(0, 40, 400)],
+        "lang": rng.choice(["en", "de", "fr"], 400),
+    })
+    outs = []
+    for rs, blocks in [(16, 1), (64, 7), (1 << 14, 3)]:
+        ds = ray.data.from_pandas(df).repartition(blocks)
+        outs.append(pack_sequences(ds, capacity=128, range_size=rs)
+                    .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    for o in outs[1:]:
+        pd.testing.assert_frame_equal(
+            outs[0][["doc_id", "tokens", "seq_id", "seq_offset"]],
+            o[["doc_id", "tokens", "seq_id", "seq_offset"]])
+    # offsets never reach capacity; every capacity-span is fully used before
+    # the next seq starts (concat-and-chunk has no padding gaps)
+    a = outs[0]
+    assert (a["seq_offset"] < 128).all()
+    for lang, g in a.sort_values("doc_id").groupby("lang"):
+        total = int(g["tokens"].sum())
+        last = g.iloc[-1]
+        assert int(last["seq_id"]) * 128 + int(last["seq_offset"]) \
+            == total - int(last["tokens"])
