@@ -1,0 +1,198 @@
+"""Corpus-selection operators for LLM training-data curation.
+
+Three deterministic, oracle-checkable selection primitives a 100-TB
+pipeline needs between quality scoring and packing (no analogue in
+``/root/reference`` — the reference evaluates quality, these consume it):
+
+* :func:`token_budget_select` — "take the best documents until a token
+  budget is spent", per partition column. A distributed prefix sum over
+  the (score desc, id asc) order — same two-level scan as
+  ``stages/packing.pack_sequences`` — with a budget-prune twist: score
+  ranges whose exclusive base offset already exceeds the budget are
+  dropped BEFORE the co-locating shuffle, so at scale the shuffle moves
+  only the winning prefix, not the corpus.
+* :func:`quota_cap` — "at most K rows per key" over a high-cardinality
+  key (source/domain/repo). Classic grouped top-K: a per-batch local cap
+  (a row whose within-batch rank exceeds K can never be in the global
+  first K, so it is pruned pre-shuffle) followed by one
+  ``partitioned_groupby`` pass (coarse hash partitions, C-level pandas
+  rank per partition — never one Ray group per key).
+* :func:`mixture_resample` — deterministic mixture re-weighting
+  (up/down-sample strata to target weights, e.g. 0.3× head language,
+  1.5× tail). Emits ``floor(w)`` copies per row plus one more when the
+  md5-keyed Bernoulli fires for ``frac(w)`` — the same content-keyed,
+  partitioning-independent predicate as
+  ``stages/transforms.deterministic_sample``, so identical rows are
+  replicated on every engine/run and a SQL oracle can reproduce the
+  exact output. Embarrassingly parallel: no shuffle at all.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+from .partitioning import partitioned_groupby
+from .text import _WS_TOKEN_PATTERN
+
+_ALPHA_PATTERN = "[A-Za-z]"
+
+
+def token_budget_select(ds: "ray.data.Dataset", budget: int, *,
+                        part_col: str = "lang", id_col: str = "doc_id",
+                        text_col: str = "text",
+                        range_g: int = 64) -> "ray.data.Dataset":
+    """Keep, per ``part_col``, the highest-scoring documents whose running
+    token total stays within ``budget``.
+
+    Score is the alphabetic-character count (an integer, so the global
+    (score desc, id asc) order is bit-exact on every engine — no float
+    comparison hazards in the window order). Keep condition:
+    ``cum_tokens <= budget`` where ``cum_tokens`` is the inclusive prefix
+    sum of whitespace-token counts in that order.
+
+    Scan structure (distributed, no driver row materialization):
+
+    1. narrow projection ``(id, part, tokens, score)`` + coarse range key
+       ``rkey = -(score // range_g)`` (ascending rkey == descending score
+       block), materialized so tokenization runs once;
+    2. tiny ``SUM(tokens) GROUP BY (part, rkey)`` → driver exclusive
+       prefix offsets in (part, rkey) order — bounded by
+       ``#parts × #score-ranges`` rows, never by corpus size;
+    3. budget prune: ranges with base offset strictly above ``budget``
+       cannot contribute (every row there has ``cum_tokens > budget``);
+       only surviving (part, rkey) groups enter the co-locating
+       ``groupby(part, rkey).map_groups`` where a local sort + cumsum +
+       broadcast base yields exact global running totals.
+    """
+    if budget < 0:
+        raise ValueError("budget must be non-negative")
+
+    def _narrow(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column(id_col), pa.int64())
+        t = pc.cast(batch.column(text_col), pa.string())
+        toks = pc.cast(pc.count_substring_regex(t, _WS_TOKEN_PATTERN),
+                       pa.int64())
+        score = pc.cast(pc.count_substring_regex(t, _ALPHA_PATTERN),
+                        pa.int64())
+        toks = pc.fill_null(toks, 0)
+        score = pc.fill_null(score, 0)
+        rkey = pc.negate_checked(pc.divide(score,
+                                           pa.scalar(range_g, pa.int64())))
+        return pa.table({id_col: ids, part_col: batch.column(part_col),
+                         "tokens": toks, "alpha": score, "rkey": rkey})
+
+    narrow = ds.map_batches(_narrow, batch_format="pyarrow").materialize()
+
+    sums = (narrow.groupby([part_col, "rkey"])
+            .aggregate(Sum("tokens", alias_name="rtotal")).to_pandas())
+    sums = sums.sort_values([part_col, "rkey"]).reset_index(drop=True)
+    excl = (sums.groupby(part_col, sort=False)["rtotal"].cumsum()
+            - sums["rtotal"]).to_numpy(dtype=np.int64)
+    alive = excl <= budget  # base > budget ⇒ every cum_tokens there > budget
+    base = {(p, int(r)): int(b) for p, r, b, a in
+            zip(sums[part_col], sums["rkey"], excl, alive) if a}
+    # per-part largest surviving rkey → a vectorized pre-shuffle filter
+    max_rkey = {p: max(r for q, r in base if q == p) for p in
+                {q for q, _ in base}}
+    base_ref = ray.put(base)
+
+    def _prune(df: pd.DataFrame) -> pd.DataFrame:
+        lim = df[part_col].map(max_rkey)
+        return df[df["rkey"] <= lim.fillna(np.iinfo(np.int64).min)]
+
+    def _select(g: pd.DataFrame) -> pd.DataFrame:
+        offsets = ray.get(base_ref)
+        g = g.sort_values(["alpha", id_col],
+                          ascending=[False, True]).reset_index(drop=True)
+        b = offsets[(g[part_col].iloc[0], int(g["rkey"].iloc[0]))]
+        cum = b + np.cumsum(g["tokens"].to_numpy(dtype=np.int64))
+        g["cum_tokens"] = cum
+        return g[cum <= budget].drop(columns=["rkey"])
+
+    return (narrow.map_batches(_prune, batch_format="pandas")
+            .groupby([part_col, "rkey"])
+            .map_groups(_select, batch_format="pandas"))
+
+
+def quota_cap(ds: "ray.data.Dataset", k: int, *, key_col: str = "source",
+              order_col: str = "doc_id",
+              keep_cols: list[str] | None = None,
+              num_partitions: int = 64) -> "ray.data.Dataset":
+    """Keep at most ``k`` rows per ``key_col``, the first ``k`` in
+    ascending ``order_col`` order (deterministic domain/repo quota).
+
+    A row's global rank within its key is ≥ its local within-batch rank,
+    so the per-batch cap below prunes safely before the shuffle: at most
+    ``k × #keys-per-batch`` rows survive per batch. The global pass is
+    one :func:`partitioned_groupby` — coarse hash partitions co-locating
+    whole keys, a single C-level ``groupby().cumcount()`` per partition
+    (NOT one Ray group per key; see the 0.2 ms/group measurement in
+    TODO.md)."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    cols = keep_cols or [order_col, key_col]
+    if key_col not in cols:
+        cols = cols + [key_col]
+    if order_col not in cols:
+        cols = cols + [order_col]
+
+    def _cap(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, order_col], kind="mergesort")
+        rank = df.groupby(key_col, sort=False).cumcount()
+        return df[rank.to_numpy() < k]
+
+    pruned = ds.select_columns(cols).map_batches(_cap, batch_format="pandas")
+    return partitioned_groupby(pruned, [key_col], _cap,
+                               num_partitions=num_partitions)
+
+
+def mixture_resample(ds: "ray.data.Dataset", *, on: str = "text",
+                     strata_col: str = "lang",
+                     weights: dict[str, float],
+                     default_weight: float = 1.0,
+                     copy_col: str = "copy_id",
+                     keep_cols: list[str] | None = None) -> "ray.data.Dataset":
+    """Deterministically replicate/drop rows to hit per-stratum mixture
+    weights: each row yields ``floor(w)`` copies plus one more iff
+    ``md5(on) mod 10000 < frac(w)*10000`` (content-keyed — the SAME rows
+    get the extra copy on every run/engine/partitioning). Output adds
+    ``copy_col`` (0-based copy index). No shuffle; purely per-batch."""
+    def _plan(w: float) -> tuple[int, int]:
+        if w < 0:
+            raise ValueError("weights must be non-negative")
+        whole = int(np.floor(w))
+        return whole, int(round((w - whole) * 10000))
+
+    plans = {s: _plan(w) for s, w in weights.items()}
+    default_plan = _plan(default_weight)
+    cols = keep_cols or ["doc_id", strata_col]
+
+    def _expand(df: pd.DataFrame) -> pd.DataFrame:
+        h = np.fromiter(
+            (int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) % 10000
+             for v in df[on]), dtype=np.int64, count=len(df))
+        whole = np.empty(len(df), dtype=np.int64)
+        thr = np.empty(len(df), dtype=np.int64)
+        strata = df[strata_col].to_numpy()
+        for s in np.unique(strata):
+            wz, tz = plans.get(s, default_plan)
+            m = strata == s
+            whole[m] = wz
+            thr[m] = tz
+        n = whole + (h < thr)
+        out = df[cols].iloc[np.repeat(np.arange(len(df)), n)].copy()
+        ends = np.cumsum(n)
+        out[copy_col] = np.arange(int(ends[-1]) if len(ends) else 0,
+                                  dtype=np.int64) - np.repeat(ends - n, n)
+        return out
+
+    return ds.map_batches(_expand, batch_format="pandas")

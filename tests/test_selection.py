@@ -1,0 +1,100 @@
+"""Selection operators: partitioning invariance, budget/quota edges,
+deterministic replication."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+
+from data_quality_automated_evaluator_ray.stages.selection import (
+    mixture_resample, quota_cap, token_budget_select)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(n_blocks):
+    return ray.data.read_parquet(f"{SF}/documents.parquet",
+                                 override_num_blocks=n_blocks)
+
+
+def _sorted(df, cols):
+    return df.sort_values(cols).reset_index(drop=True)
+
+
+def test_token_budget_partitioning_invariance(ray_session):
+    a = token_budget_select(_docs(1), budget=2000, range_g=64).to_pandas()
+    b = token_budget_select(_docs(7), budget=2000, range_g=16).to_pandas()
+    cols = ["lang", "doc_id"]
+    pd.testing.assert_frame_equal(
+        _sorted(a, cols)[sorted(a.columns)], _sorted(b, cols)[sorted(b.columns)])
+    # the budget is respected per partition column
+    assert (a.groupby("lang")["tokens"].sum() <= 2000).all()
+    # greedy best-first: every kept doc's score >= every dropped doc's score
+    # is NOT required (ties at the boundary), but cum_tokens must be the
+    # prefix sum in (alpha desc, doc_id) order
+    for _, g in a.groupby("lang"):
+        g = g.sort_values(["alpha", "doc_id"], ascending=[False, True])
+        assert (g["cum_tokens"].to_numpy()
+                == g["tokens"].cumsum().to_numpy()).all()
+
+
+def test_token_budget_zero_budget(ray_session):
+    out = token_budget_select(_docs(2), budget=0).to_pandas()
+    # only zero-token documents can fit a zero budget (none in the fixture;
+    # an empty Ray result legitimately drops its schema)
+    assert len(out) == 0 or (out["tokens"] == 0).all()
+
+
+def test_quota_cap_invariance_and_bound(ray_session):
+    a = quota_cap(_docs(1), k=10, key_col="source",
+                  keep_cols=["doc_id", "lang", "source"]).to_pandas()
+    b = quota_cap(_docs(9), k=10, key_col="source",
+                  keep_cols=["doc_id", "lang", "source"]).to_pandas()
+    cols = ["source", "doc_id"]
+    pd.testing.assert_frame_equal(
+        _sorted(a, cols)[sorted(a.columns)], _sorted(b, cols)[sorted(b.columns)])
+    counts = a.groupby("source").size()
+    assert (counts <= 10).all()
+    # kept rows are exactly the k smallest doc_ids per source
+    full = pd.read_parquet(f"{SF}/documents.parquet")
+    for src, g in full.groupby("source"):
+        want = set(g["doc_id"].nsmallest(10))
+        got = set(a.loc[a["source"] == src, "doc_id"])
+        assert got == want, src
+
+
+def test_mixture_resample_copy_semantics(ray_session):
+    out = mixture_resample(_docs(3), weights={"en": 0.3, "de": 1.5},
+                           default_weight=1.0).to_pandas()
+    per_doc = out.groupby("doc_id").agg(n=("copy_id", "size"),
+                                        mx=("copy_id", "max"),
+                                        lang=("lang", "first"))
+    # copy ids are contiguous 0..n-1
+    assert (per_doc["mx"] == per_doc["n"] - 1).all()
+    assert (per_doc.loc[per_doc["lang"] == "en", "n"] == 1).all()
+    assert per_doc.loc[per_doc["lang"] == "de", "n"].isin([1, 2]).all()
+    full = pd.read_parquet(f"{SF}/documents.parquet")
+    other = full[~full["lang"].isin(["en", "de"])]
+    assert (per_doc.reindex(other["doc_id"])["n"] == 1).all()
+    # en is a strict downsample at 0.3
+    n_en = len(full[full["lang"] == "en"])
+    kept_en = (per_doc["lang"] == "en").sum()
+    assert 0 < kept_en < n_en
+    # rerun → identical expansion (content-keyed, no RNG)
+    out2 = mixture_resample(_docs(5), weights={"en": 0.3, "de": 1.5},
+                            default_weight=1.0).to_pandas()
+    cols = ["doc_id", "copy_id"]
+    pd.testing.assert_frame_equal(
+        _sorted(out, cols)[sorted(out.columns)],
+        _sorted(out2, cols)[sorted(out2.columns)])
+
+
+def test_quota_cap_rejects_nonpositive_k(ray_session):
+    with pytest.raises(ValueError):
+        quota_cap(_docs(1), k=0)
+
+
+def test_token_budget_rejects_negative(ray_session):
+    with pytest.raises(ValueError):
+        token_budget_select(_docs(1), budget=-1)
