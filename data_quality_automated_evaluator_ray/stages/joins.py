@@ -200,10 +200,36 @@ def skew_join(left: "ray.data.Dataset", right: "ray.data.Dataset", *,
     return hot_half.union(cold_half)
 
 
+def _as_pa_type(t) -> "pa.DataType":
+    """Normalize a Dataset.schema() type entry to a pyarrow DataType —
+    pandas-backed datasets report numpy dtypes, parquet-backed report
+    Arrow types."""
+    if isinstance(t, pa.DataType):
+        return t
+    try:
+        return pa.from_numpy_dtype(t)
+    except (pa.ArrowNotImplementedError, TypeError):
+        return pa.string()  # object dtype
+
+
+def _neutral_fill(n: int, typ: "pa.DataType") -> "pa.Array":
+    """Null-free placeholder column of ``typ`` (values are never read — the
+    side tag filters these rows out before any merge). Null-free matters:
+    an int64 arrow column WITH nulls converts to float64 in pandas blocks,
+    and float64 silently rounds epoch-microsecond magnitudes (> 2^53)."""
+    if pa.types.is_integer(typ) or pa.types.is_floating(typ):
+        return pa.array(np.zeros(n, dtype=typ.to_pandas_dtype()), typ)
+    if pa.types.is_boolean(typ):
+        return pa.array(np.zeros(n, dtype=bool), typ)
+    if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+        return pa.array([""] * n, typ)
+    return pa.nulls(n, typ)  # timestamp/other: NaT keeps its pandas dtype
+
+
 def range_join(points: "ray.data.Dataset", intervals: "ray.data.Dataset", *,
                by: str, value_col: str, lo_col: str, hi_col: str,
                bucket_width: int,
-               num_partitions: int = 16) -> "ray.data.Dataset":
+               num_partitions: int = 64) -> "ray.data.Dataset":
     """Point-in-interval join (custom operator — Ray Data has none): match
     each point row to every interval row of the same ``by`` key with
     ``lo_col <= value_col <= hi_col`` (inner; unmatched points drop).
@@ -215,44 +241,79 @@ def range_join(points: "ray.data.Dataset", intervals: "ray.data.Dataset", *,
     Pick ``bucket_width`` ≈ the typical interval length: replication factor
     is interval_len / bucket_width + 1, while too-wide buckets put unrelated
     rows in one join partition. Values must be integers (e.g. epoch
-    microseconds)."""
+    microseconds).
+
+    Execution is the tag→union→ONE coarse shuffle→per-partition C-level
+    merge pattern (same as asof_join): both sides align to one union schema
+    with a side tag, ``partitioned_groupby`` co-locates each (by, bucket)
+    group, and one ``pandas.merge`` per partition joins point rows to
+    interval replicas. This replaces ``Dataset.join``, whose per-run
+    aggregator-actor startup dominated at suite scale (~5 s of a 7 s
+    query); the sort-shuffle path shares the cost profile of every other
+    groupby in the engine."""
+    from .partitioning import partitioned_groupby
+
     w = int(bucket_width)
+    ps, isch = points.schema(), intervals.schema()
+    ptypes = {n: _as_pa_type(t) for n, t in zip(ps.names, ps.types)}
+    itypes = {n: _as_pa_type(t) for n, t in zip(isch.names, isch.types)}
+    pcols = list(ps.names)
+    icols = [c for c in isch.names if c != by]
+    clash = set(pcols) & set(icols)
+    if clash:
+        raise ValueError(f"column collision between sides: {sorted(clash)}")
 
-    def _bucket_points(b: pa.Table) -> pa.Table:
-        v = b.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        return b.append_column("__bucket",
-                               pa.array(v // w, pa.int64()))
+    def _tag_points(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        v = pc.cast(b.column(value_col), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        arrays = {c: b.column(c) for c in pcols}
+        for c in icols:
+            arrays[c] = _neutral_fill(n, itypes[c])
+        arrays["__bucket"] = pa.array(v // w, pa.int64())
+        arrays["__side"] = pa.array(np.zeros(n, np.int8), pa.int8())
+        return pa.table(arrays)
 
-    def _replicate_intervals(df: pd.DataFrame) -> pd.DataFrame:
+    def _tag_intervals(df: pd.DataFrame) -> pa.Table:
         lo = df[lo_col].to_numpy().astype(np.int64)
         hi = df[hi_col].to_numpy().astype(np.int64)
         b0, b1 = lo // w, hi // w
         reps = (b1 - b0 + 1).clip(min=0)
         idx = np.repeat(np.arange(len(df)), reps)
         out = df.iloc[idx].reset_index(drop=True)
-        # bucket index within each interval's replica run
         run_start = np.repeat(b0, reps)
-        offsets = np.arange(reps.sum()) - np.repeat(
+        offsets = np.arange(int(reps.sum())) - np.repeat(
             np.concatenate([[0], np.cumsum(reps[:-1])]), reps)
-        out["__bucket__r"] = (run_start + offsets).astype(np.int64)
-        out = out.rename(columns={by: f"{by}__r"})
-        return out
+        n = len(out)
+        arrays = {}
+        for c in pcols:
+            if c == by:
+                arrays[c] = pa.Array.from_pandas(out[by], type=ptypes[by])
+            else:
+                arrays[c] = _neutral_fill(n, ptypes[c])
+        for c in icols:
+            arrays[c] = pa.Array.from_pandas(out[c], type=itypes[c])
+        arrays["__bucket"] = pa.array((run_start + offsets).astype(np.int64),
+                                      pa.int64())
+        arrays["__side"] = pa.array(np.ones(n, np.int8), pa.int8())
+        return pa.table(arrays)
 
-    pts = points.map_batches(_bucket_points, batch_format="pyarrow")
-    ivs = intervals.map_batches(_replicate_intervals, batch_format="pandas")
-    joined = pts.join(ivs, join_type="inner", num_partitions=num_partitions,
-                      on=(by, "__bucket"), right_on=(f"{by}__r", "__bucket__r"))
+    tagged = points.map_batches(_tag_points, batch_format="pyarrow").union(
+        intervals.map_batches(_tag_intervals, batch_format="pandas"))
 
-    def _verify(b: pa.Table) -> pa.Table:
-        v = b.column(value_col)
-        keep = pc.and_(pc.greater_equal(v, b.column(lo_col)),
-                       pc.less_equal(v, b.column(hi_col)))
-        out = b.filter(keep)
-        drop = [c for c in ("__bucket", "__bucket__r", f"{by}__r")
-                if c in out.column_names]
-        return out.drop_columns(drop)
+    out_cols = pcols + icols
 
-    return joined.map_batches(_verify, batch_format="pyarrow")
+    def _merge(part: pd.DataFrame) -> pd.DataFrame:
+        side = part["__side"].to_numpy()
+        lg = part.loc[side == 0, pcols + ["__bucket"]]
+        rg = part.loc[side == 1, [by, "__bucket"] + icols]
+        m = lg.merge(rg, on=[by, "__bucket"])
+        v = m[value_col].to_numpy()
+        m = m[(v >= m[lo_col].to_numpy()) & (v <= m[hi_col].to_numpy())]
+        return m[out_cols]
+
+    return partitioned_groupby(tagged, [by, "__bucket"], _merge,
+                               num_partitions=num_partitions)
 
 
 def broadcast_join(ds: "ray.data.Dataset", small: pd.DataFrame, *,

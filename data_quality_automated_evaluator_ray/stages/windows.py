@@ -89,29 +89,39 @@ def session_windows(
     key_col: str,
     date_col: str,
     gap_minutes: int = 60,
+    num_partitions: int = 64,
 ) -> "ray.data.Dataset":
     """Sessionization: per key, consecutive events closer than the gap belong
-    to one session. → (key, session_start, n_events, duration_sec)."""
+    to one session. → (key, session_start, n_events, duration_sec).
+
+    One vectorized gaps-and-islands pass per COARSE hash partition (keys
+    co-located whole by ``partitioned_groupby``), not one Ray group per key
+    — Ray's sort-based map_groups costs ~0.2 ms of Python per group, and a
+    session break is just "key changed OR gap exceeded" over the
+    (key, time)-sorted partition, so the whole partition reduces with three
+    numpy passes (flatnonzero of the break mask → segment starts/ends)."""
+    from .partitioning import partitioned_groupby
+
     gap_us = gap_minutes * 60 * 1_000_000
 
-    def _sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(date_col)
+    def _sessions_part(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values([key_col, date_col], kind="mergesort")
         # explicit microsecond epoch — pandas 2 preserves the Arrow column's
         # time unit, so a bare astype(int64) is unit-ambiguous
-        ts = g[date_col].to_numpy().astype("datetime64[us]").astype(np.int64)
-        new_session = np.ones(len(ts), dtype=bool)
-        new_session[1:] = (ts[1:] - ts[:-1]) > gap_us
-        sid = np.cumsum(new_session)
-        out = []
-        for s in np.unique(sid):
-            seg = ts[sid == s]
-            out.append({
-                key_col: g[key_col].iloc[0],
-                "session_start_us": int(seg[0]),
-                "n_events": int(seg.size),
-                "duration_sec": float((seg[-1] - seg[0]) / 1e6),
-            })
-        return pd.DataFrame(out)
+        ts = part[date_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        keys = part[key_col].to_numpy()
+        brk = np.ones(len(ts), dtype=bool)
+        if len(ts) > 1:
+            brk[1:] = (keys[1:] != keys[:-1]) | ((ts[1:] - ts[:-1]) > gap_us)
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], len(ts))  # exclusive segment ends
+        return pd.DataFrame({
+            key_col: keys[starts],
+            "session_start_us": ts[starts],
+            "n_events": (ends - starts).astype(np.int64),
+            "duration_sec": (ts[ends - 1] - ts[starts]) / 1e6,
+        })
 
-    return ds.select_columns([key_col, date_col]) \
-             .groupby(key_col).map_groups(_sessions, batch_format="pandas")
+    return partitioned_groupby(ds.select_columns([key_col, date_col]),
+                               [key_col], _sessions_part,
+                               num_partitions=num_partitions)
