@@ -130,7 +130,11 @@ def run_bench() -> dict:
                           # emission made exact n-gram viable at sf0.1)
                           "ngram_jaccard_documents", "asof_purchase_events",
                           "session_range_join_events", "skewed_events_by_type",
-                          "order_priority_by_nation"]}
+                          "order_priority_by_nation",
+                          # round 2 (late): corpus-selection operators
+                          "token_budget_select_documents",
+                          "quota_cap_documents",
+                          "mixture_resample_documents"]}
     suite.update(extra)
     for name, fn in suite.items():
         t0 = time.perf_counter()
