@@ -321,6 +321,51 @@ def range_join(points: "ray.data.Dataset", intervals: "ray.data.Dataset", *,
                                num_partitions=num_partitions)
 
 
+def shuffle_anti_join(left: "ray.data.Dataset", keys: "ray.data.Dataset", *,
+                      on: str,
+                      num_partitions: int = 64) -> "ray.data.Dataset":
+    """Distributed anti join: drop left rows whose ``on`` value appears in
+    ``keys`` (a one-column-relevant Dataset) — for when the key set is too
+    large to collect and broadcast (use ``broadcast_anti_join`` when it
+    fits). Union-tag both sides, ONE coarse hash shuffle co-locates equal
+    keys, then a vectorized ``isin`` per partition. Only the narrow left
+    projection and the key column move."""
+    from .partitioning import partitioned_groupby
+
+    ls = left.schema()
+    ltypes = {n: _as_pa_type(t) for n, t in zip(ls.names, ls.types)}
+    lcols = list(ls.names)
+
+    def _tag_left(b: pa.Table) -> pa.Table:
+        arrays = {c: b.column(c) for c in lcols}
+        arrays["__side"] = pa.array(np.zeros(b.num_rows, np.int8), pa.int8())
+        return pa.table(arrays)
+
+    def _tag_keys(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        arrays = {}
+        for c in lcols:
+            if c == on:
+                arrays[c] = pc.cast(b.column(on), ltypes[on])
+            else:
+                arrays[c] = _neutral_fill(n, ltypes[c])
+        arrays["__side"] = pa.array(np.ones(n, np.int8), pa.int8())
+        return pa.table(arrays)
+
+    tagged = left.map_batches(_tag_left, batch_format="pyarrow").union(
+        keys.select_columns([on]).map_batches(_tag_keys,
+                                              batch_format="pyarrow"))
+
+    def _anti(part: pd.DataFrame) -> pd.DataFrame:
+        side = part["__side"].to_numpy()
+        m = part.loc[side == 0, lcols]
+        drop = part.loc[side == 1, on]
+        return m[~m[on].isin(drop)]
+
+    return partitioned_groupby(tagged, [on], _anti,
+                               num_partitions=num_partitions)
+
+
 def broadcast_join(ds: "ray.data.Dataset", small: pd.DataFrame, *,
                    on: str, how: str = "inner") -> "ray.data.Dataset":
     """Join a streaming Dataset against a small in-memory table (no shuffle)."""

@@ -43,6 +43,8 @@ token counting matches stages/text.text_features (same regex family).
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -50,7 +52,7 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data
-from ray.data.aggregate import Sum
+from ray.data.aggregate import Count, Sum
 
 from .text import _WS_TOKEN_PATTERN
 
@@ -104,3 +106,58 @@ def pack_sequences(ds: "ray.data.Dataset", capacity: int, *,
 
     return narrow.groupby([part_col, "rkey"]).map_groups(
         _pack, batch_format="pandas")
+
+
+def global_shuffle_rank(ds: "ray.data.Dataset", *, id_col: str = "doc_id",
+                        out_col: str = "shuffle_rank",
+                        keep_cols: list[str] | None = None
+                        ) -> "ray.data.Dataset":
+    """Deterministic global training-order shuffle WITHOUT a global sort:
+    assign every row its 0-based rank in the md5(id) permutation.
+
+    The permutation a trainer needs is any fixed pseudorandom order that is
+    identical across runs/engines/partitionings — md5 of the row id gives
+    one, and its first byte range-partitions the rank assignment:
+
+    1. narrow pass adds ``__hkey = md5(str(id))`` (hex) and
+       ``__rkey = first hash byte`` (256 contiguous hash ranges — every key
+       in range r sorts before every key in range r+1);
+    2. per-range counts → driver exclusive prefix (256 rows, never corpus
+       rows) → broadcast;
+    3. per-range local sort by ``__hkey`` + ``base + arange`` = the exact
+       global rank. 256 groups amortize Ray's per-group cost; at larger
+       cluster widths use the first TWO bytes (65 536 ranges).
+
+    Same two-level scan as :func:`pack_sequences`; the oracle is
+    ``row_number() over (order by md5(cast(id as varchar)))``.
+    """
+    cols = keep_cols or [id_col]
+    if id_col not in cols:
+        cols = [id_col] + cols
+
+    def _key(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_pylist()
+        hk = [hashlib.md5(str(v).encode()).hexdigest() for v in ids]
+        rk = [int(h[:2], 16) for h in hk]
+        arrays = {c: b.column(c) for c in cols}
+        arrays["__hkey"] = pa.array(hk, pa.string())
+        arrays["__rkey"] = pa.array(rk, pa.int32())
+        return pa.table(arrays)
+
+    narrow = ds.select_columns(cols).map_batches(
+        _key, batch_format="pyarrow").materialize()
+
+    counts = (narrow.groupby("__rkey")
+              .aggregate(Count(alias_name="n")).to_pandas())
+    counts = counts.sort_values("__rkey").reset_index(drop=True)
+    excl = counts["n"].cumsum() - counts["n"]
+    base = {int(r): int(b) for r, b in zip(counts["__rkey"], excl)}
+    base_ref = ray.put(base)
+
+    def _rank(g: pd.DataFrame) -> pd.DataFrame:
+        b = ray.get(base_ref)[int(g["__rkey"].iloc[0])]
+        g = g.sort_values("__hkey", kind="mergesort").reset_index(drop=True)
+        g[out_col] = b + np.arange(len(g), dtype=np.int64)
+        return g.drop(columns=["__hkey", "__rkey"])
+
+    return narrow.groupby("__rkey").map_groups(_rank, batch_format="pandas")

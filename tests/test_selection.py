@@ -98,3 +98,32 @@ def test_quota_cap_rejects_nonpositive_k(ray_session):
 def test_token_budget_rejects_negative(ray_session):
     with pytest.raises(ValueError):
         token_budget_select(_docs(1), budget=-1)
+
+
+def test_global_shuffle_rank_invariance(ray_session):
+    from data_quality_automated_evaluator_ray.stages.packing import (
+        global_shuffle_rank)
+
+    a = global_shuffle_rank(_docs(1)).to_pandas()
+    b = global_shuffle_rank(_docs(8)).to_pandas()
+    cols = ["doc_id"]
+    pd.testing.assert_frame_equal(
+        _sorted(a, cols)[sorted(a.columns)], _sorted(b, cols)[sorted(b.columns)])
+    # ranks are an exact permutation of 0..n-1
+    r = np.sort(a["shuffle_rank"].to_numpy())
+    assert (r == np.arange(len(a))).all()
+
+
+def test_shuffle_anti_join_semantics(ray_session):
+    from data_quality_automated_evaluator_ray.stages.joins import (
+        shuffle_anti_join)
+
+    left = ray.data.from_pandas(pd.DataFrame(
+        {"k": [1, 2, 3, 4, 5], "v": list("abcde")}))
+    keys = ray.data.from_pandas(pd.DataFrame({"k": [2, 4, 9]}))
+    out = shuffle_anti_join(left, keys, on="k").to_pandas()
+    assert sorted(zip(out["k"], out["v"])) == [(1, "a"), (3, "c"), (5, "e")]
+    # empty key side → left passes through whole
+    empty = ray.data.from_pandas(pd.DataFrame({"k": pd.Series(dtype="int64")}))
+    out2 = shuffle_anti_join(left, empty, on="k").to_pandas()
+    assert len(out2) == 5
