@@ -127,3 +127,44 @@ def test_shuffle_anti_join_semantics(ray_session):
     empty = ray.data.from_pandas(pd.DataFrame({"k": pd.Series(dtype="int64")}))
     out2 = shuffle_anti_join(left, empty, on="k").to_pandas()
     assert len(out2) == 5
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@st.composite
+def _corpus(draw):
+    n = draw(st.integers(min_value=1, max_value=40))
+    langs = st.sampled_from(["en", "de", "fr"])
+    words = st.lists(st.sampled_from(["aa", "Bb", "ccc", "1", ""]),
+                     max_size=6)
+    return pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "lang": [draw(langs) for _ in range(n)],
+        "text": [" ".join(draw(words)) for _ in range(n)],
+    })
+
+
+@settings(max_examples=12, deadline=None, derandomize=True)
+@given(df=_corpus(), budget=st.integers(min_value=0, max_value=30),
+       blocks=st.integers(min_value=1, max_value=4))
+def test_token_budget_matches_pandas_oracle(ray_session, df, budget, blocks):
+    from data_quality_automated_evaluator_ray.stages.selection import (
+        token_budget_select)
+
+    ds = ray.data.from_pandas(df).repartition(blocks)
+    got = token_budget_select(ds, budget=budget, range_g=3).to_pandas()
+    # in-memory oracle: window sum over (alpha desc, doc_id) per lang
+    o = df.copy()
+    o["tokens"] = o["text"].str.count(r"[^ \t\n\r]+").astype(np.int64)
+    o["alpha"] = o["text"].str.count(r"[A-Za-z]").astype(np.int64)
+    o = o.sort_values(["lang", "alpha", "doc_id"],
+                      ascending=[True, False, True])
+    o["cum_tokens"] = o.groupby("lang")["tokens"].cumsum()
+    want = o[o["cum_tokens"] <= budget][
+        ["doc_id", "lang", "tokens", "alpha", "cum_tokens"]]
+    assert len(got) == len(want)
+    if len(want):
+        g = got.sort_values("doc_id").reset_index(drop=True)[sorted(got.columns)]
+        w = want.sort_values("doc_id").reset_index(drop=True)[sorted(want.columns)]
+        pd.testing.assert_frame_equal(g, w, check_dtype=False)
