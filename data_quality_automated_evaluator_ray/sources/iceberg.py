@@ -1,0 +1,113 @@
+"""Apache Iceberg table scan — from-scratch metadata walk, no pyiceberg.
+
+Covers the read path the reference exposes through polars/pyiceberg
+(handle_data.py:109): resolve the table's current metadata JSON, follow the
+chosen snapshot's manifest list (Avro) to its manifest files (Avro), collect
+the live Parquet data files, and hand the file list to
+``ray.data.read_parquet`` — so the actual data scan is the same
+column-pruned, parallel Parquet read every other pipeline uses.
+
+Public-spec sources only: the Iceberg table spec
+(https://iceberg.apache.org/spec/ — metadata/v-N JSON, version-hint.text,
+manifest-list and manifest_entry Avro schemas, status/content codes) and the
+Avro container spec via ``sources/avro_codec``.
+
+Scope (documented, enforced): copy-on-write data reads. Tables carrying
+live DELETE manifests or delete-file entries (merge-on-read, spec content
+codes 1/2) raise NotImplementedError rather than returning wrong rows.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+from typing import Any
+
+from .avro_codec import read_avro_file
+
+
+def _strip_scheme(p: str) -> str:
+    return p[7:] if p.startswith("file://") else p
+
+
+def resolve_metadata_path(table_path: str) -> str:
+    """Latest metadata JSON for a table directory: ``version-hint.text``
+    if present (HadoopTables layout), else the highest ``v<N>.metadata.json``
+    / ``<N>-<uuid>.metadata.json`` in ``metadata/``."""
+    table_path = _strip_scheme(table_path)
+    if table_path.endswith(".json"):
+        return table_path
+    meta_dir = os.path.join(table_path, "metadata")
+    hint = os.path.join(meta_dir, "version-hint.text")
+    if os.path.exists(hint):
+        v = open(hint).read().strip()
+        cand = os.path.join(meta_dir, f"v{v}.metadata.json")
+        if os.path.exists(cand):
+            return cand
+    versions = []
+    for p in glob.glob(os.path.join(meta_dir, "*.metadata.json")):
+        m = re.search(r"(?:^|/)(?:v)?(\d+)[^/]*\.metadata\.json$", p)
+        if m:
+            versions.append((int(m.group(1)), p))
+    if not versions:
+        raise FileNotFoundError(f"no metadata JSON under {meta_dir}")
+    return max(versions)[1]
+
+
+def iceberg_data_files(table_path: str, *,
+                       snapshot_id: int | None = None) -> list[str]:
+    """Live Parquet data-file paths of the table's chosen snapshot."""
+    meta_path = resolve_metadata_path(table_path)
+    meta = json.load(open(meta_path))
+    snaps = meta.get("snapshots", [])
+    if not snaps:
+        return []
+    want = snapshot_id if snapshot_id is not None \
+        else meta.get("current-snapshot-id")
+    snap = next((s for s in snaps if s.get("snapshot-id") == want), None)
+    if snap is None:
+        raise ValueError(f"snapshot {want} not in {meta_path}")
+
+    if "manifest-list" in snap:  # format v2 (and v1 with a list file)
+        _, manifests = read_avro_file(_strip_scheme(snap["manifest-list"]))
+    else:  # spec v1 alternative: inline manifest path array
+        manifests = [{"manifest_path": p} for p in snap["manifests"]]
+
+    files: list[str] = []
+    for mf in manifests:
+        # manifest_file.content: 0 = data, 1 = deletes (spec field 517)
+        if mf.get("content", 0) != 0:
+            raise NotImplementedError(
+                "Iceberg merge-on-read (delete manifests) not supported; "
+                "compact the table to copy-on-write first")
+        _, entries = read_avro_file(_strip_scheme(mf["manifest_path"]))
+        for e in entries:
+            if e.get("status") == 2:  # DELETED entry
+                continue
+            df = e["data_file"]
+            # data_file.content: 0 = data, 1/2 = delete files (spec field 134)
+            if df.get("content", 0) != 0:
+                raise NotImplementedError(
+                    "Iceberg delete files not supported (merge-on-read)")
+            fmt = str(df.get("file_format", "")).upper()
+            if fmt != "PARQUET":
+                raise NotImplementedError(
+                    f"Iceberg data file format {fmt!r} (only PARQUET)")
+            files.append(_strip_scheme(df["file_path"]))
+    return files
+
+
+def read_iceberg(table_path: str, *, columns: list[str] | None = None,
+                 snapshot_id: int | None = None, **read_kwargs: Any):
+    """Iceberg table → ``ray.data.Dataset`` (column-pruned Parquet scan of
+    the snapshot's live data files)."""
+    import ray.data
+
+    files = iceberg_data_files(table_path, snapshot_id=snapshot_id)
+    if not files:
+        import pyarrow as pa
+
+        return ray.data.from_arrow(pa.table({}))
+    return ray.data.read_parquet(files, columns=columns, **read_kwargs)
