@@ -66,3 +66,48 @@ def hll_estimate(registers: np.ndarray) -> float:
     if raw <= 2.5 * _M and zeros:
         return float(_M * np.log(_M / zeros))  # linear counting
     return float(raw)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (mergeable) — heavy-hitter candidate generation
+# ---------------------------------------------------------------------------
+# Depth×width int64 grid; update/query via Kirsch-Mitzenmacher double
+# hashing off one deterministic 64-bit token hash (pandas siphash with its
+# fixed default key — no RNG, identical across processes/machines). The
+# estimate NEVER underestimates a true count, which is the property the
+# exact two-pass heavy-hitter pipeline in stages/text.py relies on.
+_CM_D = 4
+_CM_W = 1 << 13  # 8192 → sketch = 4×8192×8 B = 256 KiB, corpus-independent
+
+
+def cm_create() -> np.ndarray:
+    return np.zeros((_CM_D, _CM_W), dtype=np.int64)
+
+
+def cm_token_cells(tokens) -> np.ndarray:
+    """(depth, n) cell indices for a sequence of token strings."""
+    import pandas as pd
+
+    h = pd.util.hash_pandas_object(pd.Series(tokens, dtype=object),
+                                   index=False).to_numpy().view(np.uint64)
+    h1 = h & np.uint64(0xFFFFFFFF)
+    h2 = (h >> np.uint64(32)) | np.uint64(1)
+    rows = np.arange(_CM_D, dtype=np.uint64)[:, None]
+    return ((h1[None, :] + rows * h2[None, :]) % np.uint64(_CM_W)) \
+        .astype(np.int64)
+
+
+def cm_add(sketch: np.ndarray, cells: np.ndarray,
+           counts: np.ndarray) -> np.ndarray:
+    for d in range(_CM_D):
+        np.add.at(sketch[d], cells[d], counts)
+    return sketch
+
+
+def cm_query(sketch: np.ndarray, cells: np.ndarray) -> np.ndarray:
+    """Min-over-rows estimates for each column of ``cells`` (never below
+    the true count)."""
+    ests = sketch[0][cells[0]]
+    for d in range(1, _CM_D):
+        np.minimum(ests, sketch[d][cells[d]], out=ests)
+    return ests

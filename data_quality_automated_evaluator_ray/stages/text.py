@@ -10,6 +10,7 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -167,3 +168,86 @@ def top_tokens(ds: "ray.data.Dataset", text_col: str = "text",
     from ray.data.aggregate import Sum
     summed = partials.groupby("token").aggregate(Sum("n", alias_name="n_total"))
     return summed.sort(["n_total", "token"], descending=[True, False]).limit(k)
+
+
+def heavy_hitter_tokens(ds: "ray.data.Dataset", *, text_col: str = "text",
+                        phi: float = 0.001, k: int = 20,
+                        num_partitions: int = 32) -> "ray.data.Dataset":
+    """EXACT φ-heavy-hitter tokens under bounded memory — the scale path
+    for top-k when the distinct-token stream itself is too big to shuffle
+    (URLs, code identifiers: 10^10+ distinct at corpus scale).
+
+    Two passes over the corpus (the narrow text column only):
+
+    1. Every batch folds its within-batch token counts into count-min
+       sketch cells (``functions/sketches.cm_*``; 4×8192 int64 = 256 KiB,
+       corpus-size-independent); one coarse groupby sums cells and the
+       assembled sketch broadcasts back via ``ray.put``. Total token count
+       N = sum of any sketch row.
+    2. Batches re-tokenize and emit per-batch counts ONLY for tokens whose
+       sketch estimate ≥ T = max(1, ceil(φ·N)). Count-min never
+       underestimates, so no true heavy hitter is dropped — overestimation
+       only admits extra candidates, which the exact groupby then counts
+       and filters. The exact shuffle therefore moves candidate rows, not
+       the full vocabulary.
+
+    Output: (token, n_total) with n_total ≥ T, sorted (n desc, token),
+    top-k — byte-identical to the exact SQL oracle. Tokenization is
+    ``str.split`` (whitespace), matching ``top_tokens``."""
+    import ray
+
+    from ..functions.sketches import (cm_add, cm_create, cm_query,
+                                      cm_token_cells, _CM_D, _CM_W)
+    from .partitioning import partitioned_groupby
+
+    def _counts(texts: list) -> "pd.Series":
+        s = pd.Series(texts, dtype=object).str.split()
+        return s.explode().dropna().value_counts()
+
+    def _cells(batch: pa.Table) -> pa.Table:
+        vc = _counts(batch.column(text_col).to_pylist())
+        if not len(vc):
+            return pa.table({"cell": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        cells = cm_token_cells(vc.index.to_numpy())
+        n = vc.to_numpy(dtype=np.int64)
+        flat = (cells + (np.arange(_CM_D, dtype=np.int64)[:, None] * _CM_W))
+        return pa.table({"cell": pa.array(flat.ravel(), pa.int64()),
+                         "n": pa.array(np.tile(n, _CM_D), pa.int64())})
+
+    def _sum_cells(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby("cell", sort=False)["n"].sum().reset_index()
+        return g
+
+    cell_sums = partitioned_groupby(
+        ds.map_batches(_cells, batch_format="pyarrow"), ["cell"], _sum_cells,
+        num_partitions=num_partitions).to_pandas()
+    sketch = cm_create()
+    flat = sketch.ravel()
+    flat[cell_sums["cell"].to_numpy()] = cell_sums["n"].to_numpy()
+    total = int(sketch[0].sum())
+    threshold = max(1, int(np.ceil(phi * total)))
+    sketch_ref = ray.put(sketch)
+
+    def _candidates(batch: pa.Table) -> pa.Table:
+        sk = ray.get(sketch_ref)
+        vc = _counts(batch.column(text_col).to_pylist())
+        if not len(vc):
+            return pa.table({"token": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        toks = vc.index.to_numpy()
+        ests = cm_query(sk, cm_token_cells(toks))
+        keep = ests >= threshold
+        return pa.table({"token": pa.array(toks[keep], pa.string()),
+                         "n": pa.array(vc.to_numpy(np.int64)[keep],
+                                       pa.int64())})
+
+    def _exact(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby("token", sort=False)["n"].sum().reset_index()
+        g = g[g["n"] >= threshold]
+        return g.rename(columns={"n": "n_total"})
+
+    exact = partitioned_groupby(
+        ds.map_batches(_candidates, batch_format="pyarrow"), ["token"],
+        _exact, num_partitions=num_partitions)
+    return exact.sort(["n_total", "token"], descending=[True, False]).limit(k)

@@ -168,3 +168,30 @@ def test_token_budget_matches_pandas_oracle(ray_session, df, budget, blocks):
         g = got.sort_values("doc_id").reset_index(drop=True)[sorted(got.columns)]
         w = want.sort_values("doc_id").reset_index(drop=True)[sorted(want.columns)]
         pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_count_min_never_underestimates():
+    from data_quality_automated_evaluator_ray.functions.sketches import (
+        cm_add, cm_create, cm_query, cm_token_cells)
+
+    rng = np.random.default_rng(7)
+    toks = np.array([f"tok{i}" for i in range(5000)], dtype=object)
+    counts = rng.integers(1, 50, size=toks.size).astype(np.int64)
+    sk = cm_create()
+    cells = cm_token_cells(toks)
+    cm_add(sk, cells, counts)
+    ests = cm_query(sk, cells)
+    assert (ests >= counts).all()
+
+
+def test_heavy_hitters_matches_exact_top_tokens(ray_session):
+    # with phi low enough that the threshold admits the whole top-k, the
+    # sketch path must equal the exact combiner path
+    from data_quality_automated_evaluator_ray.stages.text import (
+        heavy_hitter_tokens, top_tokens)
+
+    ds = _docs(4).select_columns(["text"])
+    hh = heavy_hitter_tokens(ds, phi=1e-6, k=15).to_pandas()
+    tt = top_tokens(_docs(4), k=15).to_pandas()
+    assert list(hh["token"]) == list(tt["token"])
+    assert list(hh["n_total"]) == list(tt["n_total"])
