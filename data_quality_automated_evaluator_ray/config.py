@@ -6,7 +6,7 @@ README.md:106-124). The rebuild keeps that surface:
 {
   "source":   {"path": ..., "format"?, "columns"?, "schema_overrides"?,
                "storage_options"?},                       # sources/readers.py
-  "pipeline": "quality_filter" | "temporal_report",
+  "pipeline": "quality_filter" | "temporal_report" | "dedup",
   "with_models": true,                                    # quality_filter only
   "filter":   {"expr": "value > 50"},                     # row filter (applied
                                                           # FIRST, reference
@@ -44,9 +44,62 @@ def load_config(path: str) -> dict[str, Any]:
     if "source" not in cfg or "path" not in cfg.get("source", {}):
         raise ValueError("config must define source.path")
     cfg.setdefault("pipeline", "quality_filter")
-    if cfg["pipeline"] not in ("quality_filter", "temporal_report"):
+    if cfg["pipeline"] not in ("quality_filter", "temporal_report", "dedup"):
         raise ValueError(f"unknown pipeline {cfg['pipeline']!r}")
     return cfg
+
+
+def _run_dedup(cfg: dict[str, Any], out_dir: str) -> dict[str, Any]:
+    """``"pipeline": "dedup"`` — config surface over the dedup family:
+
+    {"pipeline": "dedup",
+     "dedup": {"method": "exact" | "fuzzy",     # sha256 vs MinHash-LSH+CC
+               "text_column": "text", "id_column": "doc_id",
+               "num_perm"?: 64, "bands"?: 16},  # fuzzy knobs
+     "output": {"dir": ...}}
+
+    Writes the deduplicated rows as partitioned Parquet under output.dir
+    and returns {rows_in, rows_out, dup_rate}. Exact keeps the minimum-id
+    row per distinct content; fuzzy keeps each near-duplicate component's
+    minimum-id representative plus all singletons (the drop list stays
+    distributed — shuffle_anti_join)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .sources.readers import read_source
+    from .stages.dedup import duplicate_groups, exact_dedup
+    from .stages.joins import shuffle_anti_join
+
+    d = cfg.get("dedup", {})
+    method = d.get("method", "exact")
+    text_col = d.get("text_column", "text")
+    id_col = d.get("id_column", "doc_id")
+    ds = read_source(cfg["source"])
+    rows_in = ds.count()
+    if method == "exact":
+        kept = exact_dedup(ds, text_col=text_col, id_col=id_col)
+    elif method == "fuzzy":
+        comp = duplicate_groups(ds.select_columns([id_col, text_col]),
+                                text_col=text_col, id_col=id_col,
+                                num_perm=d.get("num_perm", 64),
+                                bands=d.get("bands", 16))
+
+        def _drops(b: pa.Table) -> pa.Table:
+            mask = pc.not_equal(b.column(id_col), b.column("component"))
+            return b.filter(mask).select([id_col])
+
+        kept = shuffle_anti_join(
+            ds, comp.map_batches(_drops, batch_format="pyarrow"), on=id_col)
+    else:
+        raise ValueError(f"unknown dedup method {method!r}")
+    kept.write_parquet(out_dir)
+    import ray.data
+
+    rows_out = ray.data.read_parquet(out_dir).count()
+    return {"pipeline": "dedup", "method": method,
+            "rows_in": rows_in, "rows_out": rows_out,
+            "dup_rate": round(1 - rows_out / rows_in, 6) if rows_in else 0.0,
+            "output_dir": out_dir}
 
 
 def _write_charts(cfg, metrics, out_dir, criterion,
@@ -77,6 +130,9 @@ def run_config(cfg: dict[str, Any]) -> dict[str, Any]:
     out_cfg = cfg.get("output", {})
     out_dir = out_cfg.get("dir", "/tmp/dqare_run")
     criterion = cfg.get("outliers", {}).get("criterion", "IQR")
+
+    if cfg["pipeline"] == "dedup":
+        return _run_dedup(cfg, out_dir)
 
     if cfg["pipeline"] == "temporal_report":
         ds = read_source(cfg["source"])

@@ -195,3 +195,29 @@ def test_heavy_hitters_matches_exact_top_tokens(ray_session):
     tt = top_tokens(_docs(4), k=15).to_pandas()
     assert list(hh["token"]) == list(tt["token"])
     assert list(hh["n_total"]) == list(tt["n_total"])
+
+
+def test_config_dedup_pipeline(ray_session, tmp_path):
+    import duckdb
+
+    from data_quality_automated_evaluator_ray.config import run_config
+
+    src = f"{SF}/documents.parquet"
+    out_exact = str(tmp_path / "exact")
+    s = run_config({"source": {"path": src}, "pipeline": "dedup",
+                    "dedup": {"method": "exact"},
+                    "output": {"dir": out_exact}})
+    want = duckdb.sql(
+        f"select count(distinct text) from '{src}'").fetchone()[0]
+    assert s["rows_out"] == want
+    assert 0 <= s["dup_rate"] < 1
+
+    out_fuzzy = str(tmp_path / "fuzzy")
+    s2 = run_config({"source": {"path": src}, "pipeline": "dedup",
+                     "dedup": {"method": "fuzzy"},
+                     "output": {"dir": out_fuzzy}})
+    # fuzzy drops at least the exact duplicates, keeps >0 rows
+    assert 0 < s2["rows_out"] <= want
+    # schema round-trips whole rows (not just ids)
+    got = pd.read_parquet(out_fuzzy)
+    assert {"doc_id", "text", "lang", "source"} <= set(got.columns)
