@@ -179,11 +179,12 @@ def heavy_hitter_tokens(ds: "ray.data.Dataset", *, text_col: str = "text",
 
     Two passes over the corpus (the narrow text column only):
 
-    1. Every batch folds its within-batch token counts into count-min
-       sketch cells (``functions/sketches.cm_*``; 4×8192 int64 = 256 KiB,
-       corpus-size-independent); one coarse groupby sums cells and the
-       assembled sketch broadcasts back via ``ray.put``. Total token count
-       N = sum of any sketch row.
+    1. Every block folds its within-block token counts into a count-min
+       sketch (``functions/sketches.cm_*``; 4×8192 int64 = 256 KiB,
+       corpus-size-independent) inside ONE custom ``AggregateFn`` — Ray
+       tree-merges the fixed-size partials, so pass 1 moves sketches, not
+       rows (no all-to-all). The merged sketch broadcasts back via
+       ``ray.put``; total token count N = sum of any sketch row.
     2. Batches re-tokenize and emit per-batch counts ONLY for tokens whose
        sketch estimate ≥ T = max(1, ceil(φ·N)). Count-min never
        underestimates, so no true heavy hitter is dropped — overestimation
@@ -196,7 +197,7 @@ def heavy_hitter_tokens(ds: "ray.data.Dataset", *, text_col: str = "text",
     ``str.split`` (whitespace), matching ``top_tokens``."""
     import ray
 
-    from ..functions.sketches import (cm_add, cm_create, cm_query,
+    from ..functions.sketches import (cm_add, cm_query,
                                       cm_token_cells, _CM_D, _CM_W)
     from .partitioning import partitioned_groupby
 
@@ -204,27 +205,23 @@ def heavy_hitter_tokens(ds: "ray.data.Dataset", *, text_col: str = "text",
         s = pd.Series(texts, dtype=object).str.split()
         return s.explode().dropna().value_counts()
 
-    def _cells(batch: pa.Table) -> pa.Table:
-        vc = _counts(batch.column(text_col).to_pylist())
-        if not len(vc):
-            return pa.table({"cell": pa.array([], pa.int64()),
-                             "n": pa.array([], pa.int64())})
-        cells = cm_token_cells(vc.index.to_numpy())
-        n = vc.to_numpy(dtype=np.int64)
-        flat = (cells + (np.arange(_CM_D, dtype=np.int64)[:, None] * _CM_W))
-        return pa.table({"cell": pa.array(flat.ravel(), pa.int64()),
-                         "n": pa.array(np.tile(n, _CM_D), pa.int64())})
+    from ray.data.aggregate import AggregateFn
+    from ray.data.block import BlockAccessor
 
-    def _sum_cells(part: pd.DataFrame) -> pd.DataFrame:
-        g = part.groupby("cell", sort=False)["n"].sum().reset_index()
-        return g
+    def _acc(acc: np.ndarray, block) -> np.ndarray:
+        tbl = BlockAccessor.for_block(block).to_arrow()
+        vc = _counts(tbl.column(text_col).to_pylist())
+        if len(vc):
+            cm_add(acc.reshape(_CM_D, _CM_W),
+                   cm_token_cells(vc.index.to_numpy()),
+                   vc.to_numpy(dtype=np.int64))
+        return acc
 
-    cell_sums = partitioned_groupby(
-        ds.map_batches(_cells, batch_format="pyarrow"), ["cell"], _sum_cells,
-        num_partitions=num_partitions).to_pandas()
-    sketch = cm_create()
-    flat = sketch.ravel()
-    flat[cell_sums["cell"].to_numpy()] = cell_sums["n"].to_numpy()
+    agg = AggregateFn(init=lambda k: np.zeros(_CM_D * _CM_W, np.int64),
+                      accumulate_block=_acc,
+                      merge=lambda a, b: a + b, name="cm_sketch")
+    sketch = ds.select_columns([text_col]).aggregate(agg)["cm_sketch"] \
+        .reshape(_CM_D, _CM_W)
     total = int(sketch[0].sum())
     threshold = max(1, int(np.ceil(phi * total)))
     sketch_ref = ray.put(sketch)
