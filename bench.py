@@ -134,7 +134,11 @@ def run_bench() -> dict:
                           # round 2 (late): corpus-selection operators
                           "token_budget_select_documents",
                           "quota_cap_documents",
-                          "mixture_resample_documents"]}
+                          "mixture_resample_documents",
+                          # round 2 (late): sketch/order/dedup compositions
+                          "heavy_hitters_documents",
+                          "shuffle_rank_documents",
+                          "fuzzy_dedup_documents"]}
     suite.update(extra)
     for name, fn in suite.items():
         t0 = time.perf_counter()
