@@ -154,15 +154,12 @@ def top_tokens(ds: "ray.data.Dataset", text_col: str = "text",
     (combiner) → small groupby sum → top-k. The shuffle moves one row per
     (batch, distinct token), not one per token occurrence."""
     def _partial(batch: pa.Table) -> pa.Table:
-        texts = batch.column(text_col).to_pylist()
-        counts: dict[str, int] = {}
-        for t in texts:
-            if not t:
-                continue
-            for tok in t.split():
-                counts[tok] = counts.get(tok, 0) + 1
-        return pa.table({"token": pa.array(list(counts.keys()), pa.string()),
-                         "n": pa.array(list(counts.values()), pa.int64())})
+        # C-level split→explode→value_counts (no Python token loop)
+        vc = (pd.Series(batch.column(text_col).to_pylist(), dtype=object)
+              .str.split().explode().dropna().value_counts())
+        return pa.table({"token": pa.array(vc.index.to_numpy(), pa.string()),
+                         "n": pa.array(vc.to_numpy(dtype=np.int64),
+                                       pa.int64())})
 
     partials = ds.map_batches(_partial, batch_format="pyarrow")
     from ray.data.aggregate import Sum
