@@ -76,6 +76,28 @@ def _write_long(out: io.BytesIO, v: int) -> None:
 # ---------------------------------------------------------------------------
 # schema-driven decode / encode
 # ---------------------------------------------------------------------------
+def _register_named(schema: Any, named: dict[str, Any]) -> None:
+    """Walk a schema once and register every named type (record/fixed/enum)
+    so later references by name resolve even when the defining occurrence
+    sits behind a union branch that a given record never takes."""
+    if isinstance(schema, list):
+        for b in schema:
+            _register_named(b, named)
+        return
+    if not isinstance(schema, dict):
+        return
+    t = schema.get("type")
+    if t in ("record", "fixed", "enum") and "name" in schema:
+        named[schema["name"]] = schema
+    if t == "record":
+        for f in schema.get("fields", []):
+            _register_named(f["type"], named)
+    elif t == "array":
+        _register_named(schema.get("items"), named)
+    elif t == "map":
+        _register_named(schema.get("values"), named)
+
+
 def _decode(r: _Reader, schema: Any, named: dict[str, Any]) -> Any:
     if isinstance(schema, str):
         t = schema
@@ -232,6 +254,8 @@ def read_avro_file(path: str) -> tuple[Any, list[Any]]:
         raise NotImplementedError(f"avro codec {codec!r}")
     sync = r.read(16)
     records: list[Any] = []
+    named: dict[str, Any] = {}
+    _register_named(schema, named)
     while not r.eof():
         count = r.read_long()
         size = r.read_long()
@@ -239,7 +263,6 @@ def read_avro_file(path: str) -> tuple[Any, list[Any]]:
         if codec == "deflate":
             block = zlib.decompress(block, -15)  # raw deflate per spec
         br = _Reader(block)
-        named: dict[str, Any] = {}
         for _ in range(count):
             records.append(_decode(br, schema, named))
         if r.read(16) != sync:
@@ -253,6 +276,7 @@ def write_avro_file(path: str, schema: Any, records: list[Any], *,
     export use; Iceberg readers accept any block layout)."""
     body = io.BytesIO()
     named: dict[str, Any] = {}
+    _register_named(schema, named)
     for rec in records:
         _encode(body, schema, rec, named)
     payload = body.getvalue()

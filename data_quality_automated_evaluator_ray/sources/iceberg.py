@@ -57,10 +57,17 @@ def resolve_metadata_path(table_path: str) -> str:
 
 
 def iceberg_data_files(table_path: str, *,
-                       snapshot_id: int | None = None) -> list[str]:
-    """Live Parquet data-file paths of the table's chosen snapshot."""
+                       snapshot_id: int | None = None,
+                       filter: "tuple[str, str, Any] | None" = None
+                       ) -> list[str]:
+    """Live Parquet data-file paths of the table's chosen snapshot;
+    ``filter=(col, op, value)`` skips files whose manifest min/max bounds
+    cannot contain a matching row."""
     meta_path = resolve_metadata_path(table_path)
     meta = json.load(open(meta_path))
+    fid = ftyp = None
+    if filter is not None:
+        fid, ftyp = _field_meta(meta, filter[0])
     snaps = meta.get("snapshots", [])
     if not snaps:
         return []
@@ -95,19 +102,98 @@ def iceberg_data_files(table_path: str, *,
             if fmt != "PARQUET":
                 raise NotImplementedError(
                     f"Iceberg data file format {fmt!r} (only PARQUET)")
+            if filter is not None and not _file_may_match(
+                    df, fid, ftyp, filter[1], filter[2]):
+                continue
             files.append(_strip_scheme(df["file_path"]))
     return files
 
 
+import struct
+
+# Iceberg single-value serialization (spec "Binary single-value
+# serialization"): fixed-width little-endian numerics, raw UTF-8 strings.
+_SINGLE_DECODERS = {
+    "int": lambda b: struct.unpack("<i", b)[0],
+    "long": lambda b: struct.unpack("<q", b)[0],
+    "float": lambda b: struct.unpack("<f", b)[0],
+    "double": lambda b: struct.unpack("<d", b)[0],
+    "string": lambda b: b.decode("utf-8"),
+}
+
+
+def _field_meta(meta: dict, col: str) -> tuple[int, str]:
+    sid = meta.get("current-schema-id", 0)
+    schemas = meta.get("schemas") or [meta.get("schema", {})]
+    schema = next((s for s in schemas if s.get("schema-id", 0) == sid),
+                  schemas[0])
+    for f in schema.get("fields", []):
+        if f.get("name") == col:
+            return int(f["id"]), str(f["type"])
+    raise KeyError(f"column {col!r} not in Iceberg schema")
+
+
+def _bound(bounds: Any, field_id: int) -> bytes | None:
+    """Bounds are spec map<int, binary>; in Avro that is an array of
+    {key, value} records (Avro map keys must be strings)."""
+    if not bounds:
+        return None
+    if isinstance(bounds, dict):
+        return bounds.get(field_id) or bounds.get(str(field_id))
+    for kv in bounds:
+        if kv.get("key") == field_id:
+            return kv.get("value")
+    return None
+
+
+def _file_may_match(df: dict, field_id: int, typ: str, op: str, val) -> bool:
+    dec = _SINGLE_DECODERS.get(typ)
+    if dec is None:
+        return True  # unknown type: never prune
+    lo_b = _bound(df.get("lower_bounds"), field_id)
+    hi_b = _bound(df.get("upper_bounds"), field_id)
+    # truncated string bounds stay valid lower/upper bounds per spec, so
+    # the interval test below is sound without truncation-awareness
+    lo = dec(lo_b) if lo_b is not None else None
+    hi = dec(hi_b) if hi_b is not None else None
+    if op == "==":
+        return not ((lo is not None and val < lo)
+                    or (hi is not None and val > hi))
+    if op == ">=":
+        return hi is None or hi >= val
+    if op == ">":
+        return hi is None or hi > val
+    if op == "<=":
+        return lo is None or lo <= val
+    if op == "<":
+        return lo is None or lo < val
+    return True  # unknown op: never prune
+
+
 def read_iceberg(table_path: str, *, columns: list[str] | None = None,
-                 snapshot_id: int | None = None, **read_kwargs: Any):
+                 snapshot_id: int | None = None,
+                 filter: tuple[str, str, Any] | None = None,
+                 **read_kwargs: Any):
     """Iceberg table → ``ray.data.Dataset`` (column-pruned Parquet scan of
-    the snapshot's live data files)."""
+    the snapshot's live data files).
+
+    ``filter=(col, op, value)`` with op in ``== >= > <= <`` does BOTH
+    halves of "prune at the read": files whose manifest min/max bounds
+    cannot satisfy the predicate are skipped entirely (no bytes leave
+    storage), and the surviving files still stream through the exact
+    row-level ``Dataset.filter`` expression, so the result is precise
+    regardless of how coarse the bounds are."""
     import ray.data
 
-    files = iceberg_data_files(table_path, snapshot_id=snapshot_id)
+    files = iceberg_data_files(table_path, snapshot_id=snapshot_id,
+                               filter=filter)
     if not files:
         import pyarrow as pa
 
         return ray.data.from_arrow(pa.table({}))
-    return ray.data.read_parquet(files, columns=columns, **read_kwargs)
+    ds = ray.data.read_parquet(files, columns=columns, **read_kwargs)
+    if filter is not None:
+        col, op, val = filter
+        lit = f"{val!r}" if isinstance(val, str) else repr(val)
+        ds = ds.filter(expr=f"{col} {op} {lit}")
+    return ds

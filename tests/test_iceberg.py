@@ -28,6 +28,11 @@ MANIFEST_LIST_SCHEMA = {
         {"name": "added_snapshot_id", "type": "long"},
     ]}
 
+_BOUNDS_TYPE = ["null", {"type": "array", "items": {
+    "type": "record", "name": "k117_v118", "fields": [
+        {"name": "key", "type": "int"},
+        {"name": "value", "type": "bytes"}]}}]
+
 MANIFEST_SCHEMA = {
     "type": "record", "name": "manifest_entry", "fields": [
         {"name": "status", "type": "int"},
@@ -39,6 +44,9 @@ MANIFEST_SCHEMA = {
                 {"name": "file_format", "type": "string"},
                 {"name": "record_count", "type": "long"},
                 {"name": "file_size_in_bytes", "type": "long"},
+                {"name": "lower_bounds", "type": _BOUNDS_TYPE},
+                {"name": "upper_bounds",
+                 "type": {"type": "array", "items": "k117_v118"}},
             ]}},
     ]}
 
@@ -63,7 +71,10 @@ def test_avro_container_roundtrip(tmp_path, codec):
     recs = [{"status": i % 3, "snapshot_id": None if i % 2 else 7,
              "data_file": {"content": 0, "file_path": f"/x/{i}.parquet",
                            "file_format": "PARQUET", "record_count": i,
-                           "file_size_in_bytes": 10 * i}}
+                           "file_size_in_bytes": 10 * i,
+                           "lower_bounds": None if i % 2 else [
+                               {"key": 1, "value": bytes([i])}],
+                           "upper_bounds": [{"key": 1, "value": b"\xff"}]}}
             for i in range(5)]
     p = str(tmp_path / f"m_{codec}.avro")
     write_avro_file(p, MANIFEST_SCHEMA, recs, codec=codec)
@@ -89,12 +100,19 @@ def _build_table(tmp_path, *, n_files=2, deleted_last=False,
         status = 2 if (deleted_last and i == n_files - 1) else 1
         if status != 2:
             frames.append(df)
+        import struct as _st
         entries.append({"status": status, "snapshot_id": 1,
                         "data_file": {"content": 0, "file_path": fp,
                                       "file_format": "PARQUET",
                                       "record_count": 3,
                                       "file_size_in_bytes":
-                                          os.path.getsize(fp)}})
+                                          os.path.getsize(fp),
+                                      "lower_bounds": [
+                                          {"key": 1, "value": _st.pack(
+                                              "<q", int(df["k"].min()))}],
+                                      "upper_bounds": [
+                                          {"key": 1, "value": _st.pack(
+                                              "<q", int(df["k"].max()))}]}})
     mpath = os.path.join(meta, "m0.avro")
     write_avro_file(mpath, MANIFEST_SCHEMA, entries)
     lpath = os.path.join(meta, "snap-1.avro")
@@ -105,7 +123,10 @@ def _build_table(tmp_path, *, n_files=2, deleted_last=False,
         "content": 1 if delete_manifest else 0,
         "added_snapshot_id": 1}])
     md = {"format-version": 2, "table-uuid": "0" * 36, "location": root,
-          "current-snapshot-id": 1,
+          "current-snapshot-id": 1, "current-schema-id": 0,
+          "schemas": [{"schema-id": 0, "fields": [
+              {"id": 1, "name": "k", "type": "long"},
+              {"id": 2, "name": "v", "type": "string"}]}],
           "snapshots": [{"snapshot-id": 1, "manifest-list": lpath}]}
     with open(os.path.join(meta, "v3.metadata.json"), "w") as f:
         json.dump(md, f)
@@ -144,3 +165,33 @@ def test_read_source_iceberg_dispatch(ray_session, tmp_path):
     root, want = _build_table(tmp_path)
     ds = read_source({"path": root, "format": "iceberg"})
     assert ds.count() == len(want)
+
+
+def test_iceberg_bounds_pruning_and_residual_filter(ray_session, tmp_path):
+    root, want = _build_table(tmp_path, n_files=3)
+    # files cover k in [0..2], [10..12], [20..22]; k >= 10 prunes file 0
+    files = iceberg_data_files(root, filter=("k", ">=", 10))
+    assert len(files) == 2
+    got = read_iceberg(root, filter=("k", ">=", 10)).to_pandas()
+    assert sorted(got["k"]) == sorted(want.loc[want["k"] >= 10, "k"])
+    # residual filter stays exact when bounds cannot prune mid-file values
+    got2 = read_iceberg(root, filter=("k", "==", 11)).to_pandas()
+    assert sorted(got2["k"]) == [11]
+    assert len(iceberg_data_files(root, filter=("k", "==", 11))) == 1
+    # < on the low edge prunes everything but file 0
+    assert len(iceberg_data_files(root, filter=("k", "<", 3))) == 1
+
+
+def test_avro_union_named_reference_with_null_branch(tmp_path):
+    # lower_bounds is union[null, array<k117_v118>], upper_bounds references
+    # the record BY NAME — a null lower_bounds must not break the reference
+    recs = [{"status": 1, "snapshot_id": None,
+             "data_file": {"content": 0, "file_path": "/x.parquet",
+                           "file_format": "PARQUET", "record_count": 1,
+                           "file_size_in_bytes": 1,
+                           "lower_bounds": None,
+                           "upper_bounds": [{"key": 1, "value": b"\x01"}]}}]
+    p = str(tmp_path / "nullref.avro")
+    write_avro_file(p, MANIFEST_SCHEMA, recs)
+    _, got = read_avro_file(p)
+    assert got == recs
