@@ -1,0 +1,152 @@
+"""Corpus-level line deduplication (CCNet-style).
+
+Drops every non-first occurrence of a duplicate LINE across the whole corpus
+(first occurrence = smallest ``(doc_key, line_no)``), then rebuilds each
+document from its surviving lines — the line-hash dedup step of CCNet
+(Wenzek et al., 2020) that strips boilerplate headers/footers repeated across
+pages. The reference evaluator has no corpus-level dedup at all; this extends
+the engine's dedup family (stages/dedup.py) below document granularity.
+
+Scale shape (three narrow stages, no full-text groupby):
+
+1. explode — ``map_batches`` flattens documents into ``(doc_key, line_no,
+   line)`` rows with Arrow kernels (split_pattern → list_flatten; no Python
+   loop). Lines shorter than ``min_len`` never leave the batch: they are
+   always kept, so they don't need to travel.
+2. losers — ONE coarse hash shuffle on the line content co-locates equal
+   lines (partitioned_groupby), then a C-level sort + ``duplicated`` per
+   partition emits only the LOSING ``(doc_key, line_no)`` pairs. At 100 TB,
+   swap the shuffle payload from the line string to its 128-bit md5 to cut
+   shuffle bytes ~3×; kept as raw strings here so the dedup key is exactly
+   the line content (byte-identical to the DuckDB oracle's GROUP BY line).
+3. apply — the loser list is co-partitioned with the documents by doc_key
+   (union-tag + one shuffle, same pattern as joins.shuffle_anti_join) and
+   each partition rebuilds its documents with vectorized pandas
+   explode/anti-merge/agg-join.
+
+Only stage 2's shuffle moves the corpus text once; stage 3 moves it once
+more plus the (small) loser list. Nothing is ever collected to the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from .partitioning import partitioned_groupby
+
+
+def explode_lines(ds: "ray.data.Dataset", *, text_col: str, key_col: str,
+                  min_len: int = 1) -> "ray.data.Dataset":
+    """Flatten documents into (doc_key, line_no, line) rows; 1-based line_no
+    (matches DuckDB ``generate_subscripts``). Lines with fewer than
+    ``min_len`` chars are omitted (they never participate in dedup)."""
+
+    def _explode(b: pa.Table) -> pa.Table:
+        # an all-null block arrives as Arrow `null` type; cast keeps kernels
+        txt = pc.cast(b.column(text_col), pa.string())
+        lst = pc.split_pattern(txt, pattern="\n")
+        lst = lst.combine_chunks() if isinstance(lst, pa.ChunkedArray) else lst
+        flat = pc.list_flatten(lst)
+        counts = pc.list_value_length(lst).to_numpy(zero_copy_only=False)
+        counts = np.nan_to_num(counts).astype(np.int64)
+        rep = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        offs = np.zeros(len(counts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=offs[1:])
+        line_no = np.arange(rep.size, dtype=np.int64) - offs[rep] + 1
+        keys = b.column(key_col).take(pa.array(rep))
+        t = pa.table({"doc_key": keys,
+                      "line_no": pa.array(line_no, pa.int64()),
+                      "line": flat})
+        mask = pc.greater_equal(pc.utf8_length(flat), min_len)
+        return t.filter(mask)
+
+    return ds.select_columns([key_col, text_col]).map_batches(
+        _explode, batch_format="pyarrow")
+
+
+def line_losers(lines: "ray.data.Dataset", *,
+                num_partitions: int = 64) -> "ray.data.Dataset":
+    """(doc_key, line_no) of every line that is a NON-first occurrence of
+    its content, corpus-wide. One coarse shuffle on the line string."""
+
+    def _losers(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["line", "doc_key", "line_no"], kind="stable")
+        lose = part.duplicated(subset="line", keep="first")
+        return part.loc[lose, ["doc_key", "line_no"]]
+
+    return partitioned_groupby(lines, ["line"], _losers,
+                               num_partitions=num_partitions)
+
+
+def line_dedup(ds: "ray.data.Dataset", *, text_col: str, key_col: str,
+               min_len: int = 1,
+               num_partitions: int = 64) -> "ray.data.Dataset":
+    """Corpus-level first-occurrence line dedup.
+
+    Returns one row per input document: ``(doc_key, text_dedup, n_lines,
+    n_kept)`` where ``text_dedup`` is the document rebuilt from its kept
+    lines (original order), ``n_lines`` the original line count and
+    ``n_kept`` the surviving count. A document whose every line loses
+    comes back with ``text_dedup = ''`` and ``n_kept = 0``.
+    """
+    lines = explode_lines(ds, text_col=text_col, key_col=key_col,
+                          min_len=min_len)
+    drops = line_losers(lines, num_partitions=num_partitions)
+
+    # co-partition documents with their loser rows by doc_key (union-tag +
+    # one shuffle; the same empty-side-safe pattern as shuffle_anti_join)
+    def _tag_docs(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_key": b.column(key_col),
+            "text": pc.cast(b.column(text_col), pa.string()),
+            "line_no": pa.nulls(b.num_rows, pa.int64()),
+            "__side": pa.array(np.zeros(b.num_rows, np.int8), pa.int8()),
+        })
+
+    def _tag_drops(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_key": b.column("doc_key"),
+            "text": pa.nulls(b.num_rows, pa.string()),
+            "line_no": b.column("line_no"),
+            "__side": pa.array(np.ones(b.num_rows, np.int8), pa.int8()),
+        })
+
+    tagged = ds.select_columns([key_col, text_col]).map_batches(
+        _tag_docs, batch_format="pyarrow").union(
+        drops.map_batches(_tag_drops, batch_format="pyarrow"))
+
+    def _apply(part: pd.DataFrame) -> pd.DataFrame:
+        side = part["__side"].to_numpy()
+        docs = part.loc[side == 0, ["doc_key", "text"]].reset_index(drop=True)
+        dr = part.loc[side == 1, ["doc_key", "line_no"]]
+        split = docs["text"].str.split("\n")  # NaN for null-content docs
+        n_lines = split.str.len().fillna(0).astype(np.int64).to_numpy()
+        ex = split[split.notna()].explode()
+        idx = ex.index.to_numpy(dtype=np.int64)
+        offs = np.zeros(len(docs), dtype=np.int64)
+        np.cumsum(n_lines[:-1], out=offs[1:])
+        lines = pd.DataFrame({
+            "doc_key": docs["doc_key"].to_numpy()[idx],
+            "line_no": np.arange(idx.size, dtype=np.int64) - offs[idx] + 1,
+            "line": ex.to_numpy(),
+        })
+        kept = lines.merge(dr, on=["doc_key", "line_no"], how="left",
+                           indicator=True)
+        kept = kept[kept["_merge"] == "left_only"]
+        agg = kept.sort_values(["doc_key", "line_no"], kind="stable") \
+            .groupby("doc_key", sort=False)["line"] \
+            .agg(lambda s: "\n".join(s))
+        out = pd.DataFrame({"doc_key": docs["doc_key"],
+                            "n_lines": n_lines})
+        out["text_dedup"] = out["doc_key"].map(agg).fillna("")
+        n_kept = kept.groupby("doc_key", sort=False).size()
+        out["n_kept"] = out["doc_key"].map(n_kept).fillna(0).astype(np.int64)
+        return out[["doc_key", "text_dedup", "n_lines", "n_kept"]]
+
+    return partitioned_groupby(tagged, ["doc_key"], _apply,
+                               num_partitions=num_partitions)

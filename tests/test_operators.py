@@ -449,3 +449,46 @@ def test_pack_sequences_partitioning_invariant(ray_session):
         last = g.iloc[-1]
         assert int(last["seq_id"]) * 128 + int(last["seq_offset"]) \
             == total - int(last["tokens"])
+
+
+def test_line_dedup_planted(ray_session):
+    """Corpus-level first-occurrence line dedup: planted duplicate lines
+    vanish everywhere but their first (doc_key, line_no) occurrence; output
+    is invariant to input partitioning and shuffle fan-out."""
+    import pandas as pd
+
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.line_dedup import line_dedup
+
+    df = pd.DataFrame({
+        "k": ["a", "b", "c", "d", "e"],
+        "text": [
+            "unique1\nBOILER\nunique2",   # first BOILER wins here
+            "BOILER\nother\n\nBOILER",    # both lose; empty line kept
+            "solo",
+            None,                          # null doc -> 0 lines
+            "BOILER",                      # whole doc vanishes
+        ],
+    })
+    expect = {
+        "a": ("unique1\nBOILER\nunique2", 3, 3),
+        "b": ("other\n", 4, 2),
+        "c": ("solo", 1, 1),
+        "d": ("", 0, 0),
+        "e": ("", 1, 0),
+    }
+    outs = []
+    for blocks, parts in [(1, 4), (3, 2), (5, 16)]:
+        ds = ray.data.from_pandas(df).repartition(blocks)
+        out = line_dedup(ds, text_col="text", key_col="k",
+                         num_partitions=parts).to_pandas()
+        out = out.sort_values("doc_key").reset_index(drop=True)
+        outs.append(out)
+    o = outs[0]
+    assert len(o) == 5
+    for _, r in o.iterrows():
+        e = expect[r["doc_key"]]
+        assert (r["text_dedup"], r["n_lines"], r["n_kept"]) == e, r["doc_key"]
+    for other in outs[1:]:
+        pd.testing.assert_frame_equal(o, other)

@@ -74,7 +74,9 @@ def test_query_matches_oracle(ray_session, ddb, name):
     fn, sql = SQL_QUERIES[name]
     # the code-corpus oracle reads the deterministic sf0.01 corpus fragments
     # (the driver's correctness scale); run the Ray side at the same sf
-    sf = "/root/testdata/sf0.01" if name == "qf_heuristic_code_corpus" else SF
+    sf = ("/root/testdata/sf0.01"
+          if name in ("qf_heuristic_code_corpus", "line_dedup_code_corpus")
+          else SF)
     ray_df = _to_pandas(fn(sf))
     sql_df = ddb.execute(sql).df()
     _compare(name, ray_df, sql_df)
