@@ -160,3 +160,40 @@ def stratified_sample(ds: "ray.data.Dataset", *, on: str, strata_col: str,
         return batch.filter(mask)
 
     return ds.map_batches(_fn, batch_format="pyarrow")
+
+
+def dataset_split(ds: "ray.data.Dataset", *, on: str,
+                  splits: list[tuple[str, float]],
+                  label_col: str = "split") -> "ray.data.Dataset":
+    """Deterministic train/valid/test assignment: label every row with the
+    split whose cumulative md5-bucket range contains ``md5(on) mod 10000``
+    (e.g. ``[("train", .9), ("valid", .05), ("test", .05)]`` → buckets
+    [0,9000) / [9000,9500) / [9500,10000)). Content-keyed like
+    ``deterministic_sample`` — the same row lands in the same split on every
+    run, engine, and partitioning, and near-duplicate leakage across splits
+    can be audited because the assignment is a pure function of content.
+    Fractions must sum to 1 (within 1e-9·10000 of 10000 buckets). No
+    shuffle — a pure per-batch map."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    bounds, names, acc = [], [], 0
+    for name, frac in splits:
+        acc += int(round(frac * 10000))
+        bounds.append(acc)
+        names.append(name)
+    if bounds[-1] != 10000:
+        raise ValueError(f"split fractions must sum to 1, got {bounds[-1]/10000}")
+    edges = np.asarray(bounds, dtype=np.int64)
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        vals = batch.column(on).to_pylist()
+        buckets = np.fromiter(
+            (int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) % 10000
+             for v in vals), dtype=np.int64, count=len(vals))
+        lab = [names[i] for i in np.searchsorted(edges, buckets, side="right")]
+        return batch.append_column(label_col, pa.array(lab, pa.string()))
+
+    return ds.map_batches(_fn, batch_format="pyarrow")

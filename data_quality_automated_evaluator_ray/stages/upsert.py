@@ -1,0 +1,39 @@
+"""CDC / upsert compaction: keep the latest version of each key.
+
+A change-data-capture feed (or any append-only log of row versions) is
+compacted by keeping, per key, only the row with the greatest ordering tuple
+— the "merge-on-read to copy-on-write" step of a lakehouse upsert. The
+reference evaluator has no keyed compaction; this rounds out the dedup
+family with *ordered* (latest-wins) semantics rather than first-occurrence.
+
+Scale shape: ONE coarse hash shuffle on the key columns co-locates all
+versions of a key (stages/partitioning.partitioned_groupby), then a C-level
+pandas sort + ``duplicated(keep='last')`` per partition. No driver
+materialization; skewed keys are bounded by the per-batch version count,
+not the corpus (a key's versions must fit one partition — at 100 TB,
+pre-compact per input shard first with the same function if a single key
+can exceed partition memory).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+import ray.data
+
+from .partitioning import partitioned_groupby
+
+
+def latest_by_key(ds: "ray.data.Dataset", *, key_cols: list[str],
+                  order_cols: list[str],
+                  num_partitions: int = 64) -> "ray.data.Dataset":
+    """One row per distinct ``key_cols``: the row whose ``order_cols`` tuple
+    is lexicographically greatest (later columns break ties; make the last
+    order column a unique id for full determinism)."""
+
+    def _latest(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(key_cols + order_cols, kind="stable")
+        return part[~part.duplicated(subset=key_cols, keep="last")]
+
+    return partitioned_groupby(ds, key_cols, _latest,
+                               num_partitions=num_partitions)

@@ -492,3 +492,53 @@ def test_line_dedup_planted(ray_session):
         assert (r["text_dedup"], r["n_lines"], r["n_kept"]) == e, r["doc_key"]
     for other in outs[1:]:
         pd.testing.assert_frame_equal(o, other)
+
+
+def test_latest_by_key_partitioning_invariant(ray_session):
+    """Upsert compaction picks the max (order_cols) row per key regardless
+    of block layout or shuffle fan-out."""
+    import pandas as pd
+
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.upsert import latest_by_key
+
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame({
+        "k": rng.randint(0, 50, 500),
+        "seq": rng.permutation(500),
+        "v": rng.rand(500),
+    })
+    expect = df.sort_values(["k", "seq"]).groupby("k").tail(1) \
+        .sort_values("k").reset_index(drop=True)
+    for blocks, parts in [(1, 3), (7, 16)]:
+        ds = ray.data.from_pandas(df).repartition(blocks)
+        out = latest_by_key(ds, key_cols=["k"], order_cols=["seq"],
+                            num_partitions=parts).to_pandas()
+        out = out.sort_values("k").reset_index(drop=True)
+        pd.testing.assert_frame_equal(out[["k", "seq", "v"]], expect)
+
+
+def test_dataset_split_deterministic_and_complete(ray_session):
+    import pandas as pd
+
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.transforms import dataset_split
+
+    df = pd.DataFrame({"id": range(2000),
+                       "text": [f"doc number {i}" for i in range(2000)]})
+    outs = []
+    for blocks in [1, 9]:
+        ds = ray.data.from_pandas(df).repartition(blocks)
+        out = dataset_split(ds, on="text",
+                            splits=[("train", 0.8), ("valid", 0.1),
+                                    ("test", 0.1)]).to_pandas()
+        outs.append(out.sort_values("id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    frac = outs[0]["split"].value_counts(normalize=True)
+    assert set(frac.index) == {"train", "valid", "test"}
+    assert abs(frac["train"] - 0.8) < 0.05  # md5 buckets ~uniform
+    with pytest.raises(ValueError):
+        dataset_split(ray.data.from_pandas(df), on="text",
+                      splits=[("a", 0.5), ("b", 0.4)])
