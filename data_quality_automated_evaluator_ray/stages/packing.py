@@ -161,3 +161,64 @@ def global_shuffle_rank(ds: "ray.data.Dataset", *, id_col: str = "doc_id",
         return g.drop(columns=["__hkey", "__rkey"])
 
     return narrow.groupby("__rkey").map_groups(_rank, batch_format="pandas")
+
+
+def ntile_by_value(ds: "ray.data.Dataset", *, value_col: str,
+                   tiebreak_col: str, n_tiles: int = 10,
+                   lo: float = 0.0, hi: float = 1.0,
+                   out_col: str = "tile",
+                   n_ranges: int = 256) -> "ray.data.Dataset":
+    """Exact SQL-``ntile(k)`` quantile bucketing by value WITHOUT a global
+    sort — quality-decile labeling for curriculum/filter sweeps.
+
+    Same two-level scan as :func:`global_shuffle_rank`, range-partitioned on
+    the (bounded, ``[lo, hi)``) value instead of a hash: per-range counts →
+    driver exclusive prefix (``n_ranges`` rows, never corpus rows) →
+    per-range local sort by ``(value, tiebreak)`` gives the exact global
+    rank, then DuckDB's ntile size formula (first ``N mod k`` buckets get
+    one extra row) maps rank→bucket. Ties are totally ordered by
+    ``tiebreak_col``, so the assignment is partitioning-independent and
+    byte-identical to ``ntile(k) over (order by value, tiebreak)``.
+
+    Assumes the value is bounded (quality scores are [0,1]); for unbounded
+    or heavily skewed values, derive the range edges from a sampled
+    quantile sketch instead of uniform ``lo/hi`` splits — range placement
+    only affects load balance, never output values.
+    """
+    if n_tiles <= 0:
+        raise ValueError("n_tiles must be positive")
+    width = (hi - lo) / n_ranges
+
+    def _key(b: pa.Table) -> pa.Table:
+        v = pc.cast(b.column(value_col), pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        rk = np.clip(((v - lo) / width).astype(np.int64), 0, n_ranges - 1)
+        arrays = {c: b.column(c) for c in b.column_names}
+        arrays["__rkey"] = pa.array(rk.astype(np.int32), pa.int32())
+        return pa.table(arrays)
+
+    narrow = ds.map_batches(_key, batch_format="pyarrow").materialize()
+    counts = (narrow.groupby("__rkey")
+              .aggregate(Count(alias_name="n")).to_pandas())
+    counts = counts.sort_values("__rkey").reset_index(drop=True)
+    excl = counts["n"].cumsum() - counts["n"]
+    total = int(counts["n"].sum())
+    base = {int(r): int(b) for r, b in zip(counts["__rkey"], excl)}
+    base_ref = ray.put(base)
+
+    big = total % n_tiles
+    small_sz = total // n_tiles
+    big_sz = small_sz + 1
+    cut = big * big_sz
+
+    def _tile(g: pd.DataFrame) -> pd.DataFrame:
+        b = ray.get(base_ref)[int(g["__rkey"].iloc[0])]
+        g = g.sort_values([value_col, tiebreak_col],
+                          kind="mergesort").reset_index(drop=True)
+        rank0 = b + np.arange(len(g), dtype=np.int64)
+        g[out_col] = np.where(
+            rank0 < cut, rank0 // big_sz,
+            big + (rank0 - cut) // max(small_sz, 1)) + 1
+        return g.drop(columns="__rkey")
+
+    return narrow.groupby("__rkey").map_groups(_tile, batch_format="pandas")

@@ -245,3 +245,61 @@ def heavy_hitter_tokens(ds: "ray.data.Dataset", *, text_col: str = "text",
         ds.map_batches(_candidates, batch_format="pyarrow"), ["token"],
         _exact, num_partitions=num_partitions)
     return exact.sort(["n_total", "token"], descending=[True, False]).limit(k)
+
+
+def tfidf_top_terms(ds: "ray.data.Dataset", *, text_col: str = "text",
+                    id_col: str = "doc_id", k: int = 3,
+                    num_partitions: int = 64) -> "ray.data.Dataset":
+    """Top-k TF-IDF terms per document: ``tfidf = tf * ln(N / df)`` with
+    ties broken by term. Classic corpus statistics a training-data pipeline
+    uses for keyword extraction and topic balance audits.
+
+    Scale shape: term frequencies complete inside each batch (a document
+    never spans rows), so stage 1 is a shuffle-free per-batch groupby;
+    document frequencies + scoring ride ONE coarse hash shuffle on the term
+    (each term's postings co-located once — no separate DF table and no
+    join); top-k per doc rides a second narrow shuffle on the doc id. Only
+    (doc_id, term, counts) rows ever move — never document text.
+    """
+    import pandas as pd
+
+    from .partitioning import partitioned_groupby
+
+    n_docs = ds.count()  # parquet metadata count — no data scan
+
+    def _tf(b: pa.Table) -> pd.DataFrame:
+        lst = pc.split_pattern(pc.cast(b.column(text_col), pa.string()), " ")
+        lst = lst.combine_chunks() if isinstance(lst, pa.ChunkedArray) else lst
+        flat = pc.list_flatten(lst).to_pandas()
+        counts = pc.list_value_length(lst).to_numpy(zero_copy_only=False)
+        counts = np.nan_to_num(counts).astype(np.int64)
+        ids = np.repeat(b.column(id_col).to_numpy(zero_copy_only=False),
+                        counts)
+        t = pd.DataFrame({id_col: ids, "term": flat})
+        t = t[t["term"] != ""]
+        out = t.groupby([id_col, "term"], sort=False).size() \
+            .rename("tf").reset_index()
+        out["tf"] = out["tf"].astype(np.int64)
+        return out
+
+    tf = ds.select_columns([id_col, text_col]).map_batches(
+        _tf, batch_format="pyarrow")
+
+    def _score(part: pd.DataFrame) -> pd.DataFrame:
+        dfc = part.groupby("term", sort=False)[id_col].size()
+        part = part.copy()
+        part["df"] = part["term"].map(dfc).astype(np.int64)
+        part["tfidf"] = part["tf"].to_numpy(np.float64) \
+            * np.log(np.float64(n_docs) / part["df"].to_numpy(np.float64))
+        return part
+
+    scored = partitioned_groupby(tf, ["term"], _score,
+                                 num_partitions=num_partitions)
+
+    def _topk(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values([id_col, "tfidf", "term"],
+                                ascending=[True, False, True], kind="stable")
+        return part.groupby(id_col, sort=False).head(k)
+
+    return partitioned_groupby(scored, [id_col], _topk,
+                               num_partitions=num_partitions)
