@@ -138,7 +138,14 @@ def run_bench() -> dict:
                           # round 2 (late): sketch/order/dedup compositions
                           "heavy_hitters_documents",
                           "shuffle_rank_documents",
-                          "fuzzy_dedup_documents"]}
+                          "fuzzy_dedup_documents",
+                          # round 2 (final): corpus-statistics additions —
+                          # tracks the term shuffle (tfidf), the exact ntile
+                          # scan, and the broadcast-matmul cluster audit
+                          "tfidf_top_terms_documents",
+                          "quality_deciles_documents",
+                          "kmeans_clusters_embeddings",
+                          "moving_avg_events"]}
     suite.update(extra)
     for name, fn in suite.items():
         t0 = time.perf_counter()

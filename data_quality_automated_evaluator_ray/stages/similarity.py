@@ -158,6 +158,72 @@ def _kmeans(sample: np.ndarray, k: int, iters: int = 10,
     return cent
 
 
+def train_deterministic_quantizer(ds: "ray.data.Dataset", n_clusters: int,
+                                  *, sample_size: int = 2000,
+                                  id_col: str = "vec_id",
+                                  emb_col: str = "embedding") -> np.ndarray:
+    """Coarse k-means quantizer as a PURE FUNCTION of the table: training
+    sample = rows with ``id_col < sample_size`` ordered by id (a
+    pushdown-able filter bounded by ``sample_size`` rows — never a corpus
+    scan), init = the first ``n_clusters`` present entries of a seeded
+    permutation of ``range(sample_size)``. Engine-independent, so a DuckDB
+    oracle can replay it exactly (see queries._lloyd_prefix_sql)."""
+    sample_df = (ds.select_columns([id_col, emb_col])
+                 .filter(expr=f"{id_col} < {int(sample_size)}")
+                 .to_pandas().sort_values(id_col).reset_index(drop=True))
+    present = np.zeros(sample_size, dtype=bool)
+    ids = sample_df[id_col].to_numpy(dtype=np.int64)
+    present[ids] = True
+    perm = np.random.RandomState(17).permutation(sample_size)
+    init_ids = [v for v in perm if present[v]][:n_clusters]
+    # sample rows are id-sorted, so position of id v is searchsorted(ids, v)
+    init_idx = np.searchsorted(ids, np.asarray(init_ids, dtype=np.int64))
+    sample = _normalize(np.array(sample_df[emb_col].tolist(),
+                                 dtype=np.float64))
+    return _kmeans(sample, n_clusters, init_idx=init_idx)
+
+
+def kmeans_cluster_stats(ds: "ray.data.Dataset", *, n_clusters: int = 16,
+                         sample_size: int = 2000, id_col: str = "vec_id",
+                         emb_col: str = "embedding") -> pd.DataFrame:
+    """Corpus clustering balance audit: assign EVERY embedding to its
+    nearest deterministic k-means centroid and report per-cluster size and
+    mean cosine-to-centroid (cohesion) — the topic-balance / mode-collapse
+    check run before mixing a training corpus.
+
+    Scale shape: the (k × d) centroid matrix is broadcast once via
+    ``ray.put``; each batch does ONE matmul and collapses to ≤ k partial
+    rows (bincount n, bincount Σcos) before anything moves — no shuffle of
+    embedding rows, no assignment column ever materialized. The merged
+    partial table is k × blocks rows, combined on the driver.
+    """
+    centroids = train_deterministic_quantizer(
+        ds, n_clusters, sample_size=sample_size, id_col=id_col,
+        emb_col=emb_col)
+    k = centroids.shape[0]
+    cent_ref = ray.put(centroids)
+
+    def _partials(b: pa.Table) -> pd.DataFrame:
+        cent = ray.get(cent_ref)
+        emb = _normalize(_matrix(b.column(emb_col)))
+        sims = emb @ cent.T
+        cl = np.argmax(sims, axis=1)
+        cos = sims[np.arange(len(cl)), cl]
+        return pd.DataFrame({
+            "cluster": np.arange(k, dtype=np.int64),
+            "n": np.bincount(cl, minlength=k).astype(np.int64),
+            "cos_sum": np.bincount(cl, weights=cos, minlength=k),
+        })
+
+    part = ds.select_columns([emb_col]) \
+        .map_batches(_partials, batch_format="pyarrow").to_pandas()
+    out = part.groupby("cluster", sort=True)[["n", "cos_sum"]].sum() \
+        .reset_index()
+    out = out[out["n"] > 0].reset_index(drop=True)
+    out["avg_cos"] = out["cos_sum"] / out["n"]
+    return out[["cluster", "n", "avg_cos"]]
+
+
 class IvfIndexer:
     """Actor stage: assign each row to its nearest coarse centroid."""
 
@@ -193,19 +259,9 @@ def ivf_topk(ds: "ray.data.Dataset", queries: np.ndarray, query_ids: list[int],
     reproducible by any engine, which is what the DuckDB oracle replays.
     """
     if deterministic_sample:
-        sample_df = (ds.select_columns([id_col, emb_col])
-                     .filter(expr=f"{id_col} < {int(sample_size)}")
-                     .to_pandas().sort_values(id_col).reset_index(drop=True))
-        present = np.zeros(sample_size, dtype=bool)
-        ids = sample_df[id_col].to_numpy(dtype=np.int64)
-        present[ids] = True
-        perm = np.random.RandomState(17).permutation(sample_size)
-        init_ids = [v for v in perm if present[v]][:n_clusters]
-        # sample rows are id-sorted, so position of id v is searchsorted(ids, v)
-        init_idx = np.searchsorted(ids, np.asarray(init_ids, dtype=np.int64))
-        sample = _normalize(np.array(sample_df[emb_col].tolist(),
-                                     dtype=np.float64))
-        centroids = _kmeans(sample, n_clusters, init_idx=init_idx)
+        centroids = train_deterministic_quantizer(
+            ds, n_clusters, sample_size=sample_size, id_col=id_col,
+            emb_col=emb_col)
     else:
         sample_df = ds.select_columns([emb_col]).limit(sample_size).to_pandas()
         sample = _normalize(np.array(sample_df[emb_col].tolist(),

@@ -1,0 +1,181 @@
+"""Distributed descriptive statistics beyond the partition-metric family:
+grouped correlation, fixed-bin histograms, and rollup (multi-granularity)
+aggregates.
+
+All three follow the same scale shape as ``aggregate.partition_metrics``:
+per-batch combiners shrink each block to at most a few rows per group/bin
+BEFORE anything shuffles, so the only data movement is a tiny partial table.
+Nothing here materializes the input.
+
+Reference provenance: the reference's aggregation surface is a Polars
+expression list (reference process_data.py:61-112 — count/mean/median/std
+per interval). Correlation/histogram/rollup extend that surface with the
+corpus-audit statistics a 100-TB training-data pipeline needs (feature
+drift scatter, score distributions, per-slice × global report tables).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Max, Min
+
+
+def grouped_corr(ds: "ray.data.Dataset", x_col: str, y_col: str,
+                 by: list[str]) -> pd.DataFrame:
+    """Sample Pearson correlation of (x, y) per group, numerically stable at
+    any block count.
+
+    Per batch: one vectorized pandas groupby produces (n, mean_x, mean_y,
+    M2x, M2y, Cxy) per group — exact two-pass moments WITHIN the batch.
+    Partials merge with the pairwise closed form (same stability class as
+    Chan's merge, matching ``aggregate._combine_partials``):
+
+        M2_tot = Σ M2_i + Σ n_i (m_i − m̄)²
+        C_tot  = Σ C_i  + Σ n_i (mx_i − m̄x)(my_i − m̄y)
+
+    so no raw row ever shuffles — only one ~6-float row per (group, batch).
+    The merged table is tiny (≤ groups × blocks rows) and combines on the
+    driver. corr = C / sqrt(M2x · M2y), identical to ANSI
+    ``corr`` = covar_samp / (stddev_samp·stddev_samp).
+    """
+    def _partials(b: pa.Table) -> pd.DataFrame:
+        df = b.select(by + [x_col, y_col]).to_pandas()
+        df = df.dropna(subset=[x_col, y_col])
+        g = df.groupby(by, sort=False)
+        x = df[x_col].to_numpy(dtype=np.float64)
+        y = df[y_col].to_numpy(dtype=np.float64)
+        gidx = g.ngroup().to_numpy()
+        G = gidx.max() + 1 if len(gidx) else 0
+        n = np.bincount(gidx, minlength=G).astype(np.float64)
+        mx = np.bincount(gidx, weights=x, minlength=G) / n
+        my = np.bincount(gidx, weights=y, minlength=G) / n
+        dx = x - mx[gidx]
+        dy = y - my[gidx]
+        out = g.size().rename("n").reset_index()[by]
+        out["n"] = n.astype(np.int64)
+        out["mean_x"] = mx
+        out["mean_y"] = my
+        out["m2x"] = np.bincount(gidx, weights=dx * dx, minlength=G)
+        out["m2y"] = np.bincount(gidx, weights=dy * dy, minlength=G)
+        out["cxy"] = np.bincount(gidx, weights=dx * dy, minlength=G)
+        return out
+
+    part = ds.map_batches(_partials, batch_format="pyarrow").to_pandas()
+    gb = part.groupby(by, sort=False)
+    gidx = gb.ngroup().to_numpy()
+    G = len(gb)
+    ns = part["n"].to_numpy(dtype=np.float64)
+    n_tot = np.bincount(gidx, weights=ns, minlength=G)
+    res = gb.size().reset_index()[by]
+
+    def _merge_m2(mean_col: str, m2_col: str):
+        m = part[mean_col].to_numpy(dtype=np.float64)
+        m_tot = np.bincount(gidx, weights=ns * m, minlength=G) / n_tot
+        dev = m - m_tot[gidx]
+        return m_tot, dev, np.bincount(
+            gidx, weights=part[m2_col].to_numpy(np.float64) + ns * dev * dev,
+            minlength=G)
+
+    mx_tot, dvx, m2x = _merge_m2("mean_x", "m2x")
+    my_tot, dvy, m2y = _merge_m2("mean_y", "m2y")
+    cxy = np.bincount(gidx, weights=part["cxy"].to_numpy(np.float64)
+                      + ns * dvx * dvy, minlength=G)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        corr = cxy / np.sqrt(m2x * m2y)
+    corr[n_tot <= 1] = np.nan
+    res["n"] = n_tot.astype(np.int64)
+    res["mean_x"] = mx_tot
+    res["mean_y"] = my_tot
+    res["corr"] = corr
+    return res.sort_values(by).reset_index(drop=True)
+
+
+def histogram(ds: "ray.data.Dataset", col: str, bins: int = 20,
+              lo: float | None = None,
+              hi: float | None = None) -> pd.DataFrame:
+    """Fixed-bin histogram of a numeric column — the score-distribution /
+    length-distribution audit chart behind every filter-threshold decision.
+
+    Two streaming passes over ONE column (both are narrow aggregates — no
+    row ever reaches the driver): pass 1 finds exact [lo, hi] unless the
+    caller pins edges (at 100 TB, pin edges or derive them from a sample to
+    save the pass); pass 2 bincounts per batch and merges ``bins``-row
+    partials. Values at ``hi`` fold into the last bin (NumPy/SQL
+    ``least(floor(...), bins-1)`` — bit-identical float ops in both engines).
+    Empty bins are kept (n=0) so the output shape is always ``bins`` rows.
+    """
+    narrow = ds.select_columns([col])
+    if lo is None or hi is None:
+        mm = narrow.aggregate(Min(col), Max(col))
+        lo = float(mm[f"min({col})"]) if lo is None else lo
+        hi = float(mm[f"max({col})"]) if hi is None else hi
+    width = (hi - lo) / bins
+
+    def _counts(b: pa.Table) -> pd.DataFrame:
+        v = pc.cast(b.column(col), pa.float64()).drop_null() \
+            .to_numpy(zero_copy_only=False)
+        if width > 0:
+            idx = np.minimum(np.floor((v - lo) / width), bins - 1)
+            idx = idx.astype(np.int64)
+        else:
+            idx = np.zeros(len(v), dtype=np.int64)
+        return pd.DataFrame({"bin": np.arange(bins, dtype=np.int64),
+                             "n": np.bincount(idx, minlength=bins)
+                            .astype(np.int64)})
+
+    part = narrow.map_batches(_counts, batch_format="pyarrow").to_pandas()
+    out = part.groupby("bin", sort=True)["n"].sum().reset_index()
+    out["lo_edge"] = lo + out["bin"].to_numpy(np.float64) * width
+    out["hi_edge"] = np.where(out["bin"] == bins - 1,
+                              hi, lo + (out["bin"].to_numpy(np.float64) + 1)
+                              * width)
+    return out[["bin", "lo_edge", "hi_edge", "n"]]
+
+
+def rollup_aggregate(ds: "ray.data.Dataset", keys: list[str], value_col: str,
+                     *, total_label: str = "ALL") -> pd.DataFrame:
+    """ROLLUP grouping sets — (k1, k2), (k1), () — computed in ONE pass.
+
+    count and sum re-aggregate, so only the FINEST level ever touches data:
+    per-batch combiners emit one (keys, n, sum) row per distinct key tuple
+    in the batch, the tiny partial table merges on the driver, and every
+    coarser grouping level folds from the finest with pandas groupbys over
+    at most |distinct key tuples| rows. Equivalent to ANSI
+    ``GROUP BY ROLLUP(k1, k2)`` with NULL slots rendered as
+    ``total_label``. avg is derived as exact-int sum / count at the end so
+    every level's average is exact at every level (never an avg of avgs).
+    """
+    def _partials(b: pa.Table) -> pd.DataFrame:
+        df = b.select(keys + [value_col]).to_pandas()
+        g = df.groupby(keys, sort=False)[value_col]
+        out = g.agg(n="size", s="sum").reset_index()
+        out["n"] = out["n"].astype(np.int64)
+        out["s"] = out["s"].astype(np.int64)
+        return out
+
+    part = ds.map_batches(_partials, batch_format="pyarrow").to_pandas()
+    finest = part.groupby(keys, sort=False)[["n", "s"]].sum().reset_index()
+
+    levels = [finest]
+    for depth in range(len(keys) - 1, -1, -1):
+        sub = keys[:depth]
+        if sub:
+            lv = finest.groupby(sub, sort=False)[["n", "s"]].sum() \
+                .reset_index()
+        else:
+            lv = pd.DataFrame({"n": [finest["n"].sum()],
+                               "s": [finest["s"].sum()]})
+        for k in keys[depth:]:
+            lv[k] = total_label
+        levels.append(lv[keys + ["n", "s"]])
+
+    out = pd.concat(levels, ignore_index=True)
+    out["avg_value"] = out["s"].to_numpy(np.float64) \
+        / out["n"].to_numpy(np.float64)
+    out = out.rename(columns={"n": "n_rows", "s": "sum_value"})
+    return out.sort_values(keys).reset_index(drop=True)

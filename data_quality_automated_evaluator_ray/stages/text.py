@@ -303,3 +303,45 @@ def tfidf_top_terms(ds: "ray.data.Dataset", *, text_col: str = "text",
 
     return partitioned_groupby(scored, [id_col], _topk,
                                num_partitions=num_partitions)
+
+
+def normalize_text(batch: pa.Table, text_col: str = "text",
+                   out_col: str = "norm_text") -> pa.Table:
+    """Canonical text normalization: Unicode NFC → lowercase → collapse all
+    whitespace runs to one space → trim. The standard pre-dedup/pre-hash
+    canonicalization pass (two visually identical documents must hash equal).
+
+    Arrow-kernel fast path (utf8_lower / replace_substring_regex on RE2)
+    for every row; NFC composition runs through ``unicodedata`` ONLY for
+    rows containing non-ASCII codepoints (pyarrow 16's ``utf8_normalize``
+    NFC does not compose — verified "e"+U+0301 stays decomposed — and ASCII
+    is NFC-invariant, so the vectorized mask routes just the rows that need
+    it). ``changed`` marks rows the pass altered — the usual audit metric
+    for how dirty a corpus is.
+    """
+    import unicodedata
+
+    s = pc.cast(batch.column(text_col), pa.string())
+    non_ascii = pc.match_substring_regex(s, r"[^\x00-\x7F]")
+    if pc.any(non_ascii).as_py():
+        idx = np.flatnonzero(non_ascii.combine_chunks().to_numpy(
+            zero_copy_only=False))
+        vals = s.to_pylist()
+        for i in idx:
+            if vals[i] is not None:
+                vals[i] = unicodedata.normalize("NFC", vals[i])
+        s_nfc = pa.array(vals, pa.string())
+    else:
+        s_nfc = s
+    # trim SPACES only (ANSI trim semantics; \s+ collapse already reduced
+    # ASCII whitespace runs to one space — unicode spaces pass through
+    # untouched in both RE2 and ANSI, by design)
+    norm = pc.utf8_trim(
+        pc.replace_substring_regex(
+            pc.utf8_lower(s_nfc), pattern=r"\s+", replacement=" "),
+        characters=" ")
+    return pa.table({
+        **{c: batch.column(c) for c in batch.column_names},
+        out_col: norm,
+        "changed": pc.not_equal(norm, s),
+    })

@@ -1,0 +1,129 @@
+"""Unit tests for stages/statistics.py, keyed_lag_features, normalize_text
+and kmeans_cluster_stats — the edge cases the DuckDB-oracle suite does not
+exercise (degenerate ranges, constant columns, block-count invariance)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def test_histogram_degenerate_range(ray_session):
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.statistics import histogram
+
+    ds = ray.data.from_pandas(pd.DataFrame({"v": [5.0] * 7}))
+    out = histogram(ds, "v", bins=4)
+    assert len(out) == 4
+    assert out["n"].tolist() == [7, 0, 0, 0]  # zero width folds into bin 0
+
+
+def test_histogram_pinned_edges_and_max_fold(ray_session):
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.statistics import histogram
+
+    ds = ray.data.from_pandas(pd.DataFrame({"v": [0.0, 0.5, 1.0, 1.0]}))
+    out = histogram(ds, "v", bins=2, lo=0.0, hi=1.0)
+    # values at hi fold into the LAST bin, not an overflow bin
+    assert out["n"].tolist() == [1, 3]
+    assert out["hi_edge"].tolist() == [0.5, 1.0]
+
+
+def test_grouped_corr_block_count_invariance(ray_session):
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.statistics import grouped_corr
+
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b"], size=400),
+        "x": rng.standard_normal(400) * 10 + 3,
+    })
+    df["y"] = 2.0 * df["x"] + rng.standard_normal(400)
+    one = grouped_corr(ray.data.from_pandas(df), "x", "y", by=["g"])
+    many = grouped_corr(ray.data.from_pandas(df).repartition(13),
+                        "x", "y", by=["g"])
+    assert np.allclose(one["corr"], many["corr"], atol=1e-12)
+    exp = df.groupby("g").apply(
+        lambda s: np.corrcoef(s["x"], s["y"])[0, 1], include_groups=False)
+    assert np.allclose(one.set_index("g")["corr"], exp[one["g"]], atol=1e-10)
+
+
+def test_grouped_corr_constant_column_is_nan(ray_session):
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.statistics import grouped_corr
+
+    df = pd.DataFrame({"g": ["a"] * 5, "x": [3.0] * 5,
+                       "y": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    out = grouped_corr(ray.data.from_pandas(df), "x", "y", by=["g"])
+    assert np.isnan(out["corr"].iloc[0])  # zero variance → undefined
+
+
+def test_rollup_levels_sum_consistently(ray_session):
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.statistics import rollup_aggregate
+
+    df = pd.DataFrame({"a": ["x", "x", "y"], "b": ["p", "q", "p"],
+                       "v": [1, 2, 4]})
+    out = rollup_aggregate(ray.data.from_pandas(df), ["a", "b"], "v")
+    total = out[(out["a"] == "ALL") & (out["b"] == "ALL")]
+    assert total["n_rows"].iloc[0] == 3 and total["sum_value"].iloc[0] == 7
+    lvl1 = out[(out["a"] != "ALL") & (out["b"] == "ALL")]
+    assert lvl1["sum_value"].sum() == 7
+    finest = out[(out["a"] != "ALL") & (out["b"] != "ALL")]
+    assert len(finest) == 3 and finest["sum_value"].sum() == 7
+
+
+def test_keyed_lag_features_gaps_and_rolling(ray_session):
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.windows import keyed_lag_features
+
+    ts = pd.to_datetime(["2024-01-01 00:00:00", "2024-01-01 00:00:05",
+                         "2024-01-01 00:00:07", "2024-01-01 00:00:01"])
+    df = pd.DataFrame({"k": [1, 1, 1, 2], "ts": ts,
+                       "eid": [10, 11, 12, 13],
+                       "v": [1.0, 3.0, 5.0, 9.0]})
+    out = keyed_lag_features(ray.data.from_pandas(df), key_col="k",
+                             ts_col="ts", order_col="eid", value_col="v",
+                             window_rows=2).to_pandas() \
+        .sort_values("eid").reset_index(drop=True)
+    assert out["gap_us"].tolist() == [pd.NA, 5_000_000, 2_000_000, pd.NA] \
+        or out["gap_us"].isna().tolist() == [True, False, False, True]
+    assert out.loc[1, "gap_us"] == 5_000_000
+    assert out.loc[2, "gap_us"] == 2_000_000
+    # trailing 2-row mean, per key: [1, 2, 4, 9]
+    assert out["moving_avg"].tolist() == [1.0, 2.0, 4.0, 9.0]
+
+
+def test_normalize_text_unicode_and_audit_flag():
+    import pyarrow as pa
+
+    from data_quality_automated_evaluator_ray.stages.text import normalize_text
+
+    t = normalize_text(pa.table({
+        "doc_id": [1, 2, 3],
+        "text": ["  Café   x\t y ", "already clean", "UPPER"],
+    }))
+    d = t.to_pydict()
+    assert d["norm_text"][0] == "café x y"  # NFC composes e+◌́ → é
+    assert d["norm_text"][1] == "already clean"
+    assert d["changed"] == [True, False, True]
+
+
+def test_kmeans_cluster_stats_covers_corpus(ray_session):
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.similarity import (
+        kmeans_cluster_stats,
+    )
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n_rows = ds.count()
+    out = kmeans_cluster_stats(ds, n_clusters=8)
+    assert out["n"].sum() == n_rows  # every vector assigned exactly once
+    assert (out["avg_cos"] <= 1.0 + 1e-9).all()
+    assert (out["n"] > 0).all()
