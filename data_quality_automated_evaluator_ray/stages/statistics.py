@@ -179,3 +179,40 @@ def rollup_aggregate(ds: "ray.data.Dataset", keys: list[str], value_col: str,
         / out["n"].to_numpy(np.float64)
     out = out.rename(columns={"n": "n_rows", "s": "sum_value"})
     return out.sort_values(keys).reset_index(drop=True)
+
+
+def grouped_percentiles(ds: "ray.data.Dataset", col: str, by: list[str],
+                        ps: tuple = (0.5, 0.9, 0.99),
+                        num_partitions: int = 32) -> pd.DataFrame:
+    """Exact per-group percentiles (linear interpolation — numpy
+    ``np.percentile`` == ANSI ``quantile_cont``) for low-cardinality keys.
+
+    Percentiles are holistic: a group's values must co-locate once, so this
+    rides ONE coarse hash shuffle of the (keys, value) projection
+    (``partitioned_groupby`` — each group whole inside a partition), then a
+    vectorized sort + interpolation per group. Partitioning assumption: one
+    group's values fit one partition (true for audit dimensions like
+    event_type / lang). For high-cardinality or giant groups, use the
+    mergeable quantile sketch in ``functions/quantiles`` instead — that
+    path never co-locates raw values and trades exactness for bounded
+    memory.
+    """
+    from .partitioning import partitioned_groupby
+
+    labels = [f"p{int(round(p * 100))}" for p in ps]
+
+    def _pct(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.dropna(subset=[col])
+        rows = []
+        for key, g in part.groupby(by, sort=False):
+            v = g[col].to_numpy(dtype=np.float64)
+            key = key if isinstance(key, tuple) else (key,)
+            rows.append(dict(zip(by, key),
+                             n=np.int64(len(v)),
+                             **{lb: np.percentile(v, p * 100)
+                                for lb, p in zip(labels, ps)}))
+        return pd.DataFrame(rows, columns=by + ["n"] + labels)
+
+    out = partitioned_groupby(ds.select_columns(by + [col]), by, _pct,
+                              num_partitions=num_partitions).to_pandas()
+    return out.sort_values(by).reset_index(drop=True)
