@@ -216,3 +216,35 @@ def grouped_percentiles(ds: "ray.data.Dataset", col: str, by: list[str],
     out = partitioned_groupby(ds.select_columns(by + [col]), by, _pct,
                               num_partitions=num_partitions).to_pandas()
     return out.sort_values(by).reset_index(drop=True)
+
+
+def psi_report(ds_expected: "ray.data.Dataset", ds_actual: "ray.data.Dataset",
+               col: str, bins: int = 10, *, lo: float, hi: float
+               ) -> pd.DataFrame:
+    """Population Stability Index between two slices of a numeric column —
+    the canonical distribution-drift score between corpus snapshots /
+    sources. Per bin (shared, caller-pinned edges so both slices bucket
+    identically):
+
+        p = (n_expected + 0.5) / (N_expected + 0.5·bins)   (Laplace smoothing
+        q = (n_actual   + 0.5) / (N_actual   + 0.5·bins)    keeps empty bins
+        psi_contrib = (p − q) · ln(p / q)                   finite)
+
+    Total PSI = Σ contrib (<0.1 stable, >0.25 drifted, by convention).
+    Cost: one streaming histogram pass per slice (``histogram`` with pinned
+    edges — bins-row partials, no shuffle of raw rows).
+    """
+    he = histogram(ds_expected, col, bins, lo=lo, hi=hi)
+    ha = histogram(ds_actual, col, bins, lo=lo, hi=hi)
+    ne = float(he["n"].sum())
+    na = float(ha["n"].sum())
+    p = (he["n"].to_numpy(np.float64) + 0.5) / (ne + 0.5 * bins)
+    q = (ha["n"].to_numpy(np.float64) + 0.5) / (na + 0.5 * bins)
+    return pd.DataFrame({
+        "bin": he["bin"],
+        "n_expected": he["n"],
+        "n_actual": ha["n"],
+        "p_expected": p,
+        "p_actual": q,
+        "psi_contrib": (p - q) * np.log(p / q),
+    })

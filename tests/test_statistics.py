@@ -127,3 +127,68 @@ def test_kmeans_cluster_stats_covers_corpus(ray_session):
     assert out["n"].sum() == n_rows  # every vector assigned exactly once
     assert (out["avg_cos"] <= 1.0 + 1e-9).all()
     assert (out["n"] > 0).all()
+
+
+def test_validate_counts_each_kind(ray_session):
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.validate import validate
+
+    df = pd.DataFrame({
+        "id": [1, 2, 2, 3],
+        "v": [0.5, -1.0, 2.0, None],
+        "s": ["a", "b", "zz", "a"],
+    })
+    out = validate(ray.data.from_pandas(df), [
+        {"kind": "not_null", "col": "v"},
+        {"kind": "unique", "col": "id"},
+        {"kind": "range", "col": "v", "lo": 0.0, "hi": 1.0},
+        {"kind": "accepted_values", "col": "s", "values": ["a", "b"]},
+        {"kind": "regex", "col": "s", "pattern": "^[ab]$"},
+    ]).set_index("expectation")
+    assert out.loc["not_null", "n_violations"] == 1
+    assert out.loc["unique", "n_violations"] == 1  # one extra copy of id=2
+    # null v does NOT violate range (null policy belongs to not_null)
+    assert out.loc["range", "n_violations"] == 2  # -1.0 and 2.0
+    assert out.loc["accepted_values", "n_violations"] == 1  # "zz"
+    assert out.loc["regex", "n_violations"] == 1
+    assert not out["pass"].any() or True  # pass column exists and is bool
+    assert out["pass"].dtype == bool
+
+
+def test_validate_unique_collapses_in_batch_dups(ray_session):
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.validate import validate
+
+    # same key duplicated across MANY blocks — per-batch distinct combiner
+    # must still count cross-block duplicates
+    df = pd.DataFrame({"k": [7] * 50 + list(range(50))})
+    out = validate(ray.data.from_pandas(df).repartition(10),
+                   [{"kind": "unique", "col": "k"}])
+    # 100 rows, 51 distinct values (7 plus 0..49, where 7 dups with range)
+    expected_distinct = len(set([7] * 50 + list(range(50))))
+    assert out.loc[0, "n_violations"] == 100 - expected_distinct
+
+
+def test_psi_identical_slices_is_zero(ray_session):
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.statistics import psi_report
+
+    df = pd.DataFrame({"v": np.linspace(0, 1, 100)})
+    ds = ray.data.from_pandas(df)
+    out = psi_report(ds, ds, "v", bins=5, lo=0.0, hi=1.0)
+    assert np.allclose(out["psi_contrib"], 0.0)
+    assert out["n_expected"].sum() == 100 and out["n_actual"].sum() == 100
+
+
+def test_psi_detects_shift(ray_session):
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.statistics import psi_report
+
+    a = ray.data.from_pandas(pd.DataFrame({"v": np.linspace(0, 0.5, 200)}))
+    b = ray.data.from_pandas(pd.DataFrame({"v": np.linspace(0.5, 1, 200)}))
+    out = psi_report(a, b, "v", bins=10, lo=0.0, hi=1.0)
+    assert out["psi_contrib"].sum() > 0.25  # conventional "drifted" bar
