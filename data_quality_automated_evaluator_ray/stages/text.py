@@ -345,3 +345,43 @@ def normalize_text(batch: pa.Table, text_col: str = "text",
         out_col: norm,
         "changed": pc.not_equal(norm, s),
     })
+
+
+def token_diversity(batch: pa.Table, text_col: str = "text",
+                    id_col: str = "doc_id") -> pd.DataFrame:
+    """Per-document lexical-diversity signals: token count, distinct-token
+    count, type-token ratio, and unigram Shannon entropy (nats) — the
+    repetition/diversity quality features (low entropy ⇒ boilerplate or
+    generated spam; Gopher-style filters threshold on exactly these).
+
+    Shuffle-free: a document never spans rows, so the whole computation
+    completes inside each batch with one C-level split→explode→groupby —
+    no data movement at any corpus size. Documents with zero tokens emit
+    no row (entropy undefined), matching the SQL tokenize-join semantics.
+    """
+    lst = pc.split_pattern(pc.cast(batch.column(text_col), pa.string()), " ")
+    lst = lst.combine_chunks() if isinstance(lst, pa.ChunkedArray) else lst
+    flat = pc.list_flatten(lst).to_pandas()
+    reps = pc.list_value_length(lst).to_numpy(zero_copy_only=False)
+    reps = np.nan_to_num(reps).astype(np.int64)
+    ids = np.repeat(batch.column(id_col).to_numpy(zero_copy_only=False), reps)
+    t = pd.DataFrame({id_col: ids, "term": flat})
+    t = t[t["term"] != ""]
+    counts = t.groupby([id_col, "term"], sort=False).size().rename("c") \
+        .reset_index()
+    g = counts.groupby(id_col, sort=False)["c"]
+    n_tokens = g.sum()
+    n_distinct = g.size()
+    c = counts["c"].to_numpy(dtype=np.float64)
+    p = c / n_tokens.reindex(counts[id_col]).to_numpy(dtype=np.float64)
+    ent = pd.Series(-(p * np.log(p)),
+                    index=counts[id_col]).groupby(level=0, sort=False).sum()
+    out = pd.DataFrame({
+        id_col: n_tokens.index.to_numpy(),
+        "n_tokens": n_tokens.to_numpy(dtype=np.int64),
+        "n_distinct": n_distinct.to_numpy(dtype=np.int64),
+    })
+    out["type_token_ratio"] = out["n_distinct"].to_numpy(np.float64) \
+        / out["n_tokens"].to_numpy(np.float64)
+    out["entropy"] = ent.reindex(out[id_col]).to_numpy(dtype=np.float64)
+    return out
