@@ -6,7 +6,7 @@ README.md:106-124). The rebuild keeps that surface:
 {
   "source":   {"path": ..., "format"?, "columns"?, "schema_overrides"?,
                "storage_options"?},                       # sources/readers.py
-  "pipeline": "quality_filter" | "temporal_report" | "dedup",
+  "pipeline": "quality_filter" | "temporal_report" | "dedup" | "validate",
   "with_models": true,                                    # quality_filter only
   "filter":   {"expr": "value > 50"},                     # row filter (applied
                                                           # FIRST, reference
@@ -44,9 +44,51 @@ def load_config(path: str) -> dict[str, Any]:
     if "source" not in cfg or "path" not in cfg.get("source", {}):
         raise ValueError("config must define source.path")
     cfg.setdefault("pipeline", "quality_filter")
-    if cfg["pipeline"] not in ("quality_filter", "temporal_report", "dedup"):
+    if cfg["pipeline"] not in ("quality_filter", "temporal_report", "dedup",
+                               "validate"):
         raise ValueError(f"unknown pipeline {cfg['pipeline']!r}")
     return cfg
+
+
+def _run_validate(cfg: dict[str, Any], out_dir: str) -> dict[str, Any]:
+    """``"pipeline": "validate"`` — config surface over the data-contract
+    expectation suite (stages/validate.py):
+
+    {"pipeline": "validate",
+     "expectations": [{"kind": "not_null", "col": ...},
+                      {"kind": "unique", "col": ...},
+                      {"kind": "range", "col": ..., "lo"?, "hi"?},
+                      {"kind": "accepted_values", "col": ..., "values": [...]},
+                      {"kind": "regex", "col": ..., "pattern": ...}],
+     "output": {"dir": ...}}
+
+    Writes the violations report as ``validation.json`` (machine) and
+    ``validation.md`` (human) and returns a summary with an overall
+    ``passed`` flag — exit-code material for CI gates.
+    """
+    from .sources.readers import read_source
+    from .stages.validate import validate
+
+    exps = cfg.get("expectations")
+    if not exps:
+        raise ValueError("validate pipeline requires a non-empty "
+                         "'expectations' list")
+    report = validate(read_source(cfg["source"]), exps)
+    os.makedirs(out_dir, exist_ok=True)
+    report.to_json(os.path.join(out_dir, "validation.json"),
+                   orient="records", indent=1)
+    lines = ["# Data validation report", "",
+             "| expectation | column | rows | violations | pass |",
+             "|---|---|---|---|---|"]
+    for _, r in report.iterrows():
+        lines.append(f"| {r['expectation']} | {r['col']} | {r['n_rows']} "
+                     f"| {r['n_violations']} | "
+                     f"{'✅' if r['pass'] else '❌'} |")
+    with open(os.path.join(out_dir, "validation.md"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    return {"pipeline": "validate", "expectations": len(report),
+            "violations_total": int(report["n_violations"].sum()),
+            "passed": bool(report["pass"].all()), "out_dir": out_dir}
 
 
 def _run_dedup(cfg: dict[str, Any], out_dir: str) -> dict[str, Any]:
@@ -133,6 +175,9 @@ def run_config(cfg: dict[str, Any]) -> dict[str, Any]:
 
     if cfg["pipeline"] == "dedup":
         return _run_dedup(cfg, out_dir)
+
+    if cfg["pipeline"] == "validate":
+        return _run_validate(cfg, out_dir)
 
     if cfg["pipeline"] == "temporal_report":
         ds = read_source(cfg["source"])

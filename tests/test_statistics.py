@@ -192,3 +192,31 @@ def test_psi_detects_shift(ray_session):
     b = ray.data.from_pandas(pd.DataFrame({"v": np.linspace(0.5, 1, 200)}))
     out = psi_report(a, b, "v", bins=10, lo=0.0, hi=1.0)
     assert out["psi_contrib"].sum() > 0.25  # conventional "drifted" bar
+
+
+def test_config_validate_pipeline(ray_session, tmp_path):
+    import json
+
+    from data_quality_automated_evaluator_ray.config import load_config, run_config
+
+    cfg_path = tmp_path / "cfg.json"
+    out_dir = tmp_path / "out"
+    cfg_path.write_text(json.dumps({
+        "source": {"path": "/root/testdata/sf0.001/orders.parquet"},
+        "pipeline": "validate",
+        "expectations": [
+            {"kind": "unique", "col": "o_orderkey"},
+            {"kind": "range", "col": "o_totalprice", "lo": 0},
+            {"kind": "accepted_values", "col": "o_orderstatus",
+             "values": ["O", "F"]},
+        ],
+        "output": {"dir": str(out_dir)},
+    }))
+    summary = run_config(load_config(str(cfg_path)))
+    assert summary["pipeline"] == "validate"
+    assert summary["expectations"] == 3
+    # 'P' status rows exist in the fixture → accepted_values must fail
+    assert summary["passed"] is False and summary["violations_total"] > 0
+    assert (out_dir / "validation.json").exists()
+    md = (out_dir / "validation.md").read_text()
+    assert "unique" in md and "o_orderkey" in md
