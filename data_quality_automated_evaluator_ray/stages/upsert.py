@@ -37,3 +37,48 @@ def latest_by_key(ds: "ray.data.Dataset", *, key_cols: list[str],
 
     return partitioned_groupby(ds, key_cols, _latest,
                                num_partitions=num_partitions)
+
+
+def snapshot_diff(ds_old: "ray.data.Dataset", ds_new: "ray.data.Dataset",
+                  *, key_col: str, hash_col: str,
+                  num_partitions: int = 64) -> "ray.data.Dataset":
+    """Classify every key across two corpus snapshots as ``added`` (new
+    only), ``removed`` (old only), ``changed`` (both, different content
+    hash) or ``unchanged`` — the ingest-audit diff run before promoting a
+    new snapshot. FULL-OUTER-JOIN semantics without a join operator:
+
+    1. Each side projects to (key, hash) and is tagged with a side marker —
+       content itself never moves, only the narrow hash tuple.
+    2. ``union`` + ONE coarse hash shuffle on the key co-locates each key's
+       (≤2) rows, then a vectorized per-partition pivot classifies all keys
+       at once (pandas unstack, no Python per key).
+
+    Assumes each key appears at most once per side (run
+    :func:`latest_by_key` first otherwise).
+    """
+    def _tag(side: int):
+        def _f(part: pd.DataFrame) -> pd.DataFrame:
+            out = part[[key_col, hash_col]].copy()
+            out["__side"] = side
+            return out
+        return _f
+
+    old = ds_old.map_batches(_tag(0), batch_format="pandas")
+    new = ds_new.map_batches(_tag(1), batch_format="pandas")
+
+    def _classify(part: pd.DataFrame) -> pd.DataFrame:
+        w = part.pivot(index=key_col, columns="__side", values=hash_col)
+        for side in (0, 1):
+            if side not in w.columns:
+                w[side] = None
+        old_h, new_h = w[0], w[1]
+        status = pd.Series("unchanged", index=w.index, dtype=object)
+        status[old_h.isna() & new_h.notna()] = "added"
+        status[old_h.notna() & new_h.isna()] = "removed"
+        both = old_h.notna() & new_h.notna()
+        status[both & (old_h != new_h)] = "changed"
+        return pd.DataFrame({key_col: w.index.to_numpy(),
+                             "status": status.to_numpy()})
+
+    return partitioned_groupby(old.union(new), [key_col], _classify,
+                               num_partitions=num_partitions)

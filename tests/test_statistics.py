@@ -220,3 +220,19 @@ def test_config_validate_pipeline(ray_session, tmp_path):
     assert (out_dir / "validation.json").exists()
     md = (out_dir / "validation.md").read_text()
     assert "unique" in md and "o_orderkey" in md
+
+
+def test_snapshot_diff_all_statuses(ray_session):
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.upsert import snapshot_diff
+
+    old = pd.DataFrame({"k": [1, 2, 3], "h": ["a", "b", "c"]})
+    new = pd.DataFrame({"k": [2, 3, 4], "h": ["b", "C", "d"]})
+    out = snapshot_diff(ray.data.from_pandas(old), ray.data.from_pandas(new),
+                        key_col="k", hash_col="h").to_pandas() \
+        .set_index("k")["status"]
+    assert out[1] == "removed"
+    assert out[2] == "unchanged"
+    assert out[3] == "changed"
+    assert out[4] == "added"
