@@ -98,7 +98,8 @@ def _run_dedup(cfg: dict[str, Any], out_dir: str) -> dict[str, Any]:
      "dedup": {"method": "exact" | "fuzzy",     # sha256 vs MinHash-LSH+CC
                "text_column": "text", "id_column": "doc_id",
                "num_perm"?: 64, "bands"?: 16},  # fuzzy knobs
-     "output": {"dir": ...}}
+     "output": {"dir": ..., "format"?: "parquet"|"csv"|"jsonl",
+                "partition_by"?: [...], "compression"?: "zstd"}}
 
     Writes the deduplicated rows as partitioned Parquet under output.dir
     and returns {rows_in, rows_out, dup_rate}. Exact keeps the minimum-id
@@ -134,10 +135,16 @@ def _run_dedup(cfg: dict[str, Any], out_dir: str) -> dict[str, Any]:
             ds, comp.map_batches(_drops, batch_format="pyarrow"), on=id_col)
     else:
         raise ValueError(f"unknown dedup method {method!r}")
-    kept.write_parquet(out_dir)
+    from .sources.sinks import write_output
+
+    out_spec = dict(cfg.get("output", {}))
+    out_spec["dir"] = out_dir
+    write_output(kept, out_spec)
     import ray.data
 
-    rows_out = ray.data.read_parquet(out_dir).count()
+    rows_out = (ray.data.read_parquet(out_dir).count()
+                if out_spec.get("format", "parquet") == "parquet"
+                else kept.count())
     return {"pipeline": "dedup", "method": method,
             "rows_in": rows_in, "rows_out": rows_out,
             "dup_rate": round(1 - rows_out / rows_in, 6) if rows_in else 0.0,

@@ -1,0 +1,47 @@
+"""Output sinks: one spec-driven writer over Ray Data's native sinks.
+
+    {"dir": "/out",
+     "format": "parquet" | "csv" | "jsonl",   # default parquet
+     "partition_by": ["lang"],                # hive-style key dirs (parquet)
+     "compression": "zstd" | "snappy" | ...}  # parquet codec
+
+Mirrors the reader dispatcher (readers.read_source — reference
+handle_data.py:106-130 format fan-in) on the way OUT. All three formats
+stream block-by-block through Ray's datasink (one file per block, no
+driver materialization); ``partition_by`` writes hive-style ``key=value``
+directories so downstream reads prune by partition and a failed run can
+re-write a single key range.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import ray.data
+
+_FORMATS = ("parquet", "csv", "jsonl")
+
+
+def write_output(ds: "ray.data.Dataset", spec: dict[str, Any]) -> str:
+    """Write ``ds`` per the output spec; returns the output directory."""
+    out_dir = spec["dir"]
+    fmt = spec.get("format", "parquet")
+    if fmt not in _FORMATS:
+        raise ValueError(f"unknown output format {fmt!r}; "
+                         f"expected one of {_FORMATS}")
+    if fmt == "parquet":
+        kwargs: dict[str, Any] = {}
+        if spec.get("partition_by"):
+            kwargs["partition_cols"] = list(spec["partition_by"])
+        if spec.get("compression"):
+            kwargs["compression"] = spec["compression"]
+        ds.write_parquet(out_dir, **kwargs)
+    elif fmt == "csv":
+        if spec.get("partition_by"):
+            raise ValueError("partition_by is parquet-only")
+        ds.write_csv(out_dir)
+    else:  # jsonl — Ray's JSON datasink emits one JSON object per line
+        if spec.get("partition_by"):
+            raise ValueError("partition_by is parquet-only")
+        ds.write_json(out_dir)
+    return out_dir

@@ -132,3 +132,39 @@ def test_config_temporal_filter_and_transformations(ray_session, tmp_path):
           from read_parquet('{src}') where value > 20)
     """).fetchone()[0]
     assert summary["intervals"] == want
+
+
+def test_write_output_formats_roundtrip(ray_session, tmp_path):
+    import pandas as pd
+    import pytest
+
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.sources.sinks import write_output
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3, 4],
+                       "lang": ["py", "py", "go", "go"],
+                       "v": [1.0, 2.0, 3.0, 4.0]})
+    ds = ray.data.from_pandas(df)
+
+    pdir = tmp_path / "p"
+    write_output(ds, {"dir": str(pdir), "format": "parquet",
+                      "partition_by": ["lang"], "compression": "zstd"})
+    # hive-style key dirs and full round-trip
+    assert any(x.name.startswith("lang=") for x in pdir.iterdir())
+    back = ray.data.read_parquet(str(pdir)).to_pandas()
+    assert sorted(back["doc_id"].astype(int)) == [1, 2, 3, 4]
+
+    cdir = tmp_path / "c"
+    write_output(ds, {"dir": str(cdir), "format": "csv"})
+    assert ray.data.read_csv(str(cdir)).count() == 4
+
+    jdir = tmp_path / "j"
+    write_output(ds, {"dir": str(jdir), "format": "jsonl"})
+    assert ray.data.read_json(str(jdir)).count() == 4
+
+    with pytest.raises(ValueError):
+        write_output(ds, {"dir": str(tmp_path / "x"), "format": "orc"})
+    with pytest.raises(ValueError):
+        write_output(ds, {"dir": str(tmp_path / "y"), "format": "csv",
+                          "partition_by": ["lang"]})
