@@ -142,9 +142,12 @@ def _run_dedup(cfg: dict[str, Any], out_dir: str) -> dict[str, Any]:
     write_output(kept, out_spec)
     import ray.data
 
-    rows_out = (ray.data.read_parquet(out_dir).count()
-                if out_spec.get("format", "parquet") == "parquet"
-                else kept.count())
+    # count from the WRITTEN files — kept.count() would re-execute the
+    # whole dedup pipeline (Ray datasets are not cached)
+    fmt = out_spec.get("format", "parquet")
+    reader = {"parquet": ray.data.read_parquet, "csv": ray.data.read_csv,
+              "jsonl": ray.data.read_json}[fmt]
+    rows_out = reader(out_dir).count()
     return {"pipeline": "dedup", "method": method,
             "rows_in": rows_in, "rows_out": rows_out,
             "dup_rate": round(1 - rows_out / rows_in, 6) if rows_in else 0.0,

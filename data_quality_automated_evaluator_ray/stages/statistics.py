@@ -42,11 +42,17 @@ def grouped_corr(ds: "ray.data.Dataset", x_col: str, y_col: str,
     The merged table is tiny (≤ groups × blocks rows) and combines on the
     driver. corr = C / sqrt(M2x · M2y), identical to ANSI
     ``corr`` = covar_samp / (stddev_samp·stddev_samp).
+
+    Null semantics: rows where EITHER x or y is null are excluded from
+    every statistic (pairwise-complete — the same pairs ANSI ``corr``
+    uses), so ``n``/``mean_x``/``mean_y`` are counts/means over complete
+    pairs, not per-column ``count(*)``/``avg``; null group keys form their
+    own group, as in SQL.
     """
     def _partials(b: pa.Table) -> pd.DataFrame:
         df = b.select(by + [x_col, y_col]).to_pandas()
         df = df.dropna(subset=[x_col, y_col])
-        g = df.groupby(by, sort=False)
+        g = df.groupby(by, sort=False, dropna=False)
         x = df[x_col].to_numpy(dtype=np.float64)
         y = df[y_col].to_numpy(dtype=np.float64)
         gidx = g.ngroup().to_numpy()
@@ -66,7 +72,7 @@ def grouped_corr(ds: "ray.data.Dataset", x_col: str, y_col: str,
         return out
 
     part = ds.map_batches(_partials, batch_format="pyarrow").to_pandas()
-    gb = part.groupby(by, sort=False)
+    gb = part.groupby(by, sort=False, dropna=False)
     gidx = gb.ngroup().to_numpy()
     G = len(gb)
     ns = part["n"].to_numpy(dtype=np.float64)
@@ -106,7 +112,9 @@ def histogram(ds: "ray.data.Dataset", col: str, bins: int = 20,
     caller pins edges (at 100 TB, pin edges or derive them from a sample to
     save the pass); pass 2 bincounts per batch and merges ``bins``-row
     partials. Values at ``hi`` fold into the last bin (NumPy/SQL
-    ``least(floor(...), bins-1)`` — bit-identical float ops in both engines).
+    ``least(floor(...), bins-1)`` — bit-identical float ops in both engines);
+    with PINNED edges, out-of-range values clamp into the edge bins (bin 0 /
+    bins−1) rather than crashing or silently dropping.
     Empty bins are kept (n=0) so the output shape is always ``bins`` rows.
     """
     narrow = ds.select_columns([col])
@@ -120,7 +128,7 @@ def histogram(ds: "ray.data.Dataset", col: str, bins: int = 20,
         v = pc.cast(b.column(col), pa.float64()).drop_null() \
             .to_numpy(zero_copy_only=False)
         if width > 0:
-            idx = np.minimum(np.floor((v - lo) / width), bins - 1)
+            idx = np.clip(np.floor((v - lo) / width), 0, bins - 1)
             idx = idx.astype(np.int64)
         else:
             idx = np.zeros(len(v), dtype=np.int64)
@@ -147,15 +155,21 @@ def rollup_aggregate(ds: "ray.data.Dataset", keys: list[str], value_col: str,
     coarser grouping level folds from the finest with pandas groupbys over
     at most |distinct key tuples| rows. Equivalent to ANSI
     ``GROUP BY ROLLUP(k1, k2)`` with NULL slots rendered as
-    ``total_label``. avg is derived as exact-int sum / count at the end so
-    every level's average is exact at every level (never an avg of avgs).
+    ``total_label``. avg is derived as sum / count at the end (exact int64
+    sums for integer columns) so every level's average is computed from the
+    level's own totals — never an avg of avgs.
     """
     def _partials(b: pa.Table) -> pd.DataFrame:
         df = b.select(keys + [value_col]).to_pandas()
         g = df.groupby(keys, sort=False)[value_col]
         out = g.agg(n="size", s="sum").reset_index()
         out["n"] = out["n"].astype(np.int64)
-        out["s"] = out["s"].astype(np.int64)
+        # integer columns stay exact int64 (sum_value parity with SQL
+        # bigint); float columns must NOT be truncated
+        if np.issubdtype(df[value_col].dtype, np.integer):
+            out["s"] = out["s"].astype(np.int64)
+        else:
+            out["s"] = out["s"].astype(np.float64)
         return out
 
     part = ds.map_batches(_partials, batch_format="pyarrow").to_pandas()

@@ -271,19 +271,8 @@ def tfidf_top_terms(ds: "ray.data.Dataset", *, text_col: str = "text",
     n_docs = ds.count()  # parquet metadata count — no data scan
 
     def _tf(b: pa.Table) -> pd.DataFrame:
-        lst = pc.split_pattern(pc.cast(b.column(text_col), pa.string()), " ")
-        lst = lst.combine_chunks() if isinstance(lst, pa.ChunkedArray) else lst
-        flat = pc.list_flatten(lst).to_pandas()
-        counts = pc.list_value_length(lst).to_numpy(zero_copy_only=False)
-        counts = np.nan_to_num(counts).astype(np.int64)
-        ids = np.repeat(b.column(id_col).to_numpy(zero_copy_only=False),
-                        counts)
-        t = pd.DataFrame({id_col: ids, "term": flat})
-        t = t[t["term"] != ""]
-        out = t.groupby([id_col, "term"], sort=False).size() \
-            .rename("tf").reset_index()
-        out["tf"] = out["tf"].astype(np.int64)
-        return out
+        out = _doc_term_counts(b, text_col, id_col)
+        return out.rename(columns={"c": "tf"})
 
     tf = ds.select_columns([id_col, text_col]).map_batches(
         _tf, batch_format="pyarrow")
@@ -308,6 +297,27 @@ def tfidf_top_terms(ds: "ray.data.Dataset", *, text_col: str = "text",
                                num_partitions=num_partitions)
 
 
+def _doc_term_counts(batch: pa.Table, text_col: str,
+                     id_col: str) -> pd.DataFrame:
+    """Per-(document, term) occurrence counts for a batch — the shared
+    tokenize-explode-count step behind TF-IDF and lexical diversity.
+    Single-space split (matching the SQL ``string_split(text, ' ')``
+    oracles), '' entries dropped; one C-level pandas groupby, no Python
+    token loop. Returns columns (id_col, term, c)."""
+    lst = pc.split_pattern(pc.cast(batch.column(text_col), pa.string()), " ")
+    lst = lst.combine_chunks() if isinstance(lst, pa.ChunkedArray) else lst
+    flat = pc.list_flatten(lst).to_pandas()
+    reps = pc.list_value_length(lst).to_numpy(zero_copy_only=False)
+    reps = np.nan_to_num(reps).astype(np.int64)
+    ids = np.repeat(batch.column(id_col).to_numpy(zero_copy_only=False), reps)
+    t = pd.DataFrame({id_col: ids, "term": flat})
+    t = t[t["term"] != ""]
+    out = t.groupby([id_col, "term"], sort=False).size().rename("c") \
+        .reset_index()
+    out["c"] = out["c"].astype(np.int64)
+    return out
+
+
 def normalize_text(batch: pa.Table, text_col: str = "text",
                    out_col: str = "norm_text") -> pa.Table:
     """Canonical text normalization: Unicode NFC → lowercase → collapse all
@@ -325,15 +335,17 @@ def normalize_text(batch: pa.Table, text_col: str = "text",
     import unicodedata
 
     s = pc.cast(batch.column(text_col), pa.string())
-    non_ascii = pc.match_substring_regex(s, r"[^\x00-\x7F]")
+    if isinstance(s, pa.ChunkedArray):
+        s = s.combine_chunks()
+    non_ascii = pc.fill_null(
+        pc.match_substring_regex(s, r"[^\x00-\x7F]"), False)
     if pc.any(non_ascii).as_py():
-        idx = np.flatnonzero(non_ascii.combine_chunks().to_numpy(
-            zero_copy_only=False))
-        vals = s.to_pylist()
-        for i in idx:
-            if vals[i] is not None:
-                vals[i] = unicodedata.normalize("NFC", vals[i])
-        s_nfc = pa.array(vals, pa.string())
+        # materialize ONLY the masked rows as Python strings; ASCII rows
+        # never leave Arrow (replace_with_mask scatters the fixed values)
+        fixed = [unicodedata.normalize("NFC", v)
+                 for v in pc.filter(s, non_ascii).to_pylist()]
+        s_nfc = pc.replace_with_mask(s, non_ascii,
+                                     pa.array(fixed, pa.string()))
     else:
         s_nfc = s
     # trim SPACES only (ANSI trim semantics; \s+ collapse already reduced
@@ -362,16 +374,7 @@ def token_diversity(batch: pa.Table, text_col: str = "text",
     no data movement at any corpus size. Documents with zero tokens emit
     no row (entropy undefined), matching the SQL tokenize-join semantics.
     """
-    lst = pc.split_pattern(pc.cast(batch.column(text_col), pa.string()), " ")
-    lst = lst.combine_chunks() if isinstance(lst, pa.ChunkedArray) else lst
-    flat = pc.list_flatten(lst).to_pandas()
-    reps = pc.list_value_length(lst).to_numpy(zero_copy_only=False)
-    reps = np.nan_to_num(reps).astype(np.int64)
-    ids = np.repeat(batch.column(id_col).to_numpy(zero_copy_only=False), reps)
-    t = pd.DataFrame({id_col: ids, "term": flat})
-    t = t[t["term"] != ""]
-    counts = t.groupby([id_col, "term"], sort=False).size().rename("c") \
-        .reset_index()
+    counts = _doc_term_counts(batch, text_col, id_col)
     g = counts.groupby(id_col, sort=False)["c"]
     n_tokens = g.sum()
     n_distinct = g.size()

@@ -54,8 +54,11 @@ def _violation_mask(b: pa.Table, exp: dict) -> pa.Array:
         # null never violates a range check (not_null owns null policy)
         return pc.fill_null(bad, False)
     if kind == "accepted_values":
+        # null never violates (pc.is_in yields False for null, which would
+        # otherwise invert to a spurious violation; not_null owns null policy
+        # — matches the SQL oracle, where NOT IN on null filters to NULL)
         ok = pc.is_in(col, value_set=pa.array(exp["values"]))
-        return pc.fill_null(pc.invert(ok), False)
+        return pc.and_(pc.invert(ok), pc.is_valid(col))
     if kind == "regex":
         ok = pc.match_substring_regex(pc.cast(col, pa.string()),
                                       exp["pattern"])
@@ -93,9 +96,12 @@ def validate(ds: "ray.data.Dataset",
     for e in unique_exps:
         key = ds.select_columns([e["col"]])
         n = key.count()
-        # per-batch distinct collapses in-batch dup mass pre-shuffle
+        # per-batch distinct collapses in-batch dup mass pre-shuffle; nulls
+        # are excluded from the distinct count, so null keys count as
+        # violations — exactly ANSI count(*) − count(distinct col). Pair
+        # with a not_null expectation to attribute them separately.
         distinct = key.map_batches(
-            lambda b, c=e["col"]: b.group_by([c]).aggregate([]),
+            lambda b, c=e["col"]: b.drop_null().group_by([c]).aggregate([]),
             batch_format="pyarrow") \
             .groupby(e["col"]).aggregate(Count(alias_name="_c")).count()
         rows.append({"expectation": "unique", "col": e["col"],

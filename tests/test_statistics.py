@@ -236,3 +236,57 @@ def test_snapshot_diff_all_statuses(ray_session):
     assert out[2] == "unchanged"
     assert out[3] == "changed"
     assert out[4] == "added"
+
+
+def test_histogram_pinned_edges_clamp_out_of_range(ray_session):
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.statistics import histogram
+
+    # sample-derived (pinned) edges narrower than the data must clamp into
+    # the edge bins, not crash np.bincount with negative indices
+    ds = ray.data.from_pandas(pd.DataFrame({"v": [-5.0, 0.1, 0.9, 99.0]}))
+    out = histogram(ds, "v", bins=2, lo=0.0, hi=1.0)
+    assert out["n"].tolist() == [2, 2]
+
+
+def test_validate_null_policy_accepted_values_and_unique(ray_session):
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.validate import validate
+
+    df = pd.DataFrame({"s": ["O", None, "X"], "k": [1, None, None]})
+    out = validate(ray.data.from_pandas(df), [
+        {"kind": "accepted_values", "col": "s", "values": ["O", "F"]},
+        {"kind": "unique", "col": "k"},
+    ]).set_index("expectation")
+    # null never violates accepted_values (not_null owns null policy)
+    assert out.loc["accepted_values", "n_violations"] == 1
+    # unique matches ANSI count(*) - count(distinct): nulls are violations
+    assert out.loc["unique", "n_violations"] == 2
+
+
+def test_rollup_float_column_not_truncated(ray_session):
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.statistics import rollup_aggregate
+
+    df = pd.DataFrame({"a": ["x", "x"], "b": ["p", "q"], "v": [1.9, 2.9]})
+    out = rollup_aggregate(ray.data.from_pandas(df), ["a", "b"], "v")
+    total = out[(out["a"] == "ALL") & (out["b"] == "ALL")]
+    assert abs(total["sum_value"].iloc[0] - 4.8) < 1e-12
+
+
+def test_normalize_text_nulls_and_mixed_batch():
+    import pyarrow as pa
+
+    from data_quality_automated_evaluator_ray.stages.text import normalize_text
+
+    t = normalize_text(pa.table({
+        "doc_id": [1, 2, 3],
+        "text": [None, "Café", "PLAIN ascii"],
+    }))
+    d = t.to_pydict()
+    assert d["norm_text"][0] is None
+    assert d["norm_text"][1] == "café"
+    assert d["norm_text"][2] == "plain ascii"
