@@ -85,3 +85,98 @@ class ImageFeatureExtractor:
                 .append_column("decoded_ok", pa.array(ok, pa.bool_()))
                 .append_column("mean_intensity", pa.array(mean_i, pa.float64()))
                 .append_column("n_bytes", pa.array(nbytes, pa.int64())))
+
+
+class VideoFrameSampler:
+    """Actor-pool stage: sample ``k`` evenly-spaced frames from each video
+    payload — ONE input row expands to ≤k output rows (the flat-map shape
+    of frame extraction), and the parent payload is dropped on the way out
+    so only small frame rows continue downstream.
+
+    ``__init__`` is where a real backend would load the video codec once
+    per actor. ``decode_backend="stub"`` raises (honest default);
+    ``"fake"`` treats the payload as utf-8 and slices it into k
+    equal character ranges (frame i = chars[⌊iL/k⌋:⌊(i+1)L/k⌋]) — exact
+    integer math a SQL oracle replays, emitting each frame's length and
+    sha256. Empty frames (payload shorter than k) are skipped.
+    """
+
+    def __init__(self, k: int = 4, decode_backend: str = "stub") -> None:
+        if decode_backend not in ("stub", "fake"):
+            raise ValueError(f"unknown decode_backend {decode_backend!r}")
+        if k <= 0:
+            raise ValueError("k must be positive")
+        self.k = k
+        self.backend = decode_backend
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.backend == "stub":
+            raise NotImplementedError(
+                "video decoding requires a codec library not present in "
+                "this environment; use decode_backend='fake' for pipeline "
+                "testing")
+        ids, idxs, lens, shas = [], [], [], []
+        for item_id, payload in zip(batch.column("item_id").to_pylist(),
+                                    batch.column("payload").to_pylist()):
+            if payload is None:
+                continue
+            chars = payload.decode("utf-8")
+            L = len(chars)
+            for i in range(self.k):
+                lo, hi = (i * L) // self.k, ((i + 1) * L) // self.k
+                if hi <= lo:
+                    continue
+                frame = chars[lo:hi]
+                ids.append(item_id)
+                idxs.append(i)
+                lens.append(hi - lo)
+                shas.append(hashlib.sha256(frame.encode()).hexdigest())
+        return pa.table({
+            "item_id": pa.array(ids, pa.int64()),
+            "frame_idx": pa.array(idxs, pa.int64()),
+            "frame_len": pa.array(lens, pa.int64()),
+            "frame_sha256": pa.array(shas, pa.string()),
+        })
+
+
+class ImageResizer:
+    """Actor-pool stage: resize each image payload to ``target_w ×
+    target_h`` — payload-in/payload-out (the other multimodal transform
+    shape, where the binary column is REPLACED rather than dropped).
+
+    ``"fake"`` backend: utf-8 payload truncated or space-padded to exactly
+    w·h characters (deterministic byte math a SQL oracle replays via
+    left(text || repeat(' ', …), w·h)); ``"stub"`` raises.
+    """
+
+    def __init__(self, target_w: int = 8, target_h: int = 8,
+                 decode_backend: str = "stub") -> None:
+        if decode_backend not in ("stub", "fake"):
+            raise ValueError(f"unknown decode_backend {decode_backend!r}")
+        self.w, self.h = target_w, target_h
+        self.backend = decode_backend
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.backend == "stub":
+            raise NotImplementedError(
+                "image decoding requires an image library not present in "
+                "this environment; use decode_backend='fake' for pipeline "
+                "testing")
+        size = self.w * self.h
+        out_payload, out_sha = [], []
+        for payload in batch.column("payload").to_pylist():
+            if payload is None:
+                out_payload.append(None)
+                out_sha.append(None)
+                continue
+            chars = payload.decode("utf-8")
+            resized = (chars + " " * size)[:size]
+            out_payload.append(resized.encode())
+            out_sha.append(hashlib.sha256(resized.encode()).hexdigest())
+        n = batch.num_rows
+        return (batch.drop_columns(["payload", "width", "height"])
+                .append_column("payload", pa.array(out_payload, pa.binary()))
+                .append_column("width", pa.array([self.w] * n, pa.int32()))
+                .append_column("height", pa.array([self.h] * n, pa.int32()))
+                .append_column("resized_sha256", pa.array(out_sha,
+                                                          pa.string())))

@@ -290,3 +290,32 @@ def test_normalize_text_nulls_and_mixed_batch():
     assert d["norm_text"][0] is None
     assert d["norm_text"][1] == "café"
     assert d["norm_text"][2] == "plain ascii"
+
+
+def test_multimodal_frame_sampler_and_resizer_stubs_and_fake(ray_session):
+    import pytest
+
+    import pyarrow as pa
+
+    from data_quality_automated_evaluator_ray.stages.multimodal import (
+        ImageResizer, VideoFrameSampler,
+    )
+
+    t = pa.table({"item_id": [1, 2], "mime": ["video/fake"] * 2,
+                  "payload": [b"abcdefgh", b"xy"],
+                  "width": pa.array([0, 0], pa.int32()),
+                  "height": pa.array([0, 0], pa.int32())})
+    with pytest.raises(NotImplementedError):
+        VideoFrameSampler(k=4)(t)  # stub is the honest default
+
+    frames = VideoFrameSampler(k=4, decode_backend="fake")(t).to_pydict()
+    # 8 chars → 4 frames of 2; 2 chars → frames 0/2 empty-skipped, 2 emitted
+    assert frames["item_id"].count(1) == 4
+    assert frames["item_id"].count(2) == 2
+    assert all(ln > 0 for ln in frames["frame_len"])
+
+    resized = ImageResizer(target_w=2, target_h=2,
+                           decode_backend="fake")(t)
+    d = resized.to_pydict()
+    assert d["payload"] == [b"abcd", b"xy  "]  # truncate vs pad to 4
+    assert d["width"] == [2, 2] and d["height"] == [2, 2]
