@@ -391,3 +391,93 @@ def token_diversity(batch: pa.Table, text_col: str = "text",
         / out["n_tokens"].to_numpy(np.float64)
     out["entropy"] = ent.reindex(out[id_col]).to_numpy(dtype=np.float64)
     return out
+
+
+def top_bigrams_pmi(ds: "ray.data.Dataset", *, text_col: str = "text",
+                    id_col: str = "doc_id", k: int = 20, min_count: int = 5,
+                    num_partitions: int = 32,
+                    tie_round: "int | None" = None) -> pd.DataFrame:
+    """Top-k collocations by pointwise mutual information:
+    ``pmi = ln((c12/N_pairs) / ((c1/N_tok)·(c2/N_tok)))`` over adjacent
+    token pairs, ``c12 ≥ min_count`` — the phrase-mining / tokenizer-vocab
+    audit statistic.
+
+    Scale shape: ONE corpus pass emits fused per-batch partials (unigram
+    and bigram counts ride the same narrow (kind, w1, w2, n) stream, so
+    text is read once); one coarse hash shuffle sums them exactly
+    (C-level per-partition groupby — never one Ray group per n-gram). The
+    full vocabulary never reaches the driver: bigram rows are thresholded
+    by ``min_count`` DISTRIBUTED-side, the surviving candidate words (a
+    bounded set) broadcast back as a ``pc.is_in`` filter over the unigram
+    stream, and PMI is computed on the two tiny collected tables.
+    """
+    from ray.data.aggregate import Sum
+
+    from .partitioning import partitioned_groupby
+
+    def _partials(b: pa.Table) -> pd.DataFrame:
+        lst = pc.split_pattern(pc.cast(b.column(text_col), pa.string()), " ")
+        lst = lst.combine_chunks() if isinstance(lst, pa.ChunkedArray) else lst
+        flat = pc.list_flatten(lst).to_numpy(zero_copy_only=False)
+        reps = pc.list_value_length(lst).to_numpy(zero_copy_only=False)
+        reps = np.nan_to_num(reps).astype(np.int64)
+        ids = np.repeat(np.arange(len(reps), dtype=np.int64), reps)
+        keep = flat != ""
+        flat, ids = flat[keep], ids[keep]
+        uni = pd.Series(flat, dtype=object).value_counts()
+        out_u = pd.DataFrame({"kind": np.int8(0),
+                              "w1": uni.index.to_numpy(dtype=object),
+                              "w2": "",
+                              "n": uni.to_numpy(dtype=np.int64)})
+        if len(flat) > 1:
+            adj = ids[1:] == ids[:-1]
+            bg = pd.DataFrame({"w1": flat[:-1][adj], "w2": flat[1:][adj]})
+            cnt = bg.groupby(["w1", "w2"], sort=False).size().rename("n") \
+                .reset_index()
+            cnt.insert(0, "kind", np.int8(1))
+            cnt["n"] = cnt["n"].astype(np.int64)
+            out = pd.concat([out_u, cnt], ignore_index=True)
+        else:
+            out = out_u
+        return out
+
+    def _sum(part: pd.DataFrame) -> pd.DataFrame:
+        return part.groupby(["kind", "w1", "w2"], sort=False)["n"] \
+            .sum().reset_index()
+
+    summed = partitioned_groupby(
+        ds.select_columns([id_col, text_col])
+        .map_batches(_partials, batch_format="pyarrow"),
+        ["kind", "w1", "w2"], _sum, num_partitions=num_partitions)
+
+    n_tok = summed.filter(expr="kind == 0").aggregate(Sum("n"))["sum(n)"]
+    n_pair = summed.filter(expr="kind == 1").aggregate(Sum("n"))["sum(n)"]
+    cand = summed.filter(expr=f"kind == 1 and n >= {int(min_count)}") \
+        .to_pandas()  # bounded by min_count — the only driver collection
+    words = ray.put(set(cand["w1"]) | set(cand["w2"]))
+
+    def _cand_uni(b: pa.Table) -> pa.Table:
+        ws = pa.array(sorted(ray.get(words)), pa.string())
+        mask = pc.and_(pc.equal(b.column("kind"), 0),
+                       pc.is_in(b.column("w1"), value_set=ws))
+        return b.filter(mask).select(["w1", "n"])
+
+    uni = summed.map_batches(_cand_uni, batch_format="pyarrow").to_pandas() \
+        .set_index("w1")["n"]
+    c12 = cand["n"].to_numpy(np.float64)
+    c1 = uni.reindex(cand["w1"]).to_numpy(np.float64)
+    c2 = uni.reindex(cand["w2"]).to_numpy(np.float64)
+    nu, nb = np.float64(n_tok), np.float64(n_pair)
+    out = pd.DataFrame({"w1": cand["w1"], "w2": cand["w2"],
+                        "n_pair": cand["n"].astype(np.int64),
+                        "pmi": np.log((c12 / nb) / ((c1 / nu) * (c2 / nu)))})
+    if tie_round is not None:
+        # rank on the ROUNDED score so the top-k SELECTION matches an
+        # oracle that orders by round(pmi, r) — raw-score ranking could
+        # pick a different row when two candidates round equal
+        from ..functions.parity import round_half_away
+
+        out["pmi"] = round_half_away(out["pmi"].to_numpy(), tie_round)
+    out = out.sort_values(["pmi", "w1", "w2"],
+                          ascending=[False, True, True], kind="stable")
+    return out.head(k).reset_index(drop=True)
