@@ -481,3 +481,77 @@ def top_bigrams_pmi(ds: "ray.data.Dataset", *, text_col: str = "text",
     out = out.sort_values(["pmi", "w1", "w2"],
                           ascending=[False, True, True], kind="stable")
     return out.head(k).reset_index(drop=True)
+
+
+def vocab_coverage(ds: "ray.data.Dataset", *, text_col: str = "text",
+                   targets: tuple = (0.9, 0.95, 0.99),
+                   num_partitions: int = 32) -> pd.DataFrame:
+    """How many vocabulary entries cover X% of all token occurrences —
+    the tokenizer-vocab-sizing curve, computed WITHOUT materializing the
+    vocabulary anywhere.
+
+    Key insight: the answer is a COUNT of tokens along the (count desc,
+    token) order, and every token with the same occurrence count
+    contributes identically — so only the tiny ``(count_value, how many
+    tokens have it)`` table is needed, never the tokens themselves.
+
+    1. Exact per-token counts: per-batch combiners → one coarse hash
+       shuffle (the only all-to-all; moves (token, n) partials).
+    2. Per-count-value histogram: a second per-batch combiner collapses
+       the vocab stream to ≤ |distinct count values| rows (O(√corpus) for
+       Zipf-ish data) — only THIS tiny table reaches the driver.
+    3. Closed form per target: sort count values desc, prefix-sum mass,
+       and inside the boundary group solve for the smallest m with
+       mass_before + m·n ≥ target·total using the same float comparison
+       an ANSI window cumsum makes (adjusted ±1 to be comparison-exact).
+
+    Output: one row per target — (target, k_tokens, coverage).
+    """
+    from .partitioning import partitioned_groupby
+
+    def _partial(b: pa.Table) -> pd.DataFrame:
+        toks, counts = _whitespace_token_counts(b.column(text_col))
+        return pd.DataFrame({"token": toks, "n": counts})
+
+    def _sum(part: pd.DataFrame) -> pd.DataFrame:
+        return part.groupby("token", sort=False)["n"].sum().reset_index()
+
+    summed = partitioned_groupby(
+        ds.select_columns([text_col]).map_batches(_partial,
+                                                  batch_format="pyarrow"),
+        ["token"], _sum, num_partitions=num_partitions)
+
+    def _hist(b: pa.Table) -> pd.DataFrame:
+        vc = pd.Series(b.column("n").to_numpy(zero_copy_only=False)) \
+            .value_counts()
+        return pd.DataFrame({"n_value": vc.index.to_numpy(np.int64),
+                             "tok_count": vc.to_numpy(np.int64)})
+
+    hist = summed.map_batches(_hist, batch_format="pyarrow").to_pandas() \
+        .groupby("n_value")["tok_count"].sum().reset_index() \
+        .sort_values("n_value", ascending=False).reset_index(drop=True)
+
+    nv = hist["n_value"].to_numpy(np.int64)
+    tc = hist["tok_count"].to_numpy(np.int64)
+    mass = nv * tc
+    cum_mass = np.concatenate([[0], np.cumsum(mass)])
+    cum_toks = np.concatenate([[0], np.cumsum(tc)])
+    total = float(cum_mass[-1])
+
+    rows = []
+    for target in targets:
+        thresh = target * total
+        g = int(np.searchsorted(cum_mass[1:], thresh, side="left"))
+        g = min(g, len(nv) - 1)
+        before_mass, before_toks, n = cum_mass[g], cum_toks[g], int(nv[g])
+        m = max(1, int(np.ceil((thresh - before_mass) / n)))
+        # ±1 adjust so m is exactly the smallest count satisfying the same
+        # float comparison SQL's "cum >= target*total" makes
+        while m > 1 and float(before_mass + (m - 1) * n) >= thresh:
+            m -= 1
+        while float(before_mass + m * n) < thresh:
+            m += 1
+        rows.append({"target": float(target),
+                     "k_tokens": np.int64(before_toks + m),
+                     "coverage": float(before_mass + m * n) / total})
+    return pd.DataFrame(rows, columns=["target", "k_tokens", "coverage"])
