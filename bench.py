@@ -145,7 +145,12 @@ def run_bench() -> dict:
                           "tfidf_top_terms_documents",
                           "quality_deciles_documents",
                           "kmeans_clusters_embeddings",
-                          "moving_avg_events"]}
+                          "moving_avg_events",
+                          # round 2 (final): contract/statistics additions
+                          "validate_orders",
+                          "pmi_bigrams_documents",
+                          "vocab_coverage_documents",
+                          "snapshot_diff_documents"]}
     suite.update(extra)
     for name, fn in suite.items():
         t0 = time.perf_counter()
