@@ -180,3 +180,70 @@ def keyed_lag_features(
     return partitioned_groupby(ds.select_columns(cols), [key_col],
                                _features_part,
                                num_partitions=num_partitions)
+
+
+def funnel_conversion(
+    ds: "ray.data.Dataset",
+    *,
+    key_col: str,
+    ts_col: str,
+    event_col: str,
+    from_event: str,
+    to_event: str,
+    within_minutes: int = 30,
+    num_partitions: int = 32,
+) -> pd.DataFrame:
+    """Funnel conversion: the fraction of ``from_event`` rows followed by a
+    ``to_event`` for the SAME key STRICTLY after it and within the window —
+    the canonical behavioral-log A→B metric.
+
+    One narrow pass filters to the two event types; ONE coarse hash shuffle
+    co-locates each key; per partition a single vectorized
+    ``pandas.merge_asof(direction="forward", allow_exact_matches=False,
+    by=key)`` finds each source event's next target event, and the
+    partition collapses to a (n_views, n_converted) pair — the driver sums
+    a ``num_partitions``-row table. Timestamps compare in exact integer
+    microseconds, matching SQL ``t > v.ts AND t <= v.ts + INTERVAL``.
+    """
+    from .partitioning import partitioned_groupby
+
+    w_us = within_minutes * 60 * 1_000_000
+
+    def _narrow(b: pa.Table) -> pa.Table:
+        ev = b.column(event_col)
+        mask = pc.or_(pc.equal(ev, from_event), pc.equal(ev, to_event))
+        return b.filter(mask).select([key_col, ts_col, event_col])
+
+    def _part(part: pd.DataFrame) -> pd.DataFrame:
+        ts = part[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        part = pd.DataFrame({key_col: part[key_col].to_numpy(),
+                             "ts_us": ts,
+                             "ev": part[event_col].to_numpy()})
+        v = part[part["ev"] == from_event].sort_values("ts_us",
+                                                       kind="mergesort")
+        p = part[part["ev"] == to_event].sort_values("ts_us",
+                                                     kind="mergesort")
+        if not len(v):
+            return pd.DataFrame([{"n_views": 0, "n_converted": 0}])
+        if not len(p):
+            return pd.DataFrame([{"n_views": len(v), "n_converted": 0}])
+        p = p.rename(columns={"ts_us": "to_ts"})
+        p["ts_us"] = p["to_ts"]
+        m = pd.merge_asof(v, p[[key_col, "ts_us", "to_ts"]], on="ts_us",
+                          by=key_col, direction="forward",
+                          allow_exact_matches=False)
+        conv = m["to_ts"].notna() \
+            & ((m["to_ts"] - m["ts_us"]) <= w_us)
+        return pd.DataFrame([{"n_views": len(v),
+                              "n_converted": int(conv.sum())}])
+
+    partials = partitioned_groupby(
+        ds.map_batches(_narrow, batch_format="pyarrow"), [key_col], _part,
+        num_partitions=num_partitions).to_pandas()
+    n_views = int(partials["n_views"].sum())
+    n_conv = int(partials["n_converted"].sum())
+    return pd.DataFrame([{
+        "n_views": np.int64(n_views),
+        "n_converted": np.int64(n_conv),
+        "conversion_rate": (n_conv / n_views) if n_views else np.nan,
+    }])
