@@ -153,6 +153,8 @@ class ImageResizer:
                  decode_backend: str = "stub") -> None:
         if decode_backend not in ("stub", "fake"):
             raise ValueError(f"unknown decode_backend {decode_backend!r}")
+        if target_w <= 0 or target_h <= 0:
+            raise ValueError("target dimensions must be positive")
         self.w, self.h = target_w, target_h
         self.backend = decode_backend
 

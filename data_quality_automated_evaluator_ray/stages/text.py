@@ -150,11 +150,16 @@ class DocumentLangId:
 
 def _whitespace_token_counts(col) -> "tuple[np.ndarray, np.ndarray]":
     """Distinct whitespace tokens + counts for a string column, entirely in
-    Arrow kernels (split → flatten → value_counts; measured 3.3× faster
-    than the pandas split/explode/value_counts path it replaced, identical
-    counts — ''-entries from leading/trailing whitespace are filtered to
-    match ``str.split()`` semantics)."""
-    lst = pc.utf8_split_whitespace(pc.cast(col, pa.string()))
+    Arrow kernels (split → flatten → value_counts), still measurably faster
+    than the pandas split/explode/value_counts path it replaced.
+
+    Splits on the EXACT ASCII class ``[ \\t\\n\\r]+`` (split_pattern_regex)
+    rather than ``utf8_split_whitespace``: the SQL oracles tokenize with
+    ``[^ \\x09\\x0a\\x0d]+``, and the Unicode kernel would silently diverge
+    on form feeds / NBSP / U+000B (measured trade-off: 24.5 ms vs 8.6 ms
+    per 2k-doc batch — correct and still 1.3× faster than pandas' 31 ms)."""
+    lst = pc.split_pattern_regex(pc.cast(col, pa.string()),
+                                 pattern="[ \t\n\r]+")
     flat = pc.list_flatten(lst)
     flat = pc.filter(flat, pc.not_equal(flat, ""))
     vc = flat.value_counts()
@@ -394,7 +399,7 @@ def token_diversity(batch: pa.Table, text_col: str = "text",
 
 
 def top_bigrams_pmi(ds: "ray.data.Dataset", *, text_col: str = "text",
-                    id_col: str = "doc_id", k: int = 20, min_count: int = 5,
+                    k: int = 20, min_count: int = 5,
                     num_partitions: int = 32,
                     tie_round: "int | None" = None) -> pd.DataFrame:
     """Top-k collocations by pointwise mutual information:
@@ -445,25 +450,29 @@ def top_bigrams_pmi(ds: "ray.data.Dataset", *, text_col: str = "text",
         return part.groupby(["kind", "w1", "w2"], sort=False)["n"] \
             .sum().reset_index()
 
+    # materialize ONCE: four downstream consumers (two scalar sums, the
+    # candidate threshold, the candidate-unigram lookup) would otherwise
+    # each re-execute the corpus pass — text_col only, the id column is
+    # never needed (positions come from within-batch row order)
     summed = partitioned_groupby(
-        ds.select_columns([id_col, text_col])
+        ds.select_columns([text_col])
         .map_batches(_partials, batch_format="pyarrow"),
-        ["kind", "w1", "w2"], _sum, num_partitions=num_partitions)
+        ["kind", "w1", "w2"], _sum,
+        num_partitions=num_partitions).materialize()
 
     n_tok = summed.filter(expr="kind == 0").aggregate(Sum("n"))["sum(n)"]
     n_pair = summed.filter(expr="kind == 1").aggregate(Sum("n"))["sum(n)"]
     cand = summed.filter(expr=f"kind == 1 and n >= {int(min_count)}") \
         .to_pandas()  # bounded by min_count — the only driver collection
-    words = ray.put(set(cand["w1"]) | set(cand["w2"]))
+    if cand.empty:
+        return pd.DataFrame(columns=["w1", "w2", "n_pair", "pmi"])
 
-    def _cand_uni(b: pa.Table) -> pa.Table:
-        ws = pa.array(sorted(ray.get(words)), pa.string())
-        mask = pc.and_(pc.equal(b.column("kind"), 0),
-                       pc.is_in(b.column("w1"), value_set=ws))
-        return b.filter(mask).select(["w1", "n"])
+    from .joins import broadcast_semi_join
 
-    uni = summed.map_batches(_cand_uni, batch_format="pyarrow").to_pandas() \
-        .set_index("w1")["n"]
+    uni = broadcast_semi_join(
+        summed.filter(expr="kind == 0"),
+        set(cand["w1"]) | set(cand["w2"]), on="w1") \
+        .select_columns(["w1", "n"]).to_pandas().set_index("w1")["n"]
     c12 = cand["n"].to_numpy(np.float64)
     c1 = uni.reindex(cand["w1"]).to_numpy(np.float64)
     c2 = uni.reindex(cand["w2"]).to_numpy(np.float64)
@@ -533,6 +542,9 @@ def vocab_coverage(ds: "ray.data.Dataset", *, text_col: str = "text",
 
     nv = hist["n_value"].to_numpy(np.int64)
     tc = hist["tok_count"].to_numpy(np.int64)
+    if not len(nv):  # empty / all-null corpus: no tokens, coverage undefined
+        return pd.DataFrame({"target": [float(t) for t in targets],
+                             "k_tokens": np.nan, "coverage": np.nan})
     mass = nv * tc
     cum_mass = np.concatenate([[0], np.cumsum(mass)])
     cum_toks = np.concatenate([[0], np.cumsum(tc)])
