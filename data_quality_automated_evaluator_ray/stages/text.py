@@ -540,8 +540,17 @@ def vocab_coverage(ds: "ray.data.Dataset", *, text_col: str = "text",
         .groupby("n_value")["tok_count"].sum().reset_index() \
         .sort_values("n_value", ascending=False).reset_index(drop=True)
 
-    nv = hist["n_value"].to_numpy(np.int64)
-    tc = hist["tok_count"].to_numpy(np.int64)
+    return solve_coverage(hist["n_value"].to_numpy(np.int64),
+                          hist["tok_count"].to_numpy(np.int64), targets)
+
+
+def solve_coverage(nv: np.ndarray, tc: np.ndarray,
+                   targets: tuple) -> pd.DataFrame:
+    """Closed-form boundary solve over the (count_value desc, token_count)
+    histogram: for each target, the smallest k along the (count desc,
+    token asc) order whose cumulative mass ≥ target·total, using the SAME
+    float comparison an ANSI window cumsum makes (property-tested against
+    a brute-force row expansion in tests/test_property.py)."""
     if not len(nv):  # empty / all-null corpus: no tokens, coverage undefined
         return pd.DataFrame({"target": [float(t) for t in targets],
                              "k_tokens": np.nan, "coverage": np.nan})

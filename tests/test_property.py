@@ -118,3 +118,35 @@ def test_scrub_sql_expr_matches_re_oracle(patterns, texts):
     got = [r[0] for r in duckdb.sql(
         f"select {_scrub_sql_expr('text', patterns)} from tbl").fetchall()]
     assert got == want, patterns
+
+
+def test_solve_coverage_matches_bruteforce_expansion():
+    """The closed-form histogram boundary solve must equal the brute-force
+    'expand every token, cumsum, first index >= target*total' answer for
+    arbitrary count histograms — including ties, single-group, and
+    boundary-exact thresholds."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from data_quality_automated_evaluator_ray.stages.text import solve_coverage
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.tuples(st.integers(1, 50), st.integers(1, 8)),
+                    min_size=1, max_size=12, unique_by=lambda p: p[0]),
+           st.floats(0.01, 1.0))
+    def _check(pairs, target):
+        pairs = sorted(pairs, reverse=True)  # count_value desc
+        nv = np.array([p[0] for p in pairs], dtype=np.int64)
+        tc = np.array([p[1] for p in pairs], dtype=np.int64)
+        got = solve_coverage(nv, tc, (target,)).iloc[0]
+
+        expanded = np.repeat(nv, tc)  # per-token counts in rank order
+        cum = np.cumsum(expanded)
+        total = float(cum[-1])
+        thresh = target * total
+        k = int(np.argmax(cum.astype(np.float64) >= thresh)) + 1
+        assert int(got["k_tokens"]) == k
+        assert got["coverage"] == float(cum[k - 1]) / total
+
+    _check()

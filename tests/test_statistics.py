@@ -319,3 +319,33 @@ def test_multimodal_frame_sampler_and_resizer_stubs_and_fake(ray_session):
     d = resized.to_pydict()
     assert d["payload"] == [b"abcd", b"xy  "]  # truncate vs pad to 4
     assert d["width"] == [2, 2] and d["height"] == [2, 2]
+
+
+def test_funnel_conversion_matches_bruteforce(ray_session):
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.windows import funnel_conversion
+
+    rng = np.random.RandomState(11)
+    n = 400
+    df = pd.DataFrame({
+        "user_id": rng.randint(0, 25, n),
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.randint(0, 86_400, n), unit="s"),
+        "event_type": rng.choice(["view", "purchase", "click"], n,
+                                 p=[0.5, 0.2, 0.3]),
+    })
+    out = funnel_conversion(ray.data.from_pandas(df).repartition(7),
+                            key_col="user_id", ts_col="ts",
+                            event_col="event_type", from_event="view",
+                            to_event="purchase", within_minutes=45)
+
+    w = pd.Timedelta(minutes=45)
+    views = df[df["event_type"] == "view"]
+    buys = df[df["event_type"] == "purchase"]
+    conv = sum(
+        ((buys["user_id"] == r.user_id) & (buys["ts"] > r.ts)
+         & (buys["ts"] <= r.ts + w)).any()
+        for r in views.itertuples())
+    assert int(out.loc[0, "n_views"]) == len(views)
+    assert int(out.loc[0, "n_converted"]) == conv
