@@ -276,7 +276,12 @@ def main(argv: list[str] | None = None) -> int:
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+        # no explicit address: RAY_ADDRESS decides (ray job submit / cluster
+        # runtimes set it to the cluster; standalone boxes default to local).
+        # Hard-coding address="local" would start a PRIVATE one-node Ray
+        # inside a cluster job instead of joining the cluster.
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
+                 include_dashboard=False, logging_level="ERROR")
     try:
         cfg = load_config(argv[0])
         summary = run_config(cfg)
