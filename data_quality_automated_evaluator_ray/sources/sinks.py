@@ -36,12 +36,15 @@ def write_output(ds: "ray.data.Dataset", spec: dict[str, Any]) -> str:
         if spec.get("compression"):
             kwargs["compression"] = spec["compression"]
         ds.write_parquet(out_dir, **kwargs)
-    elif fmt == "csv":
+    else:
+        # fail fast on knobs these sinks cannot honor — silently writing
+        # uncompressed/unpartitioned output is worse than an error
         if spec.get("partition_by"):
             raise ValueError("partition_by is parquet-only")
-        ds.write_csv(out_dir)
-    else:  # jsonl — Ray's JSON datasink emits one JSON object per line
-        if spec.get("partition_by"):
-            raise ValueError("partition_by is parquet-only")
-        ds.write_json(out_dir)
+        if spec.get("compression"):
+            raise ValueError("compression is parquet-only")
+        if fmt == "csv":
+            ds.write_csv(out_dir)
+        else:  # jsonl — Ray's JSON datasink emits one JSON object per line
+            ds.write_json(out_dir)
     return out_dir

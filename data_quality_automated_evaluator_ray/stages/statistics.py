@@ -120,6 +120,11 @@ def histogram(ds: "ray.data.Dataset", col: str, bins: int = 20,
     narrow = ds.select_columns([col])
     if lo is None or hi is None:
         mm = narrow.aggregate(Min(col), Max(col))
+        if mm is None or mm.get(f"min({col})") is None:
+            # empty / all-null column: a well-formed all-zero report
+            return pd.DataFrame({"bin": np.arange(bins, dtype=np.int64),
+                                 "lo_edge": np.nan, "hi_edge": np.nan,
+                                 "n": np.int64(0)})
         lo = float(mm[f"min({col})"]) if lo is None else lo
         hi = float(mm[f"max({col})"]) if hi is None else hi
     width = (hi - lo) / bins
@@ -158,9 +163,18 @@ def rollup_aggregate(ds: "ray.data.Dataset", keys: list[str], value_col: str,
     ``total_label``. avg is derived as sum / count at the end (exact int64
     sums for integer columns) so every level's average is computed from the
     level's own totals — never an avg of avgs.
+
+    Key values are rendered as STRINGS in the report (numeric keys cast;
+    null keys become ``"NULL"``) so rollup slots, data nulls, and real
+    values stay distinguishable and sortable — matching an oracle written
+    as ``case when grouping(k)=1 then 'ALL' else coalesce(k::varchar,
+    'NULL') end``.
     """
     def _partials(b: pa.Table) -> pd.DataFrame:
         df = b.select(keys + [value_col]).to_pandas()
+        for k in keys:  # nulls are real groups (ANSI GROUP BY keeps them)
+            df[k] = df[k].astype(object).where(df[k].notna(), "NULL") \
+                .astype(str)
         g = df.groupby(keys, sort=False)[value_col]
         out = g.agg(n="size", s="sum").reset_index()
         out["n"] = out["n"].astype(np.int64)
@@ -218,7 +232,8 @@ def grouped_percentiles(ds: "ray.data.Dataset", col: str, by: list[str],
     def _pct(part: pd.DataFrame) -> pd.DataFrame:
         part = part.dropna(subset=[col])
         rows = []
-        for key, g in part.groupby(by, sort=False):
+        # dropna=False: a null key is its own group, as in ANSI GROUP BY
+        for key, g in part.groupby(by, sort=False, dropna=False):
             v = g[col].to_numpy(dtype=np.float64)
             key = key if isinstance(key, tuple) else (key,)
             rows.append(dict(zip(by, key),

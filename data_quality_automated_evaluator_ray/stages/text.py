@@ -257,7 +257,8 @@ def heavy_hitter_tokens(ds: "ray.data.Dataset", *, text_col: str = "text",
 
 def tfidf_top_terms(ds: "ray.data.Dataset", *, text_col: str = "text",
                     id_col: str = "doc_id", k: int = 3,
-                    num_partitions: int = 64) -> "ray.data.Dataset":
+                    num_partitions: int = 64,
+                    tie_round: "int | None" = None) -> "ray.data.Dataset":
     """Top-k TF-IDF terms per document: ``tfidf = tf * ln(N / df)`` with
     ties broken by term. Classic corpus statistics a training-data pipeline
     uses for keyword extraction and topic balance audits.
@@ -294,6 +295,15 @@ def tfidf_top_terms(ds: "ray.data.Dataset", *, text_col: str = "text",
                                  num_partitions=num_partitions)
 
     def _topk(part: pd.DataFrame) -> pd.DataFrame:
+        if tie_round is not None:
+            # rank on the ROUNDED score so top-k selection matches an
+            # oracle ordering by round(tfidf, r) — numpy log and SQL ln
+            # can differ by an ulp, flipping raw-score ranks at ties
+            from ..functions.parity import round_half_away
+
+            part = part.copy()
+            part["tfidf"] = round_half_away(part["tfidf"].to_numpy(),
+                                            tie_round)
         part = part.sort_values([id_col, "tfidf", "term"],
                                 ascending=[True, False, True], kind="stable")
         return part.groupby(id_col, sort=False).head(k)

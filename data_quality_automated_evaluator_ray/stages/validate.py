@@ -87,7 +87,11 @@ def validate(ds: "ray.data.Dataset",
 
         part = ds.select_columns(cols) \
             .map_batches(_partials, batch_format="pyarrow").to_pandas()
-        tot = part.groupby("idx")[["n", "viol"]].sum()
+        if part.empty:  # zero-row table: every check trivially passes
+            tot = pd.DataFrame({"n": 0, "viol": 0},
+                               index=range(len(narrow_exps)))
+        else:
+            tot = part.groupby("idx")[["n", "viol"]].sum()
         for i, e in enumerate(narrow_exps):
             rows.append({"expectation": e["kind"], "col": e["col"],
                          "n_rows": int(tot.loc[i, "n"]),

@@ -166,14 +166,32 @@ def keyed_lag_features(
         if len(ts) > 1:
             gap[1:] = np.where(keys[1:] == keys[:-1],
                                (ts[1:] - ts[:-1]).astype(np.float64), np.nan)
-        mov = part.groupby(key_col, sort=False)[value_col] \
-            .rolling(window_rows, min_periods=1).mean() \
-            .reset_index(level=0, drop=True).sort_index()
+        # exact trailing mean via explicit shifted adds in frame order
+        # (oldest value first) — pandas rolling().mean() keeps a RUNNING
+        # add/subtract accumulator whose drift over a long history can
+        # differ from the per-frame sum an ANSI windowed AVG computes
+        v = part[value_col].to_numpy(dtype=np.float64)
+        n = len(v)
+        tot = np.zeros(n, dtype=np.float64)
+        cnt = np.zeros(n, dtype=np.int64)
+        for off in range(window_rows - 1, -1, -1):  # oldest → newest
+            if off >= n:
+                continue
+            avail = np.ones(n, dtype=bool)
+            avail[:off] = False
+            if off > 0:
+                # the row `off` back must hold the same key — contiguity of
+                # the (key, ts) sort makes this one comparison sufficient
+                avail[off:] &= keys[off:] == keys[:-off]
+            sh = np.zeros(n, dtype=np.float64)
+            sh[off:] = v[:n - off]
+            tot = np.where(avail, tot + sh, tot)
+            cnt += avail
         return pd.DataFrame({
             order_col: part[order_col],
             key_col: part[key_col],
             "gap_us": pd.array(gap, dtype="Int64"),
-            "moving_avg": mov.to_numpy(dtype=np.float64),
+            "moving_avg": tot / cnt,
         })
 
     cols = [key_col, ts_col, order_col, value_col]

@@ -349,3 +349,58 @@ def test_funnel_conversion_matches_bruteforce(ray_session):
         for r in views.itertuples())
     assert int(out.loc[0, "n_views"]) == len(views)
     assert int(out.loc[0, "n_converted"]) == conv
+
+
+def test_rollup_numeric_and_null_keys(ray_session):
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.statistics import rollup_aggregate
+
+    df = pd.DataFrame({"y": [2024, 2024, 2025], "m": ["a", None, "a"],
+                       "v": [1, 2, 4]})
+    out = rollup_aggregate(ray.data.from_pandas(df), ["y", "m"], "v")
+    # numeric keys render as strings; null keys as 'NULL'; totals as 'ALL'
+    total = out[(out["y"] == "ALL") & (out["m"] == "ALL")]
+    assert total["n_rows"].iloc[0] == 3  # null-key row NOT dropped
+    nullrow = out[(out["y"] == "2024") & (out["m"] == "NULL")]
+    assert nullrow["sum_value"].iloc[0] == 2
+
+
+def test_histogram_all_null_column(ray_session):
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.statistics import histogram
+
+    ds = ray.data.from_pandas(pd.DataFrame({"v": [None, None]},
+                                           dtype="float64"))
+    out = histogram(ds, "v", bins=3)
+    assert out["n"].tolist() == [0, 0, 0]
+
+
+def test_validate_empty_table(ray_session):
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.validate import validate
+
+    ds = ray.data.from_pandas(pd.DataFrame({"x": pd.Series(dtype="float64")}))
+    out = validate(ds, [{"kind": "not_null", "col": "x"},
+                        {"kind": "range", "col": "x", "lo": 0}])
+    assert out["n_rows"].tolist() == [0, 0]
+    assert out["pass"].all()
+
+
+def test_percentiles_null_key_group(ray_session):
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.statistics import (
+        grouped_percentiles,
+    )
+
+    df = pd.DataFrame({"g": ["a", "a", None, None],
+                       "v": [1.0, 3.0, 10.0, 20.0]})
+    out = grouped_percentiles(ray.data.from_pandas(df), "v", by=["g"],
+                              ps=(0.5,))
+    # the null key forms its OWN group (ANSI GROUP BY semantics)
+    assert len(out) == 2
+    null_g = out[out["g"].isna()]
+    assert len(null_g) == 1 and null_g["p50"].iloc[0] == 15.0
