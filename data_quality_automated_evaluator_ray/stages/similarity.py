@@ -470,3 +470,63 @@ def embedding_neardup_pairs(ds: "ray.data.Dataset", threshold: float = 0.9,
     from ray.data.aggregate import Mean
     return pairs.groupby(["id_a", "id_b"]).aggregate(
         Mean("cosine", alias_name="cosine"))
+
+
+def standardize_embeddings(ds: "ray.data.Dataset", *,
+                           id_col: str = "vec_id",
+                           emb_col: str = "embedding",
+                           out_col: str = "z_emb") -> "ray.data.Dataset":
+    """Per-DIMENSION z-scoring of an embedding column — the feature-scaling
+    pass run before clustering / ANN so no dimension dominates the metric.
+
+    Pass 1 (narrow): each batch reduces its (B × d) matrix to d rows of
+    (dim, n, mean, M2) — exact within-batch moments — and the tiny
+    d × blocks partial table merges on the driver with the same pairwise
+    closed form as ``statistics.grouped_corr``. Pass 2: the (mean, std)
+    vectors broadcast via ``ray.put`` and every batch transforms with one
+    vectorized expression; zero-variance dimensions map to 0. Raw vectors
+    never shuffle; only d-row partials move.
+    """
+    def _partials(b: pa.Table) -> pd.DataFrame:
+        m = _matrix(b.column(emb_col))
+        if m.size == 0:
+            return pd.DataFrame({"dim": pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64"),
+                                 "mean": pd.Series(dtype="float64"),
+                                 "m2": pd.Series(dtype="float64")})
+        mu = m.mean(axis=0)
+        dev = m - mu
+        return pd.DataFrame({"dim": np.arange(m.shape[1], dtype=np.int64),
+                             "n": np.int64(m.shape[0]),
+                             "mean": mu,
+                             "m2": (dev * dev).sum(axis=0)})
+
+    part = ds.select_columns([emb_col]) \
+        .map_batches(_partials, batch_format="pyarrow").to_pandas()
+    gb = part.groupby("dim", sort=True)
+    gidx = gb.ngroup().to_numpy()
+    G = len(gb)
+    ns = part["n"].to_numpy(np.float64)
+    n_tot = np.bincount(gidx, weights=ns, minlength=G)
+    m = part["mean"].to_numpy(np.float64)
+    mu_tot = np.bincount(gidx, weights=ns * m, minlength=G) / n_tot
+    dev = m - mu_tot[gidx]
+    m2_tot = np.bincount(gidx, weights=part["m2"].to_numpy(np.float64)
+                         + ns * dev * dev, minlength=G)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        sd = np.sqrt(m2_tot / (n_tot - 1))  # ddof=1 == stddev_samp
+    stats_ref = ray.put((mu_tot, sd))
+
+    def _transform(b: pa.Table) -> pa.Table:
+        mu, s = ray.get(stats_ref)
+        mat = _matrix(b.column(emb_col))
+        safe = np.where((s == 0) | ~np.isfinite(s), 1.0, s)
+        z = (mat - mu) / safe
+        z[:, (s == 0) | ~np.isfinite(s)] = 0.0
+        return pa.table({
+            id_col: b.column(id_col),
+            out_col: pa.array(list(z), pa.list_(pa.float64())),
+        })
+
+    return ds.select_columns([id_col, emb_col]) \
+        .map_batches(_transform, batch_format="pyarrow")

@@ -404,3 +404,26 @@ def test_percentiles_null_key_group(ray_session):
     assert len(out) == 2
     null_g = out[out["g"].isna()]
     assert len(null_g) == 1 and null_g["p50"].iloc[0] == 15.0
+
+
+def test_standardize_embeddings_moments_and_invariance(ray_session):
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.similarity import (
+        standardize_embeddings,
+    )
+
+    rng = np.random.RandomState(3)
+    emb = rng.standard_normal((200, 8)) * [1, 2, 3, 4, 5, 6, 7, 0] + 10
+    emb[:, 7] = 42.0  # constant dimension → z must be exactly 0
+    df = pd.DataFrame({"vec_id": np.arange(200),
+                       "embedding": list(emb.astype(np.float64))})
+    one = standardize_embeddings(ray.data.from_pandas(df)).to_pandas()
+    many = standardize_embeddings(
+        ray.data.from_pandas(df).repartition(9)).to_pandas()
+    z1 = np.array(one.sort_values("vec_id")["z_emb"].tolist())
+    z9 = np.array(many.sort_values("vec_id")["z_emb"].tolist())
+    assert np.allclose(z1, z9, atol=1e-10)  # block-count invariant
+    assert np.allclose(z1.mean(axis=0), 0.0, atol=1e-12)
+    assert np.allclose(z1[:, :7].std(axis=0, ddof=1), 1.0, atol=1e-12)
+    assert (z1[:, 7] == 0.0).all()  # zero-variance dimension
