@@ -586,3 +586,60 @@ def solve_coverage(nv: np.ndarray, tc: np.ndarray,
                      "k_tokens": np.int64(before_toks + m),
                      "coverage": float(before_mass + m * n) / total})
     return pd.DataFrame(rows, columns=["target", "k_tokens", "coverage"])
+
+
+def chunk_documents(ds: "ray.data.Dataset", *, text_col: str = "text",
+                    id_col: str = "doc_id", chunk_chars: int = 200,
+                    overlap: int = 50) -> "ray.data.Dataset":
+    """Split every document into overlapping fixed-size character chunks —
+    the RAG / context-window preparation pass. Chunk k covers
+    ``[k·step, k·step + chunk_chars)`` with ``step = chunk_chars − overlap``;
+    a chunk exists iff its start lies inside the document, so a short doc
+    yields exactly one chunk and an empty doc yields none.
+
+    Flat-map shape done VECTORIZED: for each chunk index k the whole
+    batch is sliced at once with ``pc.utf8_slice_codeunits`` (one Arrow
+    kernel call per k, never a Python loop over rows); only rows long
+    enough for chunk k survive that round. Emits (id, chunk_idx,
+    chunk_len, chunk_sha256) — the chunk TEXT never needs to leave the
+    stage when only fingerprints are required downstream.
+    """
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be smaller than chunk_chars")
+    step = chunk_chars - overlap
+
+    def _chunks(b: pa.Table) -> pa.Table:
+        s = pc.cast(b.column(text_col), pa.string())
+        lens = pc.fill_null(pc.utf8_length(s), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        ids_all = b.column(id_col).to_numpy(zero_copy_only=False)
+        out_id, out_k, out_len, out_sha = [], [], [], []
+        k = 0
+        while True:
+            start = k * step
+            alive = lens > start
+            if not alive.any():
+                break
+            sl = pc.utf8_slice_codeunits(s, start=start,
+                                         stop=start + chunk_chars)
+            texts = pc.filter(sl, pa.array(alive)).to_pylist()
+            out_id.append(ids_all[alive])
+            out_k.append(np.full(int(alive.sum()), k, dtype=np.int64))
+            out_len.append(np.minimum(lens[alive] - start, chunk_chars))
+            out_sha.extend(hashlib.sha256(t.encode()).hexdigest()
+                           for t in texts)
+            k += 1
+        if not out_id:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "chunk_idx": pa.array([], pa.int64()),
+                             "chunk_len": pa.array([], pa.int64()),
+                             "chunk_sha256": pa.array([], pa.string())})
+        return pa.table({
+            id_col: pa.array(np.concatenate(out_id)),
+            "chunk_idx": pa.array(np.concatenate(out_k), pa.int64()),
+            "chunk_len": pa.array(np.concatenate(out_len), pa.int64()),
+            "chunk_sha256": pa.array(out_sha, pa.string()),
+        })
+
+    return ds.select_columns([id_col, text_col]) \
+        .map_batches(_chunks, batch_format="pyarrow")
