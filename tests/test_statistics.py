@@ -427,3 +427,33 @@ def test_standardize_embeddings_moments_and_invariance(ray_session):
     assert np.allclose(z1.mean(axis=0), 0.0, atol=1e-12)
     assert np.allclose(z1[:, :7].std(axis=0, ddof=1), 1.0, atol=1e-12)
     assert (z1[:, 7] == 0.0).all()  # zero-variance dimension
+
+
+def test_example_configs_run(ray_session, tmp_path):
+    """Every shipped example config must load and execute (the
+    quality-filter one gets a generated corpus substituted for its
+    placeholder path)."""
+    import glob
+    import json
+
+    from data_quality_automated_evaluator_ray.config import load_config, run_config
+    from data_quality_automated_evaluator_ray.sources.codegen import write_corpus
+
+    examples = sorted(glob.glob(
+        "/root/repo/examples/*.json"))
+    assert len(examples) >= 4
+    for p in examples:
+        cfg = json.loads(open(p).read())
+        name = p.rsplit("/", 1)[-1].replace(".json", "")
+        out = tmp_path / name
+        cfg["output"]["dir"] = str(out)
+        if "code-corpus" in cfg["source"]["path"]:
+            corpus = tmp_path / "corpus"
+            write_corpus(str(corpus), n_rows=400, seed=9, n_files=2)
+            cfg["source"]["path"] = str(corpus)
+            cfg["output"]["partition_size"] = 1
+        cfg_path = tmp_path / f"{name}.json"
+        cfg_path.write_text(json.dumps(cfg))
+        summary = run_config(load_config(str(cfg_path)))
+        assert summary.get("pipeline", "quality_filter") is not None
+        assert out.exists()
