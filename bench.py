@@ -150,7 +150,11 @@ def run_bench() -> dict:
                           "validate_orders",
                           "pmi_bigrams_documents",
                           "vocab_coverage_documents",
-                          "snapshot_diff_documents"]}
+                          "snapshot_diff_documents",
+                          "funnel_view_purchase_events",
+                          "local_supply_revenue",
+                          "standardize_embeddings_znorm",
+                          "chunk_documents_rag"]}
     suite.update(extra)
     for name, fn in suite.items():
         t0 = time.perf_counter()

@@ -597,12 +597,18 @@ def chunk_documents(ds: "ray.data.Dataset", *, text_col: str = "text",
     a chunk exists iff its start lies inside the document, so a short doc
     yields exactly one chunk and an empty doc yields none.
 
-    Flat-map shape done VECTORIZED: for each chunk index k the whole
-    batch is sliced at once with ``pc.utf8_slice_codeunits`` (one Arrow
-    kernel call per k, never a Python loop over rows); only rows long
-    enough for chunk k survive that round. Emits (id, chunk_idx,
-    chunk_len, chunk_sha256) — the chunk TEXT never needs to leave the
-    stage when only fingerprints are required downstream.
+    A chunk with index k > 0 is emitted only if it adds NEW text beyond
+    the previous chunk (``k·step + overlap < L``) — a doc ending inside
+    the overlap region would otherwise produce a final chunk that is a
+    pure suffix of its predecessor (a duplicate retrieval candidate).
+
+    Flat-map shape done VECTORIZED: for each chunk index k the SURVIVING
+    rows are sliced at once with ``pc.utf8_slice_codeunits`` (one Arrow
+    kernel call per k, never a Python loop over rows); exhausted rows are
+    filtered out each round, so per-iteration cost tracks the alive set,
+    not the batch. Emits (id, chunk_idx, chunk_len, chunk_sha256) — the
+    chunk TEXT never needs to leave the stage when only fingerprints are
+    required downstream.
     """
     if overlap >= chunk_chars:
         raise ValueError("overlap must be smaller than chunk_chars")
@@ -610,32 +616,39 @@ def chunk_documents(ds: "ray.data.Dataset", *, text_col: str = "text",
 
     def _chunks(b: pa.Table) -> pa.Table:
         s = pc.cast(b.column(text_col), pa.string())
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
         lens = pc.fill_null(pc.utf8_length(s), 0) \
             .to_numpy(zero_copy_only=False).astype(np.int64)
-        ids_all = b.column(id_col).to_numpy(zero_copy_only=False)
+        ids = b.column(id_col)
+        ids = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
         out_id, out_k, out_len, out_sha = [], [], [], []
         k = 0
-        while True:
+        while len(lens):
             start = k * step
-            alive = lens > start
+            # k>0 must add new content beyond the previous chunk's end
+            alive = lens > (start + overlap if k > 0 else 0)
             if not alive.any():
                 break
-            sl = pc.utf8_slice_codeunits(s, start=start,
-                                         stop=start + chunk_chars)
-            texts = pc.filter(sl, pa.array(alive)).to_pylist()
-            out_id.append(ids_all[alive])
-            out_k.append(np.full(int(alive.sum()), k, dtype=np.int64))
-            out_len.append(np.minimum(lens[alive] - start, chunk_chars))
+            if not alive.all():  # drop exhausted rows for good
+                mask = pa.array(alive)
+                s, ids, lens = pc.filter(s, mask), pc.filter(ids, mask), \
+                    lens[alive]
+            texts = pc.utf8_slice_codeunits(
+                s, start=start, stop=start + chunk_chars).to_pylist()
+            out_id.append(ids)
+            out_k.append(np.full(len(lens), k, dtype=np.int64))
+            out_len.append(np.minimum(lens - start, chunk_chars))
             out_sha.extend(hashlib.sha256(t.encode()).hexdigest()
                            for t in texts)
             k += 1
-        if not out_id:
-            return pa.table({id_col: pa.array([], pa.int64()),
+        if not out_id:  # schema-stable empty block: keep the id's own type
+            return pa.table({id_col: b.column(id_col).slice(0, 0),
                              "chunk_idx": pa.array([], pa.int64()),
                              "chunk_len": pa.array([], pa.int64()),
                              "chunk_sha256": pa.array([], pa.string())})
         return pa.table({
-            id_col: pa.array(np.concatenate(out_id)),
+            id_col: pa.concat_arrays(out_id),
             "chunk_idx": pa.array(np.concatenate(out_k), pa.int64()),
             "chunk_len": pa.array(np.concatenate(out_len), pa.int64()),
             "chunk_sha256": pa.array(out_sha, pa.string()),

@@ -455,5 +455,36 @@ def test_example_configs_run(ray_session, tmp_path):
         cfg_path = tmp_path / f"{name}.json"
         cfg_path.write_text(json.dumps(cfg))
         summary = run_config(load_config(str(cfg_path)))
-        assert summary.get("pipeline", "quality_filter") is not None
+        pipe = cfg.get("pipeline", "quality_filter")
+        if pipe == "dedup":
+            assert summary["rows_out"] > 0
+        elif pipe == "validate":
+            assert isinstance(summary["passed"], bool)
+        elif pipe == "temporal_report":
+            assert summary["intervals"] > 0
+        else:  # quality_filter
+            assert summary["rows_kept"] > 0
         assert out.exists()
+
+
+def test_chunk_documents_semantics(ray_session):
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.text import chunk_documents
+
+    df = pd.DataFrame({"doc_id": ["a", "b", "c", "d"],
+                       "text": ["x" * 160,   # ends inside overlap region
+                                "y" * 400,   # 3 content-adding chunks
+                                "z" * 50,    # single short chunk
+                                ""]})        # empty → no chunks
+    out = chunk_documents(ray.data.from_pandas(df), chunk_chars=200,
+                          overlap=50).to_pandas()
+    per = out.groupby("doc_id")["chunk_idx"].count().to_dict()
+    # 160 chars: chunk 1 (chars 150-160) adds nothing beyond chunk 0 → 1
+    assert per.get("a", 0) == 1
+    # 400 chars: starts 0/150/300 all add new content → 3
+    assert per.get("b", 0) == 3
+    assert per.get("c", 0) == 1
+    assert "d" not in per
+    # string id column must survive the empty-batch path with its own type
+    assert out["doc_id"].dtype == object
