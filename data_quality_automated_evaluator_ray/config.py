@@ -73,6 +73,10 @@ def _run_validate(cfg: dict[str, Any], out_dir: str) -> dict[str, Any]:
     if not exps:
         raise ValueError("validate pipeline requires a non-empty "
                          "'expectations' list")
+    exps = [dict(e) for e in exps]
+    for e in exps:  # foreign_key: resolve the ref table's source spec
+        if e.get("kind") == "foreign_key" and "ref_source" in e:
+            e["ref"] = read_source(e.pop("ref_source"))
     report = validate(read_source(cfg["source"]), exps)
     os.makedirs(out_dir, exist_ok=True)
     report.to_json(os.path.join(out_dir, "validation.json"),

@@ -9,6 +9,8 @@ An expectation suite is a list of dicts:
     {"kind": "accepted_values", "col": "o_orderstatus",
      "values": ["O", "F", "P"]}
     {"kind": "regex",           "col": "text", "pattern": "^[\\x00-\\x7f]*$"}
+    {"kind": "foreign_key",     "col": "o_custkey",
+     "ref": <ray.data.Dataset>, "ref_col": "c_custkey"}
 
 The report has one row per expectation: (expectation, col, n_rows,
 n_violations, pass) — the shape of a dbt-test / Great-Expectations result
@@ -63,6 +65,14 @@ def _violation_mask(b: pa.Table, exp: dict) -> pa.Array:
         ok = pc.match_substring_regex(pc.cast(col, pa.string()),
                                       exp["pattern"])
         return pc.fill_null(pc.invert(ok), False)
+    if kind == "foreign_key":
+        # referential integrity against the broadcast distinct ref-key set
+        # (prepared once in validate()); a null FK never violates — pair
+        # with not_null for non-nullable FKs, as in ANSI NOT EXISTS
+        import ray
+
+        ok = pc.is_in(col, value_set=ray.get(exp["_ref_set"]))
+        return pc.and_(pc.invert(ok), pc.is_valid(col))
     raise ValueError(f"unknown expectation kind: {kind}")
 
 
@@ -70,8 +80,27 @@ def validate(ds: "ray.data.Dataset",
              expectations: list[dict]) -> pd.DataFrame:
     """Evaluate an expectation suite → one report row per expectation:
     (expectation, col, n_rows, n_violations, pass)."""
-    narrow_exps = [e for e in expectations if e["kind"] != "unique"]
-    unique_exps = [e for e in expectations if e["kind"] == "unique"]
+    # copy: foreign_key prep attaches a broadcast ref, and callers' dicts
+    # must not be mutated
+    narrow_exps = [dict(e) for e in expectations if e["kind"] != "unique"]
+    unique_exps = [dict(e) for e in expectations if e["kind"] == "unique"]
+
+    # foreign_key prep: reduce each ref side to its DISTINCT key set once
+    # (per-batch distinct combiner → groupby → driver) and broadcast it via
+    # ray.put; the check itself then rides the shared narrow pass as one
+    # pc.is_in mask. Sized for dimension-table refs; for a giant ref side
+    # use joins.broadcast_semi_join_bloom + an anti count instead.
+    import ray
+
+    for e in narrow_exps:
+        if e["kind"] == "foreign_key":
+            ref, ref_col = e["ref"], e.get("ref_col", e["col"])
+            distinct = ref.select_columns([ref_col]).map_batches(
+                lambda b, c=ref_col: b.drop_null().group_by([c])
+                .aggregate([]), batch_format="pyarrow") \
+                .groupby(ref_col).aggregate(Count(alias_name="_c")) \
+                .to_pandas()
+            e["_ref_set"] = ray.put(pa.array(sorted(distinct[ref_col])))
 
     rows: list[dict] = []
     if narrow_exps:

@@ -488,3 +488,35 @@ def test_chunk_documents_semantics(ray_session):
     assert "d" not in per
     # string id column must survive the empty-batch path with its own type
     assert out["doc_id"].dtype == object
+
+
+def test_validate_foreign_key_nulls_and_config(ray_session, tmp_path):
+    import json
+
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.config import load_config, run_config
+    from data_quality_automated_evaluator_ray.stages.validate import validate
+
+    fact = pd.DataFrame({"fk": [1, 2, 99, None]})
+    dim = pd.DataFrame({"k": [1, 2, 3]})
+    out = validate(ray.data.from_pandas(fact), [
+        {"kind": "foreign_key", "col": "fk",
+         "ref": ray.data.from_pandas(dim), "ref_col": "k"},
+    ])
+    # 99 dangles; the NULL fk does NOT violate (pair with not_null)
+    assert out.loc[0, "n_violations"] == 1
+
+    # config surface: ref_source spec resolves through read_source
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps({
+        "source": {"path": "/root/testdata/sf0.001/orders.parquet"},
+        "pipeline": "validate",
+        "expectations": [{
+            "kind": "foreign_key", "col": "o_custkey",
+            "ref_source": {"path": "/root/testdata/sf0.001/customer.parquet"},
+            "ref_col": "c_custkey"}],
+        "output": {"dir": str(tmp_path / "out")},
+    }))
+    summary = run_config(load_config(str(cfg_path)))
+    assert summary["passed"] is True  # TPC-H orders reference customer fully
