@@ -277,3 +277,64 @@ def psi_report(ds_expected: "ray.data.Dataset", ds_actual: "ray.data.Dataset",
         "p_actual": q,
         "psi_contrib": (p - q) * np.log(p / q),
     })
+
+
+def profile_table(ds: "ray.data.Dataset",
+                  columns: "list[str] | None" = None) -> pd.DataFrame:
+    """Column-level table profile — the "describe table" audit that opens
+    every data-quality report: per column (dtype, n_rows, n_null,
+    null_rate, n_distinct, and min/max for numeric columns).
+
+    One shared streaming pass computes the per-batch partials for EVERY
+    column at once (null counts, numeric min/max, in-batch distinct sets
+    collapsed per batch); distinct counts then ride one narrow shuffle per
+    column over already-deduplicated values. Extends the reference's
+    per-series describe (reference evaluate.py:37-56) to whole-table scope.
+    """
+    import pyarrow as pa
+
+    from ray.data.aggregate import Count
+
+    schema = ds.schema()
+    cols = columns or list(schema.names)
+    types = dict(zip(schema.names, schema.types))
+    numeric = {c for c in cols
+               if pa.types.is_integer(types[c]) or
+               pa.types.is_floating(types[c])}
+
+    def _partials(b: pa.Table) -> pd.DataFrame:
+        rows = []
+        for c in cols:
+            col = b.column(c)
+            r = {"col": c, "n": b.num_rows,
+                 "n_null": col.null_count,
+                 "mn": np.nan, "mx": np.nan}
+            if c in numeric and b.num_rows - col.null_count > 0:
+                r["mn"] = pc.min(col).as_py()
+                r["mx"] = pc.max(col).as_py()
+            rows.append(r)
+        return pd.DataFrame(rows)
+
+    part = ds.map_batches(_partials, batch_format="pyarrow").to_pandas()
+    agg = part.groupby("col").agg(
+        n=("n", "sum"), n_null=("n_null", "sum"),
+        mn=("mn", "min"), mx=("mx", "max"))
+
+    out_rows = []
+    for c in cols:
+        # per-batch distinct combiner → tiny shuffle of deduplicated values
+        n_distinct = ds.select_columns([c]).map_batches(
+            lambda b, cc=c: b.drop_null().group_by([cc]).aggregate([]),
+            batch_format="pyarrow") \
+            .groupby(c).aggregate(Count(alias_name="_c")).count()
+        r = agg.loc[c]
+        out_rows.append({
+            "col": c, "dtype": str(types[c]),
+            "n_rows": int(r["n"]), "n_null": int(r["n_null"]),
+            "null_rate": float(r["n_null"]) / float(r["n"]) if r["n"]
+            else np.nan,
+            "n_distinct": int(n_distinct),
+            "min_value": float(r["mn"]) if c in numeric else np.nan,
+            "max_value": float(r["mx"]) if c in numeric else np.nan,
+        })
+    return pd.DataFrame(out_rows).sort_values("col").reset_index(drop=True)

@@ -197,3 +197,46 @@ def dataset_split(ds: "ray.data.Dataset", *, on: str,
         return batch.append_column(label_col, pa.array(lab, pa.string()))
 
     return ds.map_batches(_fn, batch_format="pyarrow")
+
+
+def impute_nulls(ds: "ray.data.Dataset", *, value_col: str, by: list[str],
+                 out_col: str | None = None) -> "ray.data.Dataset":
+    """Fill null values with their group's mean — the standard numeric
+    imputation step of a cleaning pipeline (ANSI
+    ``coalesce(v, avg(v) over (partition by key))`` semantics; a group
+    with NO observed values keeps its nulls).
+
+    Two-phase stats→broadcast→transform: per-batch combiners reduce each
+    block to one (key, n_nonnull, sum) row, the tiny partial table merges
+    on the driver into per-group means, and the means broadcast via
+    ``ray.put`` into a vectorized fill pass — the corpus streams through
+    once more, never shuffled.
+    """
+    import numpy as np
+
+    import ray
+
+    out_col = out_col or f"{value_col}_imputed"
+
+    def _partials(b: pa.Table) -> pd.DataFrame:
+        df = b.select(by + [value_col]).to_pandas()
+        g = df.groupby(by, sort=False, dropna=False)[value_col]
+        out = g.agg(n="count", s="sum").reset_index()
+        out["n"] = out["n"].astype(np.int64)
+        out["s"] = out["s"].astype(np.float64)
+        return out
+
+    part = ds.map_batches(_partials, batch_format="pyarrow").to_pandas()
+    tot = part.groupby(by, dropna=False)[["n", "s"]].sum()
+    with np.errstate(invalid="ignore", divide="ignore"):
+        means = tot["s"] / tot["n"]  # all-null group → NaN (stays null)
+    means_ref = ray.put(means)
+
+    def _fill(df: pd.DataFrame) -> pd.DataFrame:
+        mu = ray.get(means_ref)
+        key = df[by[0]] if len(by) == 1 else pd.MultiIndex.from_frame(df[by])
+        fill = pd.Series(np.asarray(mu.reindex(key)), index=df.index)
+        df[out_col] = df[value_col].fillna(fill)
+        return df
+
+    return ds.map_batches(_fill, batch_format="pandas")
