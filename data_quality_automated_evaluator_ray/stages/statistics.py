@@ -297,7 +297,17 @@ def profile_table(ds: "ray.data.Dataset",
 
     schema = ds.schema()
     cols = columns or list(schema.names)
-    types = dict(zip(schema.names, schema.types))
+
+    def _pa_type(t):
+        # pandas-block datasets report numpy dtypes; normalize to Arrow
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(t)
+        except (pa.ArrowNotImplementedError, TypeError):
+            return pa.string()  # object dtype and friends
+
+    types = {n: _pa_type(t) for n, t in zip(schema.names, schema.types)}
     numeric = {c for c in cols
                if pa.types.is_integer(types[c]) or
                pa.types.is_floating(types[c])}

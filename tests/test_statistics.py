@@ -520,3 +520,33 @@ def test_validate_foreign_key_nulls_and_config(ray_session, tmp_path):
     }))
     summary = run_config(load_config(str(cfg_path)))
     assert summary["passed"] is True  # TPC-H orders reference customer fully
+
+
+def test_profile_table_nulls_and_types(ray_session):
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.statistics import profile_table
+
+    df = pd.DataFrame({"a": [1, 2, 2, None], "s": ["x", "x", None, None]})
+    out = profile_table(ray.data.from_pandas(df)).set_index("col")
+    assert out.loc["a", "n_null"] == 1
+    assert out.loc["a", "n_distinct"] == 2  # nulls excluded from distinct
+    assert out.loc["a", "min_value"] == 1.0 and out.loc["a", "max_value"] == 2.0
+    assert out.loc["s", "n_distinct"] == 1
+    assert np.isnan(out.loc["s", "min_value"])  # non-numeric → no min/max
+
+
+def test_impute_nulls_group_mean_and_all_null_group(ray_session):
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.transforms import impute_nulls
+
+    df = pd.DataFrame({"g": ["a", "a", "a", "b", "b"],
+                       "v": [1.0, None, 3.0, None, None]})
+    out = impute_nulls(ray.data.from_pandas(df).repartition(3),
+                       value_col="v", by=["g"]).to_pandas() \
+        .sort_values(["g", "v_imputed"], na_position="last") \
+        .reset_index(drop=True)
+    a_vals = out[out["g"] == "a"]["v_imputed"].tolist()
+    assert sorted(a_vals) == [1.0, 2.0, 3.0]  # null filled with mean 2.0
+    assert out[out["g"] == "b"]["v_imputed"].isna().all()  # all-null stays
