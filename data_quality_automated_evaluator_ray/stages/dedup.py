@@ -543,3 +543,84 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", *, text_col: str = "text",
                          "jaccard": pa.array(jac[keep], pa.float64())})
 
     return inter.map_batches(_score, batch_format="pyarrow")
+
+
+def fuzzy_link(left: "ray.data.Dataset", right: "ray.data.Dataset", *,
+               text_col: str = "text", left_id: str = "doc_id",
+               right_id: str = "doc_id", k: int = 3,
+               threshold: float = 0.5,
+               num_partitions: int = 16) -> "ray.data.Dataset":
+    """CROSS-TABLE fuzzy join (record linkage / entity resolution): pairs
+    (left_id, right_id, jaccard) whose token-k-gram Jaccard ≥ threshold —
+    matching new records against a reference corpus when no exact key
+    exists.
+
+    Same shingle-explode machinery as :func:`ngram_jaccard_pairs`, but the
+    two tables union with a side tag and per-shingle buckets emit only
+    CROSS-SIDE pairs (a pandas left×right merge per coarse partition —
+    within-side pairs are never generated, so the candidate blowup is
+    |L∩R-shingle| not |L∪R|²). Intersection counts and broadcast per-row
+    shingle sizes give the exact score, as in the within-table variant.
+    """
+    def _sh(side: int, id_col: str):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col).to_pylist()
+            texts = batch.column(text_col).to_pylist()
+            oid, osh = [], []
+            for i, t in zip(ids, texts):
+                if t is None:
+                    continue
+                for s in set(_token_shingles(t, k)):
+                    oid.append(i)
+                    osh.append(hashlib.md5(s.encode()).hexdigest()[:16])
+            n = len(oid)
+            return pa.table({"side": pa.array([side] * n, pa.int8()),
+                             "rid": pa.array(oid, pa.int64()),
+                             "shingle": pa.array(osh, pa.string())})
+        return f
+
+    exploded = left.select_columns([left_id, text_col])  \
+        .map_batches(_sh(0, left_id), batch_format="pyarrow") \
+        .union(right.select_columns([right_id, text_col])
+               .map_batches(_sh(1, right_id), batch_format="pyarrow")) \
+        .materialize()
+
+    sizes_df = exploded.groupby(["side", "rid"]).count().to_pandas()
+    size_col = [c for c in sizes_df.columns if c not in ("side", "rid")][0]
+    sz = {(int(s), int(r)): int(c)
+          for s, r, c in zip(sizes_df["side"], sizes_df["rid"],
+                             sizes_df[size_col])}
+    sizes_ref = ray.put(sz)
+
+    def _cross_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        l = part[part["side"] == 0][["shingle", "rid"]]
+        r = part[part["side"] == 1][["shingle", "rid"]]
+        m = l.merge(r, on="shingle", suffixes=("_l", "_r"))
+        return pd.DataFrame({
+            "id_l": m["rid_l"].to_numpy(dtype=np.int64),
+            "id_r": m["rid_r"].to_numpy(dtype=np.int64)})
+
+    pairs = _apply_per_bucket(exploded, ["shingle"], _cross_pairs,
+                              num_partitions=num_partitions)
+    inter = _apply_per_bucket(
+        pairs, ["id_l", "id_r"],
+        lambda part: part.groupby(["id_l", "id_r"], as_index=False,
+                                  sort=False).size()
+        .rename(columns={"size": "n_shared"}),
+        num_partitions=num_partitions)
+
+    def _score(batch: pa.Table) -> pa.Table:
+        sizes = ray.get(sizes_ref)
+        il = batch.column("id_l").to_numpy(zero_copy_only=False)
+        ir = batch.column("id_r").to_numpy(zero_copy_only=False)
+        i = batch.column("n_shared").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        sa = np.array([sizes[(0, int(x))] for x in il], dtype=np.float64)
+        sb = np.array([sizes[(1, int(x))] for x in ir], dtype=np.float64)
+        jac = i / (sa + sb - i)
+        keep = jac >= threshold
+        return pa.table({"id_l": pa.array(il[keep], pa.int64()),
+                         "id_r": pa.array(ir[keep], pa.int64()),
+                         "jaccard": pa.array(jac[keep], pa.float64())})
+
+    return inter.map_batches(_score, batch_format="pyarrow")

@@ -550,3 +550,25 @@ def test_impute_nulls_group_mean_and_all_null_group(ray_session):
     a_vals = out[out["g"] == "a"]["v_imputed"].tolist()
     assert sorted(a_vals) == [1.0, 2.0, 3.0]  # null filled with mean 2.0
     assert out[out["g"] == "b"]["v_imputed"].isna().all()  # all-null stays
+
+
+def test_fuzzy_link_cross_side_only(ray_session):
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.dedup import fuzzy_link
+
+    left = pd.DataFrame({"doc_id": [1, 2],
+                         "text": ["alpha beta gamma delta epsilon",
+                                  "one two three four five six"]})
+    # right 10 ≈ left 1; right 11 ≈ left 2; right 12 unrelated; left 1 and
+    # 2 are mutually dissimilar so no spurious pairs can appear
+    right = pd.DataFrame({"doc_id": [10, 11, 12],
+                          "text": ["alpha beta gamma delta epsilon zeta",
+                                   "one two three four five seven",
+                                   "totally different words here now"]})
+    out = fuzzy_link(ray.data.from_pandas(left), ray.data.from_pandas(right),
+                     threshold=0.3).to_pandas().sort_values("id_l")
+    got = set(zip(out["id_l"], out["id_r"]))
+    assert (1, 10) in got and (2, 11) in got
+    assert all(r in (10, 11, 12) for _, r in got)  # never left-left pairs
+    assert (1, 12) not in got and (2, 12) not in got
