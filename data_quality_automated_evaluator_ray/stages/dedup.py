@@ -121,6 +121,25 @@ def _token_shingles(text: str, k: int) -> list[str]:
     return [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
 
 
+def _exploded_shingle_rows(batch: pa.Table, id_col: str, text_col: str,
+                           k: int) -> tuple[list, list]:
+    """Shared shingle-explode core for the within-table
+    (:func:`ngram_jaccard_pairs`) and cross-table (:func:`fuzzy_link`)
+    variants: per row, the DISTINCT token-k-gram set hashed to md5[:16].
+    One definition so the shingle convention (including the <k-token
+    whole-text shingle in ``_token_shingles``) can never diverge."""
+    ids = batch.column(id_col).to_pylist()
+    texts = batch.column(text_col).to_pylist()
+    oid, osh = [], []
+    for i, t in zip(ids, texts):
+        if t is None:
+            continue
+        for s in set(_token_shingles(t, k)):
+            oid.append(i)
+            osh.append(hashlib.md5(s.encode()).hexdigest()[:16])
+    return oid, osh
+
+
 def _merge_pairs_fn(key_cols: list[str], id_col: str = "doc_id"):
     """Vectorized pair emission over ALL buckets of a partition at once: a
     pandas self-merge on the bucket key (a C-level hash join) replaces any
@@ -493,15 +512,7 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", *, text_col: str = "text",
     sizes give exact |A∩B| / |A∪B|.
     """
     def _shingles(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
-        texts = batch.column(text_col).to_pylist()
-        oid, osh = [], []
-        for i, t in zip(ids, texts):
-            if t is None:
-                continue
-            for s in set(_token_shingles(t, k)):
-                oid.append(i)
-                osh.append(hashlib.md5(s.encode()).hexdigest()[:16])
+        oid, osh = _exploded_shingle_rows(batch, id_col, text_col, k)
         return pa.table({"doc_id": pa.array(oid, pa.int64()),
                          "shingle": pa.array(osh, pa.string())})
 
@@ -564,15 +575,7 @@ def fuzzy_link(left: "ray.data.Dataset", right: "ray.data.Dataset", *,
     """
     def _sh(side: int, id_col: str):
         def f(batch: pa.Table) -> pa.Table:
-            ids = batch.column(id_col).to_pylist()
-            texts = batch.column(text_col).to_pylist()
-            oid, osh = [], []
-            for i, t in zip(ids, texts):
-                if t is None:
-                    continue
-                for s in set(_token_shingles(t, k)):
-                    oid.append(i)
-                    osh.append(hashlib.md5(s.encode()).hexdigest()[:16])
+            oid, osh = _exploded_shingle_rows(batch, id_col, text_col, k)
             n = len(oid)
             return pa.table({"side": pa.array([side] * n, pa.int8()),
                              "rid": pa.array(oid, pa.int64()),
@@ -584,6 +587,12 @@ def fuzzy_link(left: "ray.data.Dataset", right: "ray.data.Dataset", *,
         .union(right.select_columns([right_id, text_col])
                .map_batches(_sh(1, right_id), batch_format="pyarrow")) \
         .materialize()
+
+    empty = pa.table({"id_l": pa.array([], pa.int64()),
+                      "id_r": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
+    if exploded.count() == 0:  # both sides empty / all null / too short
+        return ray.data.from_arrow(empty)
 
     sizes_df = exploded.groupby(["side", "rid"]).count().to_pandas()
     size_col = [c for c in sizes_df.columns if c not in ("side", "rid")][0]

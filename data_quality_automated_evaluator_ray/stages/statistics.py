@@ -285,15 +285,18 @@ def profile_table(ds: "ray.data.Dataset",
     every data-quality report: per column (dtype, n_rows, n_null,
     null_rate, n_distinct, and min/max for numeric columns).
 
-    One shared streaming pass computes the per-batch partials for EVERY
-    column at once (null counts, numeric min/max, in-batch distinct sets
-    collapsed per batch); distinct counts then ride one narrow shuffle per
-    column over already-deduplicated values. Extends the reference's
-    per-series describe (reference evaluate.py:37-56) to whole-table scope.
+    TWO streaming passes total, regardless of column count: one shared
+    stats pass (null counts, numeric min/max for every column at once) and
+    one fused distinct pass — each batch emits its in-batch-distinct
+    (col, stringified value) pairs for ALL columns into a single narrow
+    stream, ONE coarse shuffle dedups them (C-level per-partition
+    drop_duplicates, never a Ray group per value), and a tiny per-column
+    count comes back. Values are compared via Arrow's round-trip-safe
+    string casts; nested (list/struct) columns report ``n_distinct = -1``
+    (not countable). Extends the reference's per-series describe
+    (reference evaluate.py:37-56) to whole-table scope.
     """
     import pyarrow as pa
-
-    from ray.data.aggregate import Count
 
     schema = ds.schema()
     cols = columns or list(schema.names)
@@ -326,24 +329,67 @@ def profile_table(ds: "ray.data.Dataset",
         return pd.DataFrame(rows)
 
     part = ds.map_batches(_partials, batch_format="pyarrow").to_pandas()
+    countable = [c for c in cols if not pa.types.is_nested(types[c])]
+
+    _NESTED = "\x01__nested__"
+
+    def _distinct_pairs(b: pa.Table) -> pd.DataFrame:
+        frames = []
+        for c in countable:
+            col = b.column(c)
+            # the declared schema can under-report nesting (pandas blocks
+            # surface list columns as object dtype) — check the REAL batch
+            # type and emit a marker so the driver reports -1
+            if pa.types.is_nested(col.type):
+                frames.append(pd.DataFrame({"col": [c], "v": [_NESTED]}))
+                continue
+            u = pc.unique(pc.cast(col.drop_null(), pa.string())).to_pandas()
+            frames.append(pd.DataFrame({"col": c, "v": u}))
+        return pd.concat(frames, ignore_index=True) if frames \
+            else pd.DataFrame({"col": pd.Series(dtype=object),
+                               "v": pd.Series(dtype=object)})
+
+    def _dedup_count(p: pd.DataFrame) -> pd.DataFrame:
+        d = p.drop_duplicates(["col", "v"])
+        d = d.assign(_nested=d["v"] == _NESTED)
+        return d.groupby("col", as_index=False).agg(
+            size=("v", "size"), nested=("_nested", "any"))
+
+    n_distinct: dict[str, int] = {c: -1 for c in cols}
+    if countable:
+        from .partitioning import partitioned_groupby
+
+        deduped = partitioned_groupby(
+            ds.map_batches(_distinct_pairs, batch_format="pyarrow"),
+            ["col", "v"], _dedup_count).to_pandas()
+        for c in countable:
+            n_distinct[c] = 0  # no non-null values anywhere
+        if not deduped.empty:
+            agg2 = deduped.groupby("col").agg(size=("size", "sum"),
+                                              nested=("nested", "any"))
+            for c, r in agg2.iterrows():
+                n_distinct[c] = -1 if r["nested"] else int(r["size"])
+
+    if part.empty:  # zero-row table: a well-formed all-zero profile
+        return pd.DataFrame([{
+            "col": c, "dtype": str(types[c]), "n_rows": 0, "n_null": 0,
+            "null_rate": np.nan, "n_distinct": 0 if c in countable else -1,
+            "min_value": np.nan, "max_value": np.nan} for c in cols]) \
+            .sort_values("col").reset_index(drop=True)
+
     agg = part.groupby("col").agg(
         n=("n", "sum"), n_null=("n_null", "sum"),
         mn=("mn", "min"), mx=("mx", "max"))
 
     out_rows = []
     for c in cols:
-        # per-batch distinct combiner → tiny shuffle of deduplicated values
-        n_distinct = ds.select_columns([c]).map_batches(
-            lambda b, cc=c: b.drop_null().group_by([cc]).aggregate([]),
-            batch_format="pyarrow") \
-            .groupby(c).aggregate(Count(alias_name="_c")).count()
         r = agg.loc[c]
         out_rows.append({
             "col": c, "dtype": str(types[c]),
             "n_rows": int(r["n"]), "n_null": int(r["n_null"]),
             "null_rate": float(r["n_null"]) / float(r["n"]) if r["n"]
             else np.nan,
-            "n_distinct": int(n_distinct),
+            "n_distinct": n_distinct[c],
             "min_value": float(r["mn"]) if c in numeric else np.nan,
             "max_value": float(r["mx"]) if c in numeric else np.nan,
         })

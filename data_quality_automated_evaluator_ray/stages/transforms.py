@@ -227,16 +227,27 @@ def impute_nulls(ds: "ray.data.Dataset", *, value_col: str, by: list[str],
         return out
 
     part = ds.map_batches(_partials, batch_format="pyarrow").to_pandas()
-    tot = part.groupby(by, dropna=False)[["n", "s"]].sum()
+    tot = part.groupby(by, dropna=False)[["n", "s"]].sum().reset_index()
     with np.errstate(invalid="ignore", divide="ignore"):
-        means = tot["s"] / tot["n"]  # all-null group → NaN (stays null)
-    means_ref = ray.put(means)
+        tot["_mu"] = tot["s"] / tot["n"]  # all-null group → NaN (stays null)
+    means_ref = ray.put(tot[by + ["_mu"]])
+
+    _NULL = "\x00__null_key__"
+
+    def _norm_keys(df: pd.DataFrame) -> pd.DataFrame:
+        # a NULL group key is a real group (reindex/merge on NaN labels
+        # silently drops them, so normalize to a sentinel on both sides)
+        for c in by:
+            df[c] = df[c].astype(object).where(df[c].notna(), _NULL)
+        return df
 
     def _fill(df: pd.DataFrame) -> pd.DataFrame:
-        mu = ray.get(means_ref)
-        key = df[by[0]] if len(by) == 1 else pd.MultiIndex.from_frame(df[by])
-        fill = pd.Series(np.asarray(mu.reindex(key)), index=df.index)
-        df[out_col] = df[value_col].fillna(fill)
+        mu = _norm_keys(ray.get(means_ref).copy())
+        keys = _norm_keys(df[by].copy())
+        fill = keys.merge(mu, on=by, how="left", sort=False)["_mu"] \
+            .to_numpy(dtype=np.float64)
+        df[out_col] = df[value_col].fillna(
+            pd.Series(fill, index=df.index))
         return df
 
     return ds.map_batches(_fill, batch_format="pandas")

@@ -71,7 +71,10 @@ def _violation_mask(b: pa.Table, exp: dict) -> pa.Array:
         # with not_null for non-nullable FKs, as in ANSI NOT EXISTS
         import ray
 
-        ok = pc.is_in(col, value_set=ray.get(exp["_ref_set"]))
+        value_set = ray.get(exp["_ref_set"])
+        if len(value_set) == 0:  # empty/all-null ref: every non-null FK dangles
+            return pc.is_valid(col)
+        ok = pc.is_in(col, value_set=value_set)
         return pc.and_(pc.invert(ok), pc.is_valid(col))
     raise ValueError(f"unknown expectation kind: {kind}")
 
@@ -94,13 +97,22 @@ def validate(ds: "ray.data.Dataset",
 
     for e in narrow_exps:
         if e["kind"] == "foreign_key":
-            ref, ref_col = e["ref"], e.get("ref_col", e["col"])
+            if "ref" not in e:
+                raise ValueError(
+                    "foreign_key expectation requires 'ref' (a Dataset; "
+                    "in config, a 'ref_source' source spec) — got "
+                    f"{sorted(k for k in e if not k.startswith('_'))}")
+            ref, ref_col = e.pop("ref"), e.get("ref_col", e["col"])
             distinct = ref.select_columns([ref_col]).map_batches(
                 lambda b, c=ref_col: b.drop_null().group_by([c])
                 .aggregate([]), batch_format="pyarrow") \
                 .groupby(ref_col).aggregate(Count(alias_name="_c")) \
                 .to_pandas()
-            e["_ref_set"] = ray.put(pa.array(sorted(distinct[ref_col])))
+            # a zero-row distinct frame loses its columns (Ray empty-result
+            # quirk); an empty ref means every non-null FK dangles
+            vals = (sorted(distinct[ref_col])
+                    if ref_col in distinct.columns else [])
+            e["_ref_set"] = ray.put(pa.array(vals))
 
     rows: list[dict] = []
     if narrow_exps:

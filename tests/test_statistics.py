@@ -572,3 +572,65 @@ def test_fuzzy_link_cross_side_only(ray_session):
     assert (1, 10) in got and (2, 11) in got
     assert all(r in (10, 11, 12) for _, r in got)  # never left-left pairs
     assert (1, 12) not in got and (2, 12) not in got
+
+
+def test_impute_nulls_null_group_key(ray_session):
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.transforms import impute_nulls
+
+    df = pd.DataFrame({"g": ["a", None, None, "a"],
+                       "v": [1.0, 5.0, None, None]})
+    out = impute_nulls(ray.data.from_pandas(df), value_col="v",
+                       by=["g"]).to_pandas()
+    # the NULL-key group has an observed value (5.0) — its null fills
+    null_g = out[out["g"].isna()]
+    assert sorted(null_g["v_imputed"].tolist()) == [5.0, 5.0]
+    a_g = out[out["g"] == "a"]
+    assert sorted(a_g["v_imputed"].tolist()) == [1.0, 1.0]
+
+
+def test_validate_fk_empty_and_missing_ref(ray_session):
+    import pytest
+
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.validate import validate
+
+    fact = ray.data.from_pandas(pd.DataFrame({"fk": [1, None]}))
+    empty_ref = ray.data.from_pandas(pd.DataFrame({"k": pd.Series(
+        dtype="int64")}))
+    out = validate(fact, [{"kind": "foreign_key", "col": "fk",
+                           "ref": empty_ref, "ref_col": "k"}])
+    assert out.loc[0, "n_violations"] == 1  # non-null FK dangles; null ok
+
+    with pytest.raises(ValueError, match="requires 'ref'"):
+        validate(fact, [{"kind": "foreign_key", "col": "fk"}])
+
+
+def test_profile_table_nested_and_empty(ray_session):
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.statistics import profile_table
+
+    emb = pd.DataFrame({"vec_id": [1, 2],
+                        "embedding": [[1.0, 2.0], [3.0, 4.0]]})
+    out = profile_table(ray.data.from_pandas(emb)).set_index("col")
+    assert out.loc["embedding", "n_distinct"] == -1  # nested: not countable
+    assert out.loc["vec_id", "n_distinct"] == 2
+
+    empty = profile_table(ray.data.from_pandas(
+        pd.DataFrame({"a": pd.Series(dtype="float64")})))
+    assert empty.loc[0, "n_rows"] == 0
+
+
+def test_fuzzy_link_empty_sides(ray_session):
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.dedup import fuzzy_link
+
+    e = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                      "text": pd.Series(dtype="object")})
+    out = fuzzy_link(ray.data.from_pandas(e), ray.data.from_pandas(e))
+    assert out.count() == 0
+    assert set(out.schema().names) == {"id_l", "id_r", "jaccard"}
