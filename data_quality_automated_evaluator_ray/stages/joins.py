@@ -53,8 +53,8 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset", *,
     """
     lschema, rschema = left.schema(), right.schema()
     lcols = list(lschema.names)
-    ltypes = dict(zip(lschema.names, lschema.types))
-    rtypes = dict(zip(rschema.names, rschema.types))
+    ltypes = {n: _as_pa_type(t) for n, t in zip(lschema.names, lschema.types)}
+    rtypes = {n: _as_pa_type(t) for n, t in zip(rschema.names, rschema.types)}
     rename = {c: f"{c}{suffix}" if c in lcols else c for c in right_cols}
     out_right = [rename[c] for c in right_cols]
     # one union schema: left cols + renamed right cols + side tag, so the
@@ -77,13 +77,28 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset", *,
                 src = name if name in lcols else None
             else:
                 src = name if name in (by, on) else unrename.get(name)
-            arrays[name] = b.column(src) if src else pa.nulls(n, typ)
+            # _neutral_fill, NOT pa.nulls: an int64 column with nulls turns
+            # float64 in the pandas coarse partition (whole-partition block),
+            # leaking float64 into the OTHER side's rows too. Fill values are
+            # never read — the side tag filters them out before the merge.
+            arrays[name] = b.column(src) if src else _neutral_fill(n, typ)
         return pa.table(arrays)
 
     tagged_l = left.map_batches(lambda b: _align(b, 0), batch_format="pyarrow")
     tagged_r = right.map_batches(lambda b: _align(b, 1), batch_format="pyarrow")
 
-    def _merge_part(part: pd.DataFrame) -> pd.DataFrame:
+    out_fields = [(c, ltypes[c]) for c in lcols] + \
+                 [(rename[c], rtypes[c]) for c in right_cols]
+
+    def _to_arrow(df: pd.DataFrame) -> pa.Table:
+        # cast back to the exact input Arrow types: merge_asof promotes an
+        # int64 right column to float64 when any left row is unmatched (NaN
+        # fill); Array.from_pandas(type=int64) restores int-with-null, so
+        # the output schema matches the inputs' (and the SQL oracle's)
+        return pa.table({name: pa.Array.from_pandas(df[name], type=typ)
+                         for name, typ in out_fields})
+
+    def _merge_part(part: pd.DataFrame) -> pa.Table:
         # one C-level merge_asof(by=) over the whole coarse partition —
         # NOT one Ray group per key (Ray's map_groups costs ~0.2 ms of
         # Python per group); merge_asof only needs both frames sorted by
@@ -91,10 +106,11 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset", *,
         lg = part[part["__side"] == 0].drop(columns=["__side"] + out_right)
         rg = part[part["__side"] == 1][[by, on] + out_right]
         if not len(lg):
-            return lg.reindex(columns=list(lg.columns) + out_right)
+            return _to_arrow(lg.reindex(columns=list(lg.columns) + out_right))
         lg = lg.sort_values(on, kind="stable")
         rg = rg.sort_values(on, kind="stable")
-        return pd.merge_asof(lg, rg, on=on, by=by, direction="backward")
+        return _to_arrow(pd.merge_asof(lg, rg, on=on, by=by,
+                                       direction="backward"))
 
     from .partitioning import partitioned_groupby
 

@@ -37,11 +37,32 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
+def _kind_class(dtype) -> str:
+    """Dtype kind class: the driver's value hash is dtype-sensitive, so a
+    pipeline float64 vs oracle int64 must FAIL here even when values are
+    numerically equal (the round-2 asof_purchase_events driver miss)."""
+    k = getattr(dtype, "kind", "O")
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k == "M":
+        return "datetime"
+    return "object"
+
+
 def _compare(name, ray_df, sql_df):
     assert len(ray_df) == len(sql_df), (
         f"{name}: row count {len(ray_df)} vs oracle {len(sql_df)}")
     assert sorted(ray_df.columns) == sorted(sql_df.columns), (
         f"{name}: columns {sorted(ray_df.columns)} vs {sorted(sql_df.columns)}")
+    for c in ray_df.columns:
+        ka, kb = _kind_class(ray_df[c].dtype), _kind_class(sql_df[c].dtype)
+        assert ka == kb, (
+            f"{name}.{c}: dtype kind {ray_df[c].dtype} ({ka}) vs oracle "
+            f"{sql_df[c].dtype} ({kb}) — driver hash would mismatch")
     a, b = _canon(ray_df), _canon(sql_df)
     for c in a.columns:
         av, bv = a[c].tolist(), b[c].tolist()
