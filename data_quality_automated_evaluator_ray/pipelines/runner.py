@@ -33,6 +33,26 @@ def plan_partitions(fragments: list[str], partition_size: int) -> list[list[str]
     return [frags[i:i + partition_size] for i in range(0, len(frags), partition_size)]
 
 
+def _prune_stale_partitions(out_dir: str, metrics_root: str,
+                            lineage_dir: str, n_parts: int) -> None:
+    """Remove part-* dirs (output + metrics) and lineage manifests whose
+    index >= the current plan's partition count. In-range partitions need no
+    pruning: a token change makes ``is_committed`` false and the re-run
+    atomically replaces them."""
+    import re
+    import shutil
+
+    pat = re.compile(r"^part-(\d{5})(\.json)?$")
+    for root in (out_dir, metrics_root, lineage_dir):
+        if not os.path.isdir(root):
+            continue
+        for name in os.listdir(root):
+            m = pat.match(name)
+            if m and int(m.group(1)) >= n_parts:
+                p = os.path.join(root, name)
+                shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
+
+
 def run_resumable(
     fragments: list[str],
     out_dir: str,
@@ -62,6 +82,13 @@ def run_resumable(
     lineage_dir = os.path.join(out_dir, "lineage")
     metrics_root = os.path.join(out_dir, "metrics")
     os.makedirs(metrics_root, exist_ok=True)
+    # A resume into an existing out_dir with a CHANGED plan (larger
+    # partition_size / fewer fragments → fewer partitions) rewrites
+    # part-00000..N-1 but would leave higher-index part-* dirs from the
+    # prior run; the report aggregates everything under metrics/, so stale
+    # tails double-count. Prune every output/metrics/lineage artifact whose
+    # index is outside the current plan before running.
+    _prune_stale_partitions(out_dir, metrics_root, lineage_dir, len(parts))
     run, skipped, kept_total = 0, 0, 0
     metric_cols = (METRIC_COLUMNS if with_models else
                    [c for c in METRIC_COLUMNS

@@ -52,6 +52,12 @@ class _Reader:
         shift = 0
         acc = 0
         while True:
+            if self.pos >= len(self._d):
+                raise EOFError("truncated avro varint")
+            if shift > 63:
+                # a valid zigzag long is ≤10 bytes; endless continuation
+                # bits mean a corrupt stream, not a bigger number
+                raise ValueError("avro varint longer than 10 bytes")
             b = self._d[self.pos]
             self.pos += 1
             acc |= (b & 0x7F) << shift

@@ -196,8 +196,13 @@ def read_source(source: dict[str, Any]) -> "ray.data.Dataset":
         # live Parquet files into the standard parallel Parquet scan.
         from .iceberg import read_iceberg
 
+        # plumb the (col, op, val) file-pruning filter through so config
+        # users get the manifest min/max pruning + exact residual row
+        # filter, not just direct read_iceberg callers
+        f = source.get("filter")
         ds = read_iceberg(path, columns=columns,
-                          snapshot_id=source.get("snapshot_id"))
+                          snapshot_id=source.get("snapshot_id"),
+                          filter=tuple(f) if f else None)
     else:
         raise ValueError(f"cannot infer a reader for source format {fmt!r}")
 

@@ -34,6 +34,13 @@ NUMERIC_FEATURES = ["n_chars", "max_line_len", "alpha_ratio", "perplexity", "lan
 KEY = ["repo", "lang"]
 
 
+def _features_in(names) -> list[str]:
+    """Numeric features actually present: a heuristics-only run
+    (with_models=False) commits metric rows WITHOUT perplexity/lang_conf,
+    and the report must aggregate what exists instead of raising."""
+    return [c for c in NUMERIC_FEATURES if c in set(names)]
+
+
 def _group_stats(g: pd.DataFrame) -> pd.DataFrame:
     n = len(g)
     rec = {
@@ -44,7 +51,7 @@ def _group_stats(g: pd.DataFrame) -> pd.DataFrame:
     }
     nonnull = g["content_sha256"].dropna()
     rec["dup_rate"] = (1.0 - nonnull.nunique() / len(nonnull)) if len(nonnull) else 0.0
-    for c in NUMERIC_FEATURES:
+    for c in _features_in(g.columns):
         v = g[c].dropna().to_numpy(dtype=np.float64)
         if v.size:
             rec[f"{c}_min"] = float(v.min())
@@ -65,7 +72,8 @@ def partition_metrics(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     is null (scrub preserves nulls), so `content` itself stays out of the
     shuffle.
     """
-    narrow = ds.select_columns(KEY + ["keep", "content_sha256"] + NUMERIC_FEATURES)
+    feats = _features_in(ds.schema().names)
+    narrow = ds.select_columns(KEY + ["keep", "content_sha256"] + feats)
     return narrow.groupby(KEY).map_groups(_group_stats, batch_format="pandas")
 
 
@@ -79,7 +87,8 @@ def _partials(batch: pa.Table) -> pa.Table:
     collapses to ONE partial row per batch before the shuffle."""
     import pyarrow.compute as pc
 
-    t = batch.select(KEY + ["keep", "content_sha256"] + NUMERIC_FEATURES)
+    feats = _features_in(batch.column_names)
+    t = batch.select(KEY + ["keep", "content_sha256"] + feats)
     t = t.append_column("keep_i", pc.cast(t.column("keep"), pa.int64()))
     t = t.append_column("null_i", pc.cast(pc.is_null(t.column("content_sha256")),
                                           pa.int64()))
@@ -88,13 +97,13 @@ def _partials(batch: pa.Table) -> pa.Table:
     # for near-constant features, unlike a sum-of-squares partial
     var0 = pc.VarianceOptions(ddof=0)
     aggs = [("keep_i", "sum"), ("null_i", "sum"), ("keep_i", "count")]
-    for c in NUMERIC_FEATURES:
+    for c in feats:
         aggs += [(c, "mean"), (c, "variance", var0), (c, "min"), (c, "max"),
                  (c, "count")]
     out = t.group_by(KEY).aggregate(aggs)
     ren = {"keep_i_sum": "keep_sum", "null_i_sum": "null_sum",
            "keep_i_count": "n"}
-    for c in NUMERIC_FEATURES:
+    for c in feats:
         ren[f"{c}_variance"] = f"{c}_var0"
         ren[f"{c}_count"] = f"{c}_n"
     return out.rename_columns([ren.get(n, n) for n in out.column_names])
@@ -117,8 +126,9 @@ def _combine_partials(part: pd.DataFrame) -> pd.DataFrame:
     so every group reduces with three ``np.bincount`` calls instead of a
     Python loop per group (~1.5 ms/group measured via Ray map_groups)."""
     gb = part.groupby(KEY, sort=False)
+    feats = [c for c in NUMERIC_FEATURES if f"{c}_n" in part.columns]
     agg = {"n": "sum", "keep_sum": "sum", "null_sum": "sum"}
-    for c in NUMERIC_FEATURES:
+    for c in feats:
         agg[f"{c}_min"] = "min"
         agg[f"{c}_max"] = "max"
     out = gb.agg(agg).reset_index()
@@ -129,7 +139,7 @@ def _combine_partials(part: pd.DataFrame) -> pd.DataFrame:
            "keep_rate": out["keep_sum"] / out["n"],
            "null_rate": out["null_sum"] / out["n"],
            "n_nonnull": (out["n"] - out["null_sum"]).astype(np.int64)}
-    for c in NUMERIC_FEATURES:
+    for c in feats:
         raw_n = part[f"{c}_n"].to_numpy(dtype=np.float64)
         ns = np.nan_to_num(raw_n)
         means = np.nan_to_num(part[f"{c}_mean"].to_numpy(dtype=np.float64))
@@ -174,10 +184,11 @@ def _median_partials(batch: pa.Table) -> pa.Table:
     batch's values (functions/quantiles.py) — the scalable median partial."""
     from ..functions.quantiles import sketch_values
 
-    df = batch.select(KEY + NUMERIC_FEATURES).to_pandas()
+    feats = _features_in(batch.column_names)
+    df = batch.select(KEY + feats).to_pandas()
     repo_l, lang_l, feat_l, pts_l, n_l = [], [], [], [], []
     for (repo, lang), g in df.groupby(KEY, sort=False):
-        for c in NUMERIC_FEATURES:
+        for c in feats:
             v = g[c].dropna().to_numpy(dtype=np.float64)
             points, n = sketch_values(v)
             repo_l.append(repo)
@@ -203,8 +214,9 @@ def partition_metrics_scalable(ds: "ray.data.Dataset",
     # the moments branch and the distinct-hash branch consume it, and without
     # this the upstream pipeline (model stages included) would execute twice.
     # At extreme scale, fold metrics into the runner's per-partition pass.
-    narrow = ds.select_columns(KEY + ["keep", "content_sha256"] + NUMERIC_FEATURES) \
-               .materialize()
+    narrow = ds.select_columns(
+        KEY + ["keep", "content_sha256"] + _features_in(ds.schema().names)) \
+        .materialize()
     from .partitioning import partitioned_groupby
 
     partials = narrow.map_batches(_partials, batch_format="pyarrow",

@@ -195,3 +195,27 @@ def test_avro_union_named_reference_with_null_branch(tmp_path):
     write_avro_file(p, MANIFEST_SCHEMA, recs)
     _, got = read_avro_file(p)
     assert got == recs
+
+
+def test_read_source_iceberg_filter_plumb_through(ray_session, tmp_path):
+    """ADVICE r2: the config surface must reach the manifest pruning path —
+    read_source forwards source['filter'] to read_iceberg."""
+    from data_quality_automated_evaluator_ray.sources.readers import read_source
+
+    root, want = _build_table(tmp_path, n_files=3)
+    ds = read_source({"path": root, "format": "iceberg",
+                      "filter": ["k", ">=", 10]})
+    got = ds.to_pandas()
+    assert sorted(got["k"]) == sorted(want.loc[want["k"] >= 10, "k"])
+
+
+def test_avro_truncated_and_corrupt_varint():
+    """ADVICE r2: a truncated varint raises EOFError (the parser's contract)
+    and an endless run of continuation bytes raises ValueError instead of
+    growing shift without bound."""
+    from data_quality_automated_evaluator_ray.sources.avro_codec import _Reader
+
+    with pytest.raises(EOFError):
+        _Reader(b"\x80\x80").read_long()  # continuation bits then EOF
+    with pytest.raises(ValueError, match="varint"):
+        _Reader(b"\x80" * 11 + b"\x01").read_long()  # >10-byte varint

@@ -113,3 +113,30 @@ def test_resume_with_changed_partition_size_never_skips_wrong_slice(
     assert s["partitions_run"] == len(paths)
     import pandas as pd
     pd.testing.assert_frame_equal(_read_all(out), _read_all(ref_dir))
+
+
+def test_shrunken_plan_prunes_stale_partitions(ray_session, small_corpus,
+                                               tmp_path):
+    """ADVICE r2: resume into the same out_dir with a changed plan that
+    yields FEWER partitions (larger partition_size) must not leave stale
+    higher-index part-*/metrics/part-* dirs behind — the report aggregates
+    everything under metrics/, so a stale tail double-counts rows."""
+    d, paths = small_corpus
+    out = str(tmp_path / "out")
+    run_resumable(paths, out, partition_size=1, with_models=False)
+    n_first = len(glob.glob(os.path.join(out, "metrics", "part-*")))
+    assert n_first == len(paths)
+
+    s = run_resumable(paths, out, partition_size=len(paths),
+                      with_models=False)
+    assert s["n_partitions"] == 1
+    for sub in ("", "metrics"):
+        dirs = sorted(glob.glob(os.path.join(out, sub, "part-*")))
+        assert [os.path.basename(p) for p in dirs] == ["part-00000"], sub
+    manifests = lineage.load_manifests(os.path.join(out, "lineage"))
+    assert len(manifests) == 1
+    # metrics rows must equal the input rows exactly once (no double count)
+    import pyarrow.parquet as _pq
+    mfiles = glob.glob(os.path.join(out, "metrics", "part-*", "*.parquet"))
+    rows = sum(_pq.read_metadata(f).num_rows for f in mfiles)
+    assert rows == manifests[0]["rows_in"]

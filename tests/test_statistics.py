@@ -634,3 +634,46 @@ def test_fuzzy_link_empty_sides(ray_session):
     out = fuzzy_link(ray.data.from_pandas(e), ray.data.from_pandas(e))
     assert out.count() == 0
     assert set(out.schema().names) == {"id_l", "id_r", "jaccard"}
+
+
+def test_fuzzy_link_short_docs_match_sql_oracle(ray_session, tmp_path):
+    """ADVICE r2: docs with 1-2 tokens yield one whole-text shingle in
+    stages/dedup._token_shingles; the SQL oracle must implement the same
+    branch (it used to emit ZERO shingles for them, masked by the fixture
+    having no short docs). Build a corpus dominated by short docs and
+    assert the operator and FUZZY_LINK_DOCUMENTS_SQL agree exactly."""
+    import duckdb
+
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from data_quality_automated_evaluator_ray.pipelines.queries import (
+        FUZZY_LINK_DOCUMENTS_SQL, fuzzy_link_documents)
+
+    # texts are ≥11 chars so the query's substring(text, 11) perturbation
+    # leaves 1-2 token remainders — exactly the short-doc branch
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 6, 9],
+        "text": ["padpadpad1 hello world", "hello world", "unrelated words",
+                 "padpadpad2 hello world", "padpadpad1 hello world",
+                 "zz yy xx ww vv uu tt ss rr qq"],
+        "lang": ["en"] * 6, "source": ["t"] * 6,
+    })
+    docs["n_chars"] = docs["text"].str.len()
+    d = tmp_path / "sf"
+    d.mkdir()
+    _pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                    str(d / "documents.parquet"))
+
+    got = fuzzy_link_documents(str(d))
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from '{d}/documents.parquet'")
+    want = con.execute(FUZZY_LINK_DOCUMENTS_SQL).df() \
+        .sort_values(["id_l", "id_r"]).reset_index(drop=True)
+    con.close()
+    assert len(want) > 0  # the short-doc branch must actually fire
+    got = got[sorted(got.columns)].reset_index(drop=True)
+    want = want[sorted(want.columns)]
+    want["jaccard"] = want["jaccard"].round(6)
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
