@@ -85,17 +85,16 @@ def _partition_metrics_code_corpus(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     from data_quality_automated_evaluator_ray.pipelines.queries import SQL_QUERIES
 
-    out: dict[str, Callable[[str], Any]] = {
-        name: fn for name, (fn, _sql) in SQL_QUERIES.items()
-    }
-    out.update({
-        # model-backed pipelines: rows-only checks (the perplexity LM's
-        # count tables are ~100x the langid profile — a literal-table SQL
-        # oracle would be a multi-MB string, so these two stay rows-only;
-        # ivf_topk_embeddings graduated to a hard oracle in round 2)
-        "qf_code_corpus": _qf_code_corpus,
-        "partition_metrics_code_corpus": _partition_metrics_code_corpus,
-    })
+    out: dict[str, Callable[[str], Any]] = {}
+    for name, (fn, _sql) in SQL_QUERIES.items():
+        out[name] = fn
+        if name == "fuzzy_link_documents":
+            # model-backed pipelines: rows-only checks (the perplexity LM's
+            # count tables are ~100x the langid profile — a literal-table
+            # SQL oracle would be a multi-MB string). Spliced here so they
+            # sit INSIDE the driver's first-50 correctness window.
+            out["qf_code_corpus"] = _qf_code_corpus
+            out["partition_metrics_code_corpus"] = _partition_metrics_code_corpus
     return out
 
 

@@ -118,7 +118,11 @@ def test_rows_only_queries_run(ray_session):
     q = e.queries()
     oracles = e.oracle_sql()
     rows_only = [k for k in q if k not in oracles]
-    assert rows_only, "expected some rows-only queries"
-    for name in ["ivf_topk_embeddings", "lsh_topk_embeddings"]:
-        df = _to_pandas(q[name](SF))
-        assert len(df) > 0, name
+    assert rows_only == ["qf_code_corpus", "partition_metrics_code_corpus"]
+    # every queries() entry must sit inside the driver's first-50 window
+    # or have a same-family representative that does (COVERAGE.md §window)
+    names = list(q)
+    window = set(names[:50])
+    assert {"qf_code_corpus", "partition_metrics_code_corpus",
+            "asof_purchase_events", "ann_methods_topk_embeddings",
+            "fuzzy_link_documents", "profile_orders"} <= window
