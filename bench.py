@@ -107,8 +107,22 @@ def run_bench() -> dict:
         ray.shutdown()
         return result
 
+    # qf_metrics measures the METRICS AGGREGATION, not a second model run:
+    # the headline write consumed `evaluated`, and re-using it lazily would
+    # re-execute the whole model pipeline (round-2 bench did — ~12 s of the
+    # 19.96 s qf_metrics number was duplicated model inference). Production
+    # (pipelines/runner.py) commits the narrow metric rows during the write
+    # and the report aggregates those; mirror that by materializing the
+    # narrow projection once, untimed, then timing the aggregate alone.
+    from data_quality_automated_evaluator_ray.stages.aggregate import (
+        KEY, NUMERIC_FEATURES)
+
+    narrow = apply_quality_filter(
+        read_corpus(BENCH_CORPUS_DIR), batch_size=1024,
+    ).select_columns(KEY + ["keep", "content_sha256"] + NUMERIC_FEATURES) \
+        .materialize()
     t0 = time.perf_counter()
-    m = partition_metrics_scalable(evaluated)
+    m = partition_metrics_scalable(narrow)
     n_parts = m.count()
     timings["qf_metrics"] = time.perf_counter() - t0
 

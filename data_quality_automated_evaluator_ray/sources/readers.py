@@ -47,6 +47,66 @@ def substitute_env(options: dict[str, Any]) -> dict[str, Any]:
     return out
 
 
+_S3_OPTION_MAP = {
+    # fsspec/s3fs-style storage_options (what the reference's users write,
+    # handle_data.py:52-64) → pyarrow.fs.S3FileSystem constructor kwargs
+    "key": "access_key", "access_key": "access_key",
+    "aws_access_key_id": "access_key",
+    "secret": "secret_key", "secret_key": "secret_key",
+    "aws_secret_access_key": "secret_key",
+    "token": "session_token", "session_token": "session_token",
+    "aws_session_token": "session_token",
+    "region": "region", "aws_region": "region", "region_name": "region",
+    "endpoint_url": "endpoint_override", "endpoint_override": "endpoint_override",
+    "anon": "anonymous", "anonymous": "anonymous",
+}
+
+
+def filesystem_for(path: str | list[str] | None,
+                   storage_options: dict[str, Any]):
+    """Resolve (``pyarrow.fs`` filesystem, scheme-stripped paths) for a
+    source path + already-$ENV-substituted storage options (reference
+    handle_data.py:52-64 passes storage_options straight to the reader; here
+    the same dict maps onto the matching ``pyarrow.fs`` constructor).
+
+    Returns ``(None, path)`` for plain local paths with no options — Ray's
+    default resolution. Unknown option keys fail loudly: a typo'd credential
+    key must not silently fall back to anonymous access."""
+    p = (path[0] if isinstance(path, list) else path) or ""
+    scheme = p.split("://", 1)[0] if "://" in p else ""
+
+    def _strip(one: str) -> str:
+        return one.split("://", 1)[1] if "://" in one else one
+
+    stripped = ([_strip(x) for x in path] if isinstance(path, list)
+                else (_strip(path) if path else path))
+    if scheme in ("", "file", "local"):
+        if not storage_options and not scheme:
+            return None, path
+        from pyarrow.fs import LocalFileSystem
+
+        return LocalFileSystem(), stripped
+    if scheme == "s3":
+        unknown = sorted(set(storage_options) - set(_S3_OPTION_MAP))
+        if unknown:
+            raise ValueError(
+                f"unsupported s3 storage_options keys {unknown}; "
+                f"supported: {sorted(set(_S3_OPTION_MAP))}")
+        kw: dict[str, Any] = {}
+        for k, v in storage_options.items():
+            kw[_S3_OPTION_MAP[k]] = v
+        from pyarrow.fs import S3FileSystem
+
+        return S3FileSystem(**kw), stripped
+    if scheme in ("gs", "gcs"):
+        from pyarrow.fs import GcsFileSystem
+
+        if storage_options.get("anon") or storage_options.get("anonymous"):
+            return GcsFileSystem(anonymous=True), stripped
+        return GcsFileSystem(), stripped
+    raise ValueError(f"unsupported path scheme {scheme!r} for {p!r}")
+
+
 def _cast_overrides(overrides: dict[str, str]):
     casts = {}
     for col, tname in overrides.items():
@@ -166,17 +226,20 @@ def read_source(source: dict[str, Any]) -> "ray.data.Dataset":
         fmt = ext or "parquet"
 
     columns = source.get("columns")
-    # storage_options validated + substituted even though local-only here
-    _ = substitute_env(source.get("storage_options", {}))
+    # $ENV-substituted storage_options map onto a concrete pyarrow.fs
+    # filesystem (S3/GCS/local) handed to the reader — the 100-TB corpus
+    # lives in object storage, so credentials must actually reach the scan
+    opts = substitute_env(source.get("storage_options", {}))
+    fs, fs_path = filesystem_for(path, opts)
 
     if fmt in ("parquet", "pq"):
-        ds = ray.data.read_parquet(path, columns=columns)
+        ds = ray.data.read_parquet(fs_path, columns=columns, filesystem=fs)
     elif fmt == "csv":
-        ds = ray.data.read_csv(path)
+        ds = ray.data.read_csv(fs_path, filesystem=fs)
         if columns:
             ds = ds.select_columns(columns)
     elif fmt in ("json", "jsonl", "ndjson"):
-        ds = ray.data.read_json(path)
+        ds = ray.data.read_json(fs_path, filesystem=fs)
         if columns:
             ds = ds.select_columns(columns)
     elif fmt == "xlsx":
