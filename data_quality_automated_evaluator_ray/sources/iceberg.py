@@ -89,6 +89,17 @@ def iceberg_data_files(table_path: str, *,
             raise NotImplementedError(
                 "Iceberg merge-on-read (delete manifests) not supported; "
                 "compact the table to copy-on-write first")
+        pf = pf_idx = None
+        if filter is not None:
+            pf, pf_idx = _partition_field_for(
+                meta, mf.get("partition_spec_id", 0), fid)
+        # manifest-level pruning: field_summaries (spec field 508) carry
+        # per-partition-field lower/upper bounds — a whole manifest whose
+        # summary interval cannot contain the predicate is never opened
+        if pf is not None and not _summary_may_match(
+                mf.get("partitions"), pf_idx, pf, ftyp,
+                filter[1], filter[2]):
+            continue
         _, entries = read_avro_file(_strip_scheme(mf["manifest_path"]))
         for e in entries:
             if e.get("status") == 2:  # DELETED entry
@@ -102,9 +113,15 @@ def iceberg_data_files(table_path: str, *,
             if fmt != "PARQUET":
                 raise NotImplementedError(
                     f"Iceberg data file format {fmt!r} (only PARQUET)")
-            if filter is not None and not _file_may_match(
-                    df, fid, ftyp, filter[1], filter[2]):
-                continue
+            if filter is not None:
+                # file-level pruning, two independent signals: the data
+                # file's partition tuple (exact under identity/truncate
+                # transforms) and its column min/max bounds
+                if pf is not None and not _partition_may_match(
+                        df.get("partition"), pf, filter[1], filter[2]):
+                    continue
+                if not _file_may_match(df, fid, ftyp, filter[1], filter[2]):
+                    continue
             files.append(_strip_scheme(df["file_path"]))
     return files
 
@@ -146,16 +163,31 @@ def _bound(bounds: Any, field_id: int) -> bytes | None:
     return None
 
 
-def _file_may_match(df: dict, field_id: int, typ: str, op: str, val) -> bool:
-    dec = _SINGLE_DECODERS.get(typ)
-    if dec is None:
-        return True  # unknown type: never prune
-    lo_b = _bound(df.get("lower_bounds"), field_id)
-    hi_b = _bound(df.get("upper_bounds"), field_id)
-    # truncated string bounds stay valid lower/upper bounds per spec, so
-    # the interval test below is sound without truncation-awareness
-    lo = dec(lo_b) if lo_b is not None else None
-    hi = dec(hi_b) if hi_b is not None else None
+_TRUNC_RE = re.compile(r"^truncate\[(\d+)\]$")
+
+
+def _partition_field_for(meta: dict, spec_id: int,
+                         source_field_id: int):
+    """The partition-spec field derived from ``source_field_id`` with a
+    prunable transform (identity or truncate[W] on integers), plus its
+    position in the spec (= field_summaries index). None when the filtered
+    column is not a partition column or its transform isn't prunable."""
+    specs = meta.get("partition-specs")
+    if specs is None:
+        fields = meta.get("partition-spec") or []  # format v1 inline list
+    else:
+        spec = next((s for s in specs if s.get("spec-id") == spec_id), None)
+        fields = (spec or {}).get("fields", [])
+    for idx, f in enumerate(fields):
+        if f.get("source-id") != source_field_id:
+            continue
+        t = str(f.get("transform", ""))
+        if t == "identity" or _TRUNC_RE.match(t):
+            return f, idx
+    return None, None
+
+
+def _interval_may_match(lo, hi, op: str, val) -> bool:
     if op == "==":
         return not ((lo is not None and val < lo)
                     or (hi is not None and val > hi))
@@ -168,6 +200,72 @@ def _file_may_match(df: dict, field_id: int, typ: str, op: str, val) -> bool:
     if op == "<":
         return lo is None or lo < val
     return True  # unknown op: never prune
+
+
+def _partition_may_match(partition, pf: dict, op: str, val) -> bool:
+    """Can any row of a file with this partition tuple match the predicate?
+    ``partition`` is the manifest entry's r102 struct decoded to a dict by
+    partition-field name. identity: the column equals the partition value
+    for every row. truncate[W] (ints): rows lie in [pval, pval + W)."""
+    if not isinstance(partition, dict) or pf.get("name") not in partition:
+        return True  # tuple absent: never prune
+    pval = partition[pf["name"]]
+    t = str(pf.get("transform", ""))
+    if pval is None:
+        # identity-null partition: the column is NULL on every row, and
+        # NULL never satisfies a comparison predicate
+        return t != "identity"
+    if t == "identity":
+        return _interval_may_match(pval, pval, op, val)
+    m = _TRUNC_RE.match(t)
+    if m and isinstance(pval, int):
+        w = int(m.group(1))
+        return _interval_may_match(pval, pval + w - 1, op, val)
+    return True
+
+
+def _summary_may_match(summaries, pf_idx: int, pf: dict, typ: str,
+                       op: str, val) -> bool:
+    """Manifest-level field_summaries check (spec manifest_file field 508:
+    list ordered like the partition spec, each with contains_null /
+    lower_bound / upper_bound). Bounds are PARTITION-value bounds: under
+    identity they bound the column directly; under truncate[W] (ints) the
+    column interval widens to [lo, hi + W - 1]. Other transforms skip."""
+    if not summaries or pf_idx is None or pf_idx >= len(summaries):
+        return True
+    t = str(pf.get("transform", ""))
+    m = _TRUNC_RE.match(t)
+    if t != "identity" and not (m and typ in ("int", "long")):
+        return True
+    dec = _SINGLE_DECODERS.get(typ)
+    if dec is None:
+        return True
+    s = summaries[pf_idx] or {}
+    lo_b, hi_b = s.get("lower_bound"), s.get("upper_bound")
+    lo = dec(lo_b) if lo_b is not None else None
+    hi = dec(hi_b) if hi_b is not None else None
+    if lo is None and hi is None:
+        return True
+    if m and hi is not None:
+        hi = hi + int(m.group(1)) - 1
+    if _interval_may_match(lo, hi, op, val):
+        return True
+    # outside the value interval — only null-partition rows could remain,
+    # and NULL never satisfies a comparison predicate
+    return False
+
+
+def _file_may_match(df: dict, field_id: int, typ: str, op: str, val) -> bool:
+    dec = _SINGLE_DECODERS.get(typ)
+    if dec is None:
+        return True  # unknown type: never prune
+    lo_b = _bound(df.get("lower_bounds"), field_id)
+    hi_b = _bound(df.get("upper_bounds"), field_id)
+    # truncated string bounds stay valid lower/upper bounds per spec, so
+    # the interval test below is sound without truncation-awareness
+    lo = dec(lo_b) if lo_b is not None else None
+    hi = dec(hi_b) if hi_b is not None else None
+    return _interval_may_match(lo, hi, op, val)
 
 
 def read_iceberg(table_path: str, *, columns: list[str] | None = None,

@@ -104,7 +104,10 @@ def fingerprint(batch: pa.Table, text_col: str = "text",
     powers = np.empty(window, dtype=np.uint64)
     powers[window - 1] = 1
     for j in range(window - 2, -1, -1):
-        powers[j] = powers[j + 1] * base
+        # wraparound mod 2^64 is the hash definition — np.multiply with an
+        # explicit uint64 dtype makes that intentional (a bare * emits
+        # RuntimeWarning: overflow, which would mask real overflows elsewhere)
+        powers[j] = np.multiply(powers[j + 1], base, dtype=np.uint64)
     shas, rolls = [], []
     for t in texts:
         if t is None:
