@@ -1,0 +1,71 @@
+"""Vectorized open-addressing hash table for int64/uint64 keys.
+
+Exact-membership batch lookup in ~1.1 probes/key (one multiply-shift hash +
+one fused (key, value) gather-compare) instead of ``searchsorted``'s
+log2(N) binary-search probes — measured 64 ms → ~6 ms per 1.2M keys when it
+replaced the langid union-table search (models/langid.py round 2); now shared
+with the n-gram LM's bigram-code and vocab-hash lookups.
+
+Semantics are identical to sorted-array membership: ``lookup`` returns a
+boolean matched mask and the stored value per matched key (value is
+meaningful only where matched). Keys must be unique; the all-ones bit
+pattern (int64 -1) is reserved as the empty-slot sentinel — ``build``-time
+callers check ``supports`` first and fall back to searchsorted when a key
+collides with the sentinel (never seen in practice).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+HASH_MIX = np.uint64(0x9E3779B97F4A7C15)  # Fibonacci multiplier
+_EMPTY = np.int64(-1)
+
+
+def supports(keys: np.ndarray) -> bool:
+    """True when every key is representable (no key equals the sentinel)."""
+    return not (keys.view(np.int64) == _EMPTY).any()
+
+
+class IntHashTable:
+    """Build once (driver/actor init), look up per batch."""
+
+    __slots__ = ("_kv", "_mask", "_shift")
+
+    def __init__(self, keys: np.ndarray, values: np.ndarray) -> None:
+        k64 = np.ascontiguousarray(keys).view(np.uint64)
+        size = 1 << max(3, int(k64.size * 4 - 1).bit_length())
+        self._mask = np.uint64(size - 1)
+        self._shift = np.uint64(64 - (size.bit_length() - 1))
+        # fused (key, value) rows so one gather fetches both
+        self._kv = np.full((size, 2), _EMPTY, dtype=np.int64)
+        slots = (k64 * HASH_MIX) >> self._shift
+        for key, val, slot in zip(k64.view(np.int64), values, slots):
+            while self._kv[slot, 0] != _EMPTY:
+                slot = (slot + np.uint64(1)) & self._mask
+            self._kv[slot, 0] = key
+            self._kv[slot, 1] = val
+
+    def lookup(self, keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(matched bool mask, stored value per key — only valid where
+        matched). Linear-probe continuation rounds handle the ~load-factor-
+        0.25 tail exactly."""
+        q64 = np.ascontiguousarray(keys).view(np.uint64)
+        q = q64.view(np.int64)
+        slot = (q64 * HASH_MIX) >> self._shift
+        kv = self._kv[slot]
+        k = kv[:, 0]
+        matched = k == q
+        values = kv[:, 1]
+        pending = np.flatnonzero(~matched & (k != _EMPTY))
+        probe = np.uint64(1)
+        while pending.size:
+            pos = (slot[pending] + probe) & self._mask
+            kv2 = self._kv[pos]
+            eq = kv2[:, 0] == q[pending]
+            hit = pending[eq]
+            matched[hit] = True
+            values[hit] = kv2[eq, 1]
+            pending = pending[~eq & (kv2[:, 0] != _EMPTY)]
+            probe += np.uint64(1)
+        return matched, values

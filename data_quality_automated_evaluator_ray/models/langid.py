@@ -23,7 +23,6 @@ import numpy as np
 from ..rules import LANGUAGES
 
 _CHAR_SPACE = 1_114_112  # max unicode codepoint + 1
-_HASH_MIX = np.uint64(0x9E3779B97F4A7C15)  # splitmix64 multiplier
 _TRAIN_SAMPLES = 150
 _TOP_K = 4000
 _MAX_SCORE_CHARS = 300
@@ -115,17 +114,11 @@ class LangIdModel:
         # instead of searchsorted's log2(|union|) ≈ 12 binary-search probes —
         # measured 64 ms → ~6 ms per 1.2M trigrams. Same exact-membership
         # semantics, so scores stay bit-identical to the searchsorted path.
-        size = 1 << int(union.size * 4 - 1).bit_length()
-        self._ht_mask = np.uint64(size - 1)
-        self._ht_shift = np.uint64(64 - (size.bit_length() - 1))
-        # fused (key, union-index) rows so one gather fetches both
-        self._ht_kv = np.full((size, 2), -1, dtype=np.int64)
-        slots = (union.view(np.uint64) * _HASH_MIX) >> self._ht_shift
-        for i, (code, slot) in enumerate(zip(union, slots)):
-            while self._ht_kv[slot, 0] != -1:
-                slot = (slot + np.uint64(1)) & self._ht_mask
-            self._ht_kv[slot, 0] = code
-            self._ht_kv[slot, 1] = i
+        # (extracted to functions/inthash.py in round 3, now also used by
+        # the LM's bigram/vocab lookups; same constants, same probe order)
+        from ..functions.inthash import IntHashTable
+
+        self._ht = IntHashTable(union, np.arange(union.size, dtype=np.int64))
         # (union, langs) C-contiguous transpose: per-trigram gather reads one
         # contiguous row per code instead of strided columns
         self.logp_t = np.ascontiguousarray(self.logp_matrix.T)
@@ -143,27 +136,11 @@ class LangIdModel:
         return cls._natural_singleton
 
     def _lookup(self, concat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """Exact membership of trigram codes in the union table via the
-        open-addressing hash table → (matched bool mask, union index per
-        code; the index is meaningful only where matched). Identical results
-        to ``searchsorted`` membership — only faster."""
-        slot = (concat.view(np.uint64) * _HASH_MIX) >> self._ht_shift
-        kv = self._ht_kv[slot]
-        k = kv[:, 0]
-        matched = k == concat
-        uidx = kv[:, 1]
-        pending = np.flatnonzero(~matched & (k != -1))
-        probe = np.uint64(1)
-        while pending.size:
-            pos = (slot[pending] + probe) & self._ht_mask
-            kv2 = self._ht_kv[pos]
-            eq = kv2[:, 0] == concat[pending]
-            hit = pending[eq]
-            matched[hit] = True
-            uidx[hit] = kv2[eq, 1]
-            pending = pending[~eq & (kv2[:, 0] != -1)]
-            probe += np.uint64(1)
-        return matched, uidx
+        """Exact membership of trigram codes in the union table
+        (functions/inthash.py) → (matched bool mask, union index per code;
+        the index is meaningful only where matched). Identical results to
+        ``searchsorted`` membership — only faster."""
+        return self._ht.lookup(concat)
 
     def score_batch(self, texts: list[str | None]) -> tuple[list[str], list[float]]:
         """Vectorized batch scoring: ONE searchsorted per language per batch

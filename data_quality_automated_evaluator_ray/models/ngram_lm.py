@@ -34,10 +34,125 @@ _BOS = "\x00"
 
 _TOKEN_RE = re.compile(TOKEN_PATTERN)
 
+# ---------------------------------------------------------------------------
+# Vectorized tokenizer — exact TOKEN_PATTERN semantics, no Python strings in
+# the hot path. The regex's three alternatives over a codepoint array:
+#   identifier  [A-Za-z_][A-Za-z0-9_]*   (one token per word-run remainder)
+#   number      [0-9]+                   (leading digits of a digit-led run)
+#   punct       [^\t\n\f\r A-Za-z0-9_]   (one token per codepoint)
+# A maximal word-char run therefore yields: its leading digits as ONE number
+# token (if the run starts with a digit), then the rest as ONE identifier.
+# Exactness vs re.findall is asserted in tests (hypothesis cross-check).
+# ---------------------------------------------------------------------------
+_CP_WORD = np.zeros(128, dtype=bool)
+for _c in range(ord("A"), ord("Z") + 1):
+    _CP_WORD[_c] = True
+for _c in range(ord("a"), ord("z") + 1):
+    _CP_WORD[_c] = True
+for _c in range(ord("0"), ord("9") + 1):
+    _CP_WORD[_c] = True
+_CP_WORD[ord("_")] = True
+_CP_DIGIT = np.zeros(128, dtype=bool)
+for _c in range(ord("0"), ord("9") + 1):
+    _CP_DIGIT[_c] = True
+_CP_SPACE = np.zeros(128, dtype=bool)
+for _c in b"\t\n\f\r ":
+    _CP_SPACE[_c] = True
+
+_HASH_B = np.uint64(1099511628211)  # FNV-prime polynomial base (mod 2^64)
+_POW_B = np.empty(4096, dtype=np.uint64)
+_POW_B[0] = 1
+for _i in range(1, len(_POW_B)):
+    # wraparound mod 2^64 IS the hash modulus — explicit dtype silences the
+    # scalar-overflow RuntimeWarning without changing the values
+    _POW_B[_i] = np.multiply(_POW_B[_i - 1], _HASH_B, dtype=np.uint64)
+
+
+def _poly_hash_cps(cps: np.ndarray) -> np.uint64:
+    """H(t) = Σ cp_i · B^i mod 2^64 — same formula as the batch path."""
+    n = len(cps)
+    return np.uint64((cps.astype(np.uint64) * _POW_B[:n]).sum(dtype=np.uint64))
+
+
+def _segmented_arange(lens: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(flat_starts, within): within[j] = j - flat_start_of_its_segment."""
+    total = int(lens.sum())
+    fstart = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=fstart[1:])
+    within = np.arange(total, dtype=np.int64) - np.repeat(fstart, lens)
+    return fstart, within
+
+
+def _tokenize_spans(texts: list[str]) -> tuple[np.ndarray, np.ndarray,
+                                               np.ndarray, np.ndarray]:
+    """Tokenize a row group in one vectorized pass.
+
+    → (cp, tok_start, tok_len, tok_row): the concatenated codepoint array of
+    the _MAX_CHARS-truncated rows, and per-token spans in text order, capped
+    at _MAX_TOKENS per row. Identical token sequences to
+    ``_TOKEN_RE.findall(text[:_MAX_CHARS])[:_MAX_TOKENS]``.
+    """
+    trunc = [t[:_MAX_CHARS] for t in texts]
+    lens = np.array([len(t) for t in trunc], dtype=np.int64)
+    cp = np.frombuffer("".join(trunc).encode("utf-32-le"),
+                       dtype=np.uint32).astype(np.int64)
+    n = cp.size
+    row_starts = np.zeros(len(trunc), dtype=np.int64)
+    np.cumsum(lens[:-1], out=row_starts[1:])
+    ascii_mask = cp < 128
+    cp_clip = np.where(ascii_mask, cp, 0)
+    w = _CP_WORD[cp_clip] & ascii_mask
+    dg = _CP_DIGIT[cp_clip] & ascii_mask
+    sp = _CP_SPACE[cp_clip] & ascii_mask
+
+    is_row_start = np.zeros(n + 1, dtype=bool)
+    is_row_start[row_starts[lens > 0]] = True
+    w_pad = np.zeros(n + 1, dtype=bool)
+    w_pad[:n] = w
+    prev_w = np.zeros(n, dtype=bool)
+    prev_w[1:] = w[:-1]
+    run_start = w & (~prev_w | is_row_start[:n])
+    # run ends where the word class stops OR the next row begins
+    run_end = w & (~w_pad[1:] | is_row_start[1:])
+    rs = np.flatnonzero(run_start)
+    re_ = np.flatnonzero(run_end) + 1  # exclusive
+
+    # leading-digit end per run: first word-char that is NOT a digit, global
+    # sorted positions + searchsorted, clipped to the run end
+    nd_idx = np.flatnonzero(w & ~dg)
+    nd_idx = np.append(nd_idx, n)
+    d_end = np.minimum(nd_idx[np.searchsorted(nd_idx, rs)], re_)
+
+    first_digit = dg[rs] if rs.size else np.zeros(0, dtype=bool)
+    two = first_digit & (d_end < re_)
+    num_starts, num_ends = rs[first_digit], d_end[first_digit]
+    id_starts = np.concatenate([rs[~first_digit], d_end[two]])
+    id_ends = np.concatenate([re_[~first_digit], re_[two]])
+    punct_pos = np.flatnonzero(~w & ~sp)
+
+    tok_start = np.concatenate([num_starts, id_starts, punct_pos])
+    tok_end = np.concatenate([num_ends, id_ends, punct_pos + 1])
+    order = np.argsort(tok_start, kind="stable")
+    tok_start, tok_end = tok_start[order], tok_end[order]
+
+    # per-row _MAX_TOKENS cap (tokens are in text order per row)
+    tok_row = np.searchsorted(row_starts, tok_start, side="right") - 1
+    if tok_row.size:
+        _, first_idx = np.unique(tok_row, return_index=True)
+        firsts = np.zeros(tok_row.size, dtype=np.int64)
+        firsts[first_idx] = 1
+        seg0 = np.cumsum(firsts) - 1
+        rank = np.arange(tok_row.size, dtype=np.int64) - first_idx[seg0]
+        keep = rank < _MAX_TOKENS
+        tok_start, tok_end, tok_row = (tok_start[keep], tok_end[keep],
+                                       tok_row[keep])
+    return cp, tok_start, tok_end - tok_start, tok_row
+
 
 class _LangLM:
     __slots__ = ("vocab", "uni", "total", "V", "bos_id", "bi_codes",
-                 "bi_counts", "floor")
+                 "bi_counts", "floor", "vh_ht", "vflat",
+                 "voff", "vlen", "fast_lookup", "bi_ht")
 
     def __init__(self, uni: dict, bi: dict, total: int) -> None:
         self.vocab = {t: i for i, t in enumerate(sorted(uni))}
@@ -57,6 +172,65 @@ class _LangLM:
         order = np.argsort(np.array(codes, dtype=np.int64))
         self.bi_codes = np.array(codes, dtype=np.int64)[order]
         self.bi_counts = np.array(counts, dtype=np.float64)[order]
+        # hash-table membership over the bigram codes (exact, ~1.1 probes
+        # per lookup vs searchsorted's log2 N) — codes are non-negative so
+        # the -1 sentinel can never collide
+        from ..functions.inthash import IntHashTable
+
+        self.bi_ht = IntHashTable(
+            self.bi_codes, np.arange(self.bi_codes.size, dtype=np.int64))
+        self._build_fast_lookup()
+
+    def _build_fast_lookup(self) -> None:
+        """Vocab token → id without Python strings: sorted 64-bit polynomial
+        hashes narrow to ONE candidate, then an exact codepoint compare
+        (vflat/voff/vlen) confirms — so the lookup is exact, not
+        probabilistic. A (astronomically unlikely) intra-vocab hash
+        collision at build time falls back to the dict path."""
+        toks = sorted(self.vocab)  # index == vocab id by construction
+        self.vlen = np.array([len(t) for t in toks], dtype=np.int64)
+        self.voff = np.zeros(len(toks) + 1, dtype=np.int64)
+        np.cumsum(self.vlen, out=self.voff[1:])
+        self.vflat = np.frombuffer("".join(toks).encode("utf-32-le"),
+                                   dtype=np.uint32).astype(np.int64)
+        from ..functions.inthash import IntHashTable, supports
+
+        vh = np.array([_poly_hash_cps(
+            self.vflat[self.voff[i]:self.voff[i + 1]])
+            for i in range(len(toks))], dtype=np.uint64)
+        self.fast_lookup = (len(np.unique(vh)) == len(toks)
+                            and supports(vh))
+        self.vh_ht = IntHashTable(vh, np.arange(len(toks), dtype=np.int64)) \
+            if self.fast_lookup else None
+
+    def token_ids(self, cp: np.ndarray, tok_start: np.ndarray,
+                  tok_len: np.ndarray) -> np.ndarray:
+        """Vectorized exact vocab ids for token spans over ``cp``
+        (-1 for OOV) — identical to ``[vocab.get(tok, -1) ...]``."""
+        T = tok_start.size
+        ids = np.full(T, -1, dtype=np.int64)
+        if T == 0:
+            return ids
+        fstart, within = _segmented_arange(tok_len)
+        char_idx = np.repeat(tok_start, tok_len) + within
+        tok_cps = cp[char_idx]
+        prods = tok_cps.astype(np.uint64) * _POW_B[within]
+        h = np.zeros(T, dtype=np.uint64)
+        nz = tok_len > 0
+        h[nz] = np.add.reduceat(prods, fstart[nz])
+        hmatched, cand = self.vh_ht.lookup(h)
+        cand = np.where(hmatched, cand, 0)  # dummy index where unmatched
+        maybe = hmatched & (self.vlen[cand] == tok_len)
+        sel = np.flatnonzero(maybe)
+        if sel.size:
+            tl = tok_len[sel]
+            fs2, within2 = _segmented_arange(tl)
+            a = tok_cps[np.repeat(fstart[sel], tl) + within2]
+            b = self.vflat[np.repeat(self.voff[cand[sel]], tl) + within2]
+            ok = np.logical_and.reduceat(a == b, fs2)
+            hit = sel[ok]
+            ids[hit] = cand[hit]
+        return ids
 
 
 class NgramLM:
@@ -122,30 +296,44 @@ class NgramLM:
         for lg, rows in by_lang.items():
             m = self.models[lg]
             k = m.V + 1
-            vocab_get = m.vocab.get
-            tok_lists, keep_rows = [], []
-            for i in rows:
-                toks = _TOKEN_RE.findall(texts[i][:_MAX_CHARS])[:_MAX_TOKENS]
-                if toks:
-                    tok_lists.append(toks)
-                    keep_rows.append(i)
-            if not keep_rows:
-                continue
-            lens = np.array([len(x) for x in tok_lists], dtype=np.int64)
-            # token→id via ONE hash pass over the batch (pd.factorize) plus a
-            # dict lookup per DISTINCT token (~2% of tokens on this corpus) —
-            # replaces a per-token dict.get loop; ids are bit-identical
-            import pandas as pd
+            if m.fast_lookup:
+                # vectorized tokenizer + hash-verified vocab lookup: no
+                # Python strings in the hot path (re.findall per row was
+                # ~40% of the fused-stage batch cost). Token sequences and
+                # ids are exactly the regex/dict path's (asserted in
+                # tests/test_model_stages-style hypothesis cross-checks).
+                cp, tstart, tlen, trow = _tokenize_spans(
+                    [texts[i] for i in rows])
+                if tstart.size == 0:
+                    continue
+                ids = m.token_ids(cp, tstart, tlen)
+                urows, lens = np.unique(trow, return_counts=True)
+                keep_rows = [rows[int(r)] for r in urows]
+                lens = lens.astype(np.int64)
+            else:  # intra-vocab hash collision fallback (never seen; exact)
+                vocab_get = m.vocab.get
+                tok_lists, keep_rows = [], []
+                for i in rows:
+                    toks = _TOKEN_RE.findall(texts[i][:_MAX_CHARS])[:_MAX_TOKENS]
+                    if toks:
+                        tok_lists.append(toks)
+                        keep_rows.append(i)
+                if not keep_rows:
+                    continue
+                lens = np.array([len(x) for x in tok_lists], dtype=np.int64)
+                # token→id via ONE hash pass (pd.factorize) + a dict lookup
+                # per DISTINCT token; ids are bit-identical to per-token get
+                import pandas as pd
 
-            flat = np.empty(int(lens.sum()), dtype=object)
-            pos = 0
-            for lst in tok_lists:
-                flat[pos:pos + len(lst)] = lst
-                pos += len(lst)
-            codes, uniques = pd.factorize(flat)
-            uid = np.fromiter((vocab_get(u, -1) for u in uniques),
-                              dtype=np.int64, count=len(uniques))
-            ids = uid[codes]
+                flat = np.empty(int(lens.sum()), dtype=object)
+                pos = 0
+                for lst in tok_lists:
+                    flat[pos:pos + len(lst)] = lst
+                    pos += len(lst)
+                codes, uniques = pd.factorize(flat)
+                uid = np.fromiter((vocab_get(u, -1) for u in uniques),
+                                  dtype=np.int64, count=len(uniques))
+                ids = uid[codes]
             offsets = np.zeros(lens.size, dtype=np.int64)
             np.cumsum(lens[:-1], out=offsets[1:])
             prev = np.empty_like(ids)
@@ -160,9 +348,8 @@ class NgramLM:
             elig = known & prev_known
             if elig.any():
                 codes = prev[elig] * k + ids[elig]
-                pos = np.searchsorted(m.bi_codes, codes)
-                pos_c = np.minimum(pos, m.bi_codes.size - 1)
-                hit = m.bi_codes[pos_c] == codes
+                hit, pos_c = m.bi_ht.lookup(codes)
+                pos_c = np.where(hit, pos_c, 0)  # dummy index if unmatched
                 prev_elig = prev[elig]
                 denom = np.where(prev_elig == m.bos_id, m.total,
                                  m.uni[np.minimum(prev_elig, m.V - 1)])

@@ -33,23 +33,78 @@ for _c in b"\t\n\f\r ":
     _SPACE_LUT[_c] = True
 
 
+# alpha/word/space counters bit-packed into one int64 LUT (21 bits each):
+# ONE gather + ONE segmented reduceat per batch replaces three bool gathers
+# + three full-buffer int64 cumsums (measured ~3x on this section). The
+# 21-bit fields accumulate PER ROW (reduceat sums within a segment), so the
+# packed path is exact for rows under 2^21 bytes; longer rows fall back to
+# the per-class cumsum path below.
+_FIELD_BITS = 21
+_MAX_PACKED_ROW = (1 << _FIELD_BITS) - 1
+_PACKED_LUT = (_ALPHA_LUT.astype(np.int64)
+               | (_WORD_LUT.astype(np.int64) << _FIELD_BITS)
+               | (_SPACE_LUT.astype(np.int64) << (2 * _FIELD_BITS)))
+
+
+def _string_buffer(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    bufs = arr.buffers()
+    odt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    off = np.frombuffer(bufs[1], dtype=odt)[arr.offset:arr.offset + len(arr) + 1]
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    return data, off
+
+
+def _mask_nulls(counts: np.ndarray, arr: pa.Array) -> pa.Array:
+    out = pa.array(counts, type=pa.int64())
+    if arr.null_count:
+        out = pc.if_else(pc.is_null(arr), pa.scalar(None, pa.int64()), out)
+    return out
+
+
+def _ascii_class_counts(content: pa.Array
+                        ) -> tuple[pa.Array, pa.Array, pa.Array]:
+    """Per-row (alpha, word, space) byte counts in one fused pass
+    (null rows → null)."""
+    arr = content.combine_chunks() if isinstance(content, pa.ChunkedArray) else content
+    bufs = arr.buffers()
+    if bufs[2] is None or len(arr) == 0:
+        z = np.zeros(len(arr), dtype=np.int64)
+        return tuple(_mask_nulls(z, arr) for _ in range(3))
+    data, off = _string_buffer(arr)
+    row_lens = off[1:] - off[:-1]
+    if len(data) and row_lens.max() > _MAX_PACKED_ROW:
+        return (_ascii_byte_count(arr, _ALPHA_LUT),
+                _ascii_byte_count(arr, _WORD_LUT),
+                _ascii_byte_count(arr, _SPACE_LUT))
+    packed = _PACKED_LUT[data]
+    # reduceat over NON-EMPTY row starts only (consecutive non-empty
+    # segments tile the byte buffer exactly — same pattern as _line_stats);
+    # empty rows would otherwise corrupt neighbours via reduceat's
+    # empty-segment-returns-x[start] quirk
+    nonempty = row_lens > 0
+    seg = np.zeros(len(arr), dtype=np.int64)
+    if nonempty.any():
+        seg[nonempty] = np.add.reduceat(
+            packed, off[:-1][nonempty].astype(np.int64))
+    m = np.int64(_MAX_PACKED_ROW)
+    return (_mask_nulls(seg & m, arr),
+            _mask_nulls((seg >> _FIELD_BITS) & m, arr),
+            _mask_nulls((seg >> (2 * _FIELD_BITS)) & m, arr))
+
+
 def _ascii_byte_count(content: pa.Array, lut: np.ndarray) -> pa.Array:
-    """Per-row count of bytes whose LUT entry is True (null rows → null)."""
+    """Per-row count of bytes whose LUT entry is True (null rows → null) —
+    cumsum path, exact for any row length (fallback of the packed path)."""
     arr = content.combine_chunks() if isinstance(content, pa.ChunkedArray) else content
     bufs = arr.buffers()
     if bufs[2] is None or len(arr) == 0:
         counts = np.zeros(len(arr), dtype=np.int64)
     else:
-        data = np.frombuffer(bufs[2], dtype=np.uint8)
-        odt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
-        off = np.frombuffer(bufs[1], dtype=odt)[arr.offset:arr.offset + len(arr) + 1]
+        data, off = _string_buffer(arr)
         cs = np.zeros(len(data) + 1, dtype=np.int64)
         np.cumsum(lut[data], out=cs[1:])
         counts = cs[off[1:]] - cs[off[:-1]]
-    out = pa.array(counts, type=pa.int64())
-    if arr.null_count:
-        out = pc.if_else(pc.is_null(arr), pa.scalar(None, pa.int64()), out)
-    return out
+    return _mask_nulls(counts, arr)
 
 
 def _line_stats(content: pa.Array) -> tuple[pa.Array, pa.Array, pa.Array]:
@@ -93,7 +148,6 @@ def compute_features(batch: pa.Table) -> pa.Table:
     content = batch.column("content")
     n_chars = pc.cast(pc.utf8_length(content), pa.int64())
     n_lines, max_line, mean_line = _line_stats(content)
-    alpha = _ascii_byte_count(content, _ALPHA_LUT)
     non_ascii = pc.count_substring_regex(content, rules.NON_ASCII_PATTERN)
     ctrl = pc.cast(pc.count_substring_regex(content, rules.CTRL_CHAR_PATTERN), pa.int64())
     # disjoint split of TOKEN_PATTERN: word-run tokens via RE2 (few matches)
@@ -101,8 +155,8 @@ def compute_features(batch: pa.Table) -> pa.Table:
     # LUTs; ASCII classes are single-byte so byte counts == codepoint counts
     # and every remaining codepoint matches [^\t\n\f\r A-Za-z0-9_]).
     # Identical total to counting TOKEN_PATTERN matches directly.
-    word_cp = _ascii_byte_count(content, _WORD_LUT)
-    space_cp = _ascii_byte_count(content, _SPACE_LUT)
+    # alpha/word/space come from ONE packed-LUT pass (_ascii_class_counts).
+    alpha, word_cp, space_cp = _ascii_class_counts(content)
     punct_cp = pc.subtract(pc.subtract(n_chars, word_cp), space_cp)
     word_tokens = pc.cast(
         pc.count_substring_regex(content, rules.WORD_TOKEN_PATTERN), pa.int64())

@@ -287,3 +287,86 @@ def test_skew_join_empty_left(ray_session):
     # 0-row datasets, so assert the schema on the Dataset side
     assert ds.count() == 0
     assert set(ds.schema().names) == {"k", "x", "v"}
+
+
+def test_lm_vectorized_tokenizer_matches_regex():
+    """The round-3 vectorized tokenizer must produce EXACTLY the regex
+    path's token sequences (incl. digit-led run splits, truncation and the
+    per-row token cap), and token_ids must equal vocab.get for every
+    token — the fast path replaces re.findall in the flagship hot loop."""
+    import random
+
+    import numpy as np
+
+    from data_quality_automated_evaluator_ray.models.ngram_lm import (
+        _MAX_CHARS, _MAX_TOKENS, _TOKEN_RE, NgramLM, _tokenize_spans)
+
+    random.seed(7)
+    alphabet = "ab zZ09_ .!\n\t£é漢\f\r(){};'\"-+1x_0"
+    cases = ["", "   ", "abc", "123", "123abc", "abc123", "_x9", "9_x",
+             "12.34", "é漢abc123", "a" * 3000, "1" * 300 + "a" * 300]
+    cases += ["".join(random.choice(alphabet)
+                      for _ in range(random.randint(0, 80)))
+              for _ in range(300)]
+    cp, ts, tl, tr = _tokenize_spans(cases)
+    got = [[] for _ in cases]
+    for s, l, r in zip(ts, tl, tr):
+        got[int(r)].append("".join(chr(c) for c in cp[s:s + l]))
+    for t, g in zip(cases, got):
+        assert g == _TOKEN_RE.findall(t[:_MAX_CHARS])[:_MAX_TOKENS], t[:60]
+
+    lm = NgramLM.get()
+    m = lm.models[sorted(lm.models)[0]]
+    assert m.fast_lookup
+    ids = m.token_ids(cp, ts, tl)
+    flat = ["".join(chr(c) for c in cp[s:s + l]) for s, l in zip(ts, tl)]
+    want = np.array([m.vocab.get(t, -1) for t in flat], dtype=np.int64)
+    assert (ids == want).all()
+
+
+def test_lm_fast_path_matches_fallback_batch():
+    """End-to-end perplexity: vectorized fast path vs the regex/factorize
+    fallback on mixed real-ish content — bit-identical floats."""
+    from data_quality_automated_evaluator_ray.models.langid import LangIdModel
+    from data_quality_automated_evaluator_ray.models.ngram_lm import NgramLM
+
+    from data_quality_automated_evaluator_ray.sources.codegen import clean_content
+    import random
+
+    lm = NgramLM.get()
+    texts = [clean_content(lang, random.Random(f"t:{lang}:{i}"))
+             for lang in sorted(lm.models) for i in range(3)]
+    texts += [None, "", "zz 123 !!", "é" * 50]
+    preds, _ = LangIdModel.get().score_batch(texts)
+    fast = lm.perplexity_batch(texts, preds)
+    try:
+        for m in lm.models.values():
+            m.fast_lookup = False
+        slow = lm.perplexity_batch(texts, preds)
+    finally:
+        for m in lm.models.values():
+            m.fast_lookup = True
+    assert fast == slow
+
+
+def test_inthash_table_exact_membership():
+    import numpy as np
+
+    from data_quality_automated_evaluator_ray.functions.inthash import (
+        IntHashTable, supports)
+
+    rng = np.random.RandomState(5)
+    keys = np.unique(rng.randint(0, 2**62, size=5000).astype(np.int64))
+    vals = np.arange(keys.size, dtype=np.int64)
+    ht = IntHashTable(keys, vals)
+    q = np.concatenate([keys, rng.randint(0, 2**62, size=8000)])
+    matched, got = ht.lookup(q)
+    import numpy.testing as npt
+    pos = np.searchsorted(keys, q)
+    pos_c = np.minimum(pos, keys.size - 1)
+    want_m = keys[pos_c] == q
+    npt.assert_array_equal(matched, want_m)
+    npt.assert_array_equal(got[matched], pos_c[want_m])
+    # sentinel key detection
+    assert not supports(np.array([-1], dtype=np.int64))
+    assert supports(keys)
