@@ -370,3 +370,51 @@ def test_inthash_table_exact_membership():
     # sentinel key detection
     assert not supports(np.array([-1], dtype=np.int64))
     assert supports(keys)
+
+
+def test_skew_and_hash_join_stress_zipf(ray_session, tmp_path):
+    """VERDICT r2 hardening: a LARGE Zipf-skewed fixture drives the
+    Dataset.join-based cold half and the broadcast hot half concurrently
+    with production-like num_partitions — aggregator sizing problems (the
+    round-2 local_supply deadlock class) must surface here, not in the
+    bench. 400k fact rows, one key holding ~40% of them, 2000 cold keys."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.joins import (
+        hash_join, skew_join)
+
+    rng = np.random.RandomState(0)
+    n, n_cold = 400_000, 2000
+    # Zipf-ish: 40% on key 0, the rest spread over cold keys with a
+    # head-heavy distribution
+    hot = rng.rand(n) < 0.4
+    cold_keys = (rng.zipf(1.3, size=n) % n_cold) + 1
+    k = np.where(hot, 0, cold_keys).astype(np.int64)
+    left = pd.DataFrame({"k": k, "x": np.arange(n, dtype=np.int64)})
+    right = pd.DataFrame({"k": np.arange(n_cold + 1, dtype=np.int64),
+                          "v": np.arange(n_cold + 1, dtype=np.int64) * 3})
+    lp, rp = str(tmp_path / "l.parquet"), str(tmp_path / "r.parquet")
+    pq.write_table(pa.Table.from_pandas(left, preserve_index=False), lp)
+    pq.write_table(pa.Table.from_pandas(right, preserve_index=False), rp)
+
+    lds = ray.data.read_parquet(lp).repartition(16)
+    rds = ray.data.read_parquet(rp)
+    got = skew_join(lds, rds, on="k", hot_threshold_frac=0.05,
+                    num_partitions=16)
+    # validate via aggregates (400k rows needn't come to the driver sorted)
+    want = left.merge(right, on="k")
+    assert got.count() == len(want)
+    import ray.data.aggregate as agg
+    s = got.aggregate(agg.Sum("v"), agg.Sum("x"))
+    assert s["sum(v)"] == int(want["v"].sum())
+    assert s["sum(x)"] == int(want["x"].sum())
+
+    # plain hash join on the same skewed input must also complete and agree
+    got2 = hash_join(ray.data.read_parquet(lp), rds, on="k",
+                     num_partitions=16)
+    assert got2.count() == len(want)
