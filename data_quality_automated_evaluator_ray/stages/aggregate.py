@@ -161,6 +161,31 @@ def _combine_partials(part: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(res)
 
 
+def _attach_median(narrow: "ray.data.Dataset",
+                   stats: pd.DataFrame) -> pd.DataFrame:
+    """Mergeable-quantile-sketch median per (key, feature), joined onto the
+    stats frame as ``{feature}_median`` columns."""
+    from ..functions.quantiles import merge_quantile
+
+    sk = narrow.map_batches(_median_partials, batch_format="pyarrow",
+                            batch_size=8192, zero_copy_batch=True)
+
+    def _median(g: pd.DataFrame) -> pd.DataFrame:
+        partials = [(np.asarray(p, dtype=np.float64), int(n))
+                    for p, n in zip(g["points"], g["n"])]
+        return pd.DataFrame([{
+            "repo": g["repo"].iloc[0], "lang": g["lang"].iloc[0],
+            "feature": g["feature"].iloc[0],
+            "median": merge_quantile(partials, 0.5),
+        }])
+
+    med = sk.groupby(KEY + ["feature"]).map_groups(
+        _median, batch_format="pandas").to_pandas()
+    med_wide = med.pivot(index=KEY, columns="feature", values="median")
+    med_wide.columns = [f"{c}_median" for c in med_wide.columns]
+    return stats.merge(med_wide.reset_index(), on=KEY, how="left")
+
+
 def _hll_partials(batch: pa.Table) -> pa.Table:
     """One HLL sketch per (repo, lang) per batch over content hashes —
     the shuffle payload is O(keys × batches × 4 KiB), independent of rows."""
@@ -219,6 +244,64 @@ def partition_metrics_scalable(ds: "ray.data.Dataset",
         .materialize()
     from .partitioning import partitioned_groupby
 
+    if not approx_distinct:
+        # ONE shuffle for both reductions (round 3; was two sequential
+        # partitioned_groupby runs, each paying the sort-shuffle fixed
+        # cost): each batch emits its moment-partial rows AND its
+        # within-batch-distinct (key, sha) rows as one side-tagged union —
+        # schemas aligned batch-side where both are known — and the
+        # per-partition combine computes moments + exact nunique together.
+        def _arr(col) -> pa.Array:
+            return (col.combine_chunks()
+                    if isinstance(col, pa.ChunkedArray) else col)
+
+        def _fused_partials(batch: pa.Table) -> pa.Table:
+            p = _partials(batch)
+            t = _distinct_triples(batch)
+            n_p, n_t = p.num_rows, t.num_rows
+            cols = {}
+            for name in p.column_names:
+                col = _arr(p.column(name))
+                if name in KEY:
+                    cols[name] = pa.concat_arrays(
+                        [col, _arr(t.column(name))])
+                else:
+                    # null-free neutral fill keeps int64 columns int64
+                    # through the pandas coarse partition
+                    z = pa.array(np.zeros(n_t, dtype=col.type.to_pandas_dtype()),
+                                 col.type)
+                    cols[name] = pa.concat_arrays([col, z])
+            cols["content_sha256"] = pa.concat_arrays(
+                [pa.array([""] * n_p, pa.string()),
+                 _arr(t.column("content_sha256"))])
+            cols["__side"] = pa.array(
+                np.concatenate([np.zeros(n_p, np.int8), np.ones(n_t, np.int8)]),
+                pa.int8())
+            return pa.table(cols)
+
+        def _combined_part(part: pd.DataFrame) -> pd.DataFrame:
+            side = part["__side"].to_numpy()
+            stats_p = _combine_partials(
+                part.loc[side == 0].drop(columns=["content_sha256", "__side"]))
+            tri = part.loc[side == 1, KEY + ["content_sha256"]]
+            uniq_p = tri.groupby(KEY, sort=False)["content_sha256"] \
+                .nunique().reset_index() \
+                .rename(columns={"content_sha256": "n_unique_sha"})
+            return stats_p.merge(uniq_p, on=KEY, how="left")
+
+        fused = narrow.map_batches(_fused_partials, batch_format="pyarrow",
+                                   batch_size=8192, zero_copy_batch=True)
+        merged = partitioned_groupby(fused, KEY, _combined_part).to_pandas()
+        if approx_median:
+            merged = _attach_median(narrow, merged)
+        merged["dup_rate"] = np.clip(np.where(
+            merged["n_nonnull"] > 0,
+            1.0 - merged["n_unique_sha"].fillna(0)
+            / np.maximum(merged["n_nonnull"], 1),
+            0.0), 0.0, 1.0)
+        merged = merged.drop(columns=["n_unique_sha", "n_nonnull"])
+        return ray.data.from_pandas(merged)
+
     partials = narrow.map_batches(_partials, batch_format="pyarrow",
                                   batch_size=8192, zero_copy_batch=True)
     # coarse partitions + fully-vectorized per-partition combine: Ray's
@@ -227,59 +310,30 @@ def partition_metrics_scalable(ds: "ray.data.Dataset",
     # partition with C-level groupby + bincount
     stats = partitioned_groupby(partials, KEY, _combine_partials).to_pandas()
 
-    if approx_distinct:
-        # HLL sketches: ~1.6% standard error; the shuffle is O(keys × batches
-        # × 4 KiB) — measured WORSE than the exact triples path when keys are
-        # many and small (3495 keys / 1M rows: 26s vs 20s, sketch bytes exceed
-        # the distinct-hash bytes). Use only when rows-per-(key, batch) ≫ 4096
-        # — e.g. corpus-level or per-language distinct counts at 10^12 files.
-        from ..functions.sketches import hll_estimate, hll_merge
+    # HLL sketches: ~1.6% standard error; the shuffle is O(keys × batches
+    # × 4 KiB) — measured WORSE than the exact triples path when keys are
+    # many and small (3495 keys / 1M rows: 26s vs 20s, sketch bytes exceed
+    # the distinct-hash bytes). Use only when rows-per-(key, batch) ≫ 4096
+    # — e.g. corpus-level or per-language distinct counts at 10^12 files.
+    from ..functions.sketches import hll_estimate, hll_merge
 
-        sketches = narrow.map_batches(_hll_partials, batch_format="pyarrow",
-                                      batch_size=8192, zero_copy_batch=True)
+    sketches = narrow.map_batches(_hll_partials, batch_format="pyarrow",
+                                  batch_size=8192, zero_copy_batch=True)
 
-        def _est(g: pd.DataFrame) -> pd.DataFrame:
-            sk = None
-            for b in g["sketch"]:
-                arr = np.frombuffer(b, dtype=np.uint8)
-                sk = arr.copy() if sk is None else hll_merge(sk, arr)
-            return pd.DataFrame([{"repo": g["repo"].iloc[0],
-                                  "lang": g["lang"].iloc[0],
-                                  "n_unique_sha": hll_estimate(sk)}])
+    def _est(g: pd.DataFrame) -> pd.DataFrame:
+        sk = None
+        for b in g["sketch"]:
+            arr = np.frombuffer(b, dtype=np.uint8)
+            sk = arr.copy() if sk is None else hll_merge(sk, arr)
+        return pd.DataFrame([{"repo": g["repo"].iloc[0],
+                              "lang": g["lang"].iloc[0],
+                              "n_unique_sha": hll_estimate(sk)}])
 
-        uniq = sketches.groupby(KEY).map_groups(_est, batch_format="pandas") \
-                       .to_pandas()
-    else:
-        triples = narrow.map_batches(_distinct_triples, batch_format="pyarrow",
-                                     batch_size=8192, zero_copy_batch=True)
-
-        def _nunique_part(part: pd.DataFrame) -> pd.DataFrame:
-            out = part.groupby(KEY, sort=False)["content_sha256"] \
-                .nunique().reset_index()
-            return out.rename(columns={"content_sha256": "n_unique_sha"})
-
-        uniq = partitioned_groupby(triples, KEY, _nunique_part).to_pandas()
+    uniq = sketches.groupby(KEY).map_groups(_est, batch_format="pandas") \
+                   .to_pandas()
 
     if approx_median:
-        from ..functions.quantiles import merge_quantile
-
-        sk = narrow.map_batches(_median_partials, batch_format="pyarrow",
-                                batch_size=8192, zero_copy_batch=True)
-
-        def _median(g: pd.DataFrame) -> pd.DataFrame:
-            partials = [(np.asarray(p, dtype=np.float64), int(n))
-                        for p, n in zip(g["points"], g["n"])]
-            return pd.DataFrame([{
-                "repo": g["repo"].iloc[0], "lang": g["lang"].iloc[0],
-                "feature": g["feature"].iloc[0],
-                "median": merge_quantile(partials, 0.5),
-            }])
-
-        med = sk.groupby(KEY + ["feature"]).map_groups(
-            _median, batch_format="pandas").to_pandas()
-        med_wide = med.pivot(index=KEY, columns="feature", values="median")
-        med_wide.columns = [f"{c}_median" for c in med_wide.columns]
-        stats = stats.merge(med_wide.reset_index(), on=KEY, how="left")
+        stats = _attach_median(narrow, stats)
 
     merged = stats.merge(uniq, on=KEY, how="left")
     merged["dup_rate"] = np.clip(np.where(
