@@ -55,9 +55,13 @@ class IntHashTable:
         slot = (q64 * HASH_MIX) >> self._shift
         kv = self._kv[slot]
         k = kv[:, 0]
-        matched = k == q
+        # a QUERY equal to the sentinel bit pattern would false-positive
+        # against empty slots (k == q == -1); build-time keys are guarded by
+        # supports(), so such a query can never be a real member — mask it
+        q_valid = q != _EMPTY
+        matched = (k == q) & q_valid
         values = kv[:, 1]
-        pending = np.flatnonzero(~matched & (k != _EMPTY))
+        pending = np.flatnonzero(~matched & (k != _EMPTY) & q_valid)
         probe = np.uint64(1)
         while pending.size:
             pos = (slot[pending] + probe) & self._mask

@@ -42,7 +42,9 @@ def _prune_stale_partitions(out_dir: str, metrics_root: str,
     import re
     import shutil
 
-    pat = re.compile(r"^part-(\d{5})(\.json)?$")
+    # \d{5,}: indices >= 100000 widen past the :05d padding — the stale
+    # tail must still prune at that scale
+    pat = re.compile(r"^part-(\d{5,})(\.json)?$")
     for root in (out_dir, metrics_root, lineage_dir):
         if not os.path.isdir(root):
             continue

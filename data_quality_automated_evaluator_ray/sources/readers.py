@@ -72,26 +72,42 @@ def filesystem_for(path: str | list[str] | None,
     Returns ``(None, path)`` for plain local paths with no options — Ray's
     default resolution. Unknown option keys fail loudly: a typo'd credential
     key must not silently fall back to anonymous access."""
+    def _scheme(one: str) -> str:
+        return one.split("://", 1)[0] if "://" in one else ""
+
     p = (path[0] if isinstance(path, list) else path) or ""
-    scheme = p.split("://", 1)[0] if "://" in p else ""
+    scheme = _scheme(p)
+    if isinstance(path, list):
+        # one filesystem serves the whole list — mixed schemes would
+        # silently read element N's key against element 0's store
+        mixed = sorted({_scheme(x) for x in path})
+        if len(mixed) > 1:
+            raise ValueError(f"mixed path schemes {mixed} in one source; "
+                             f"split into separate sources")
 
     def _strip(one: str) -> str:
         return one.split("://", 1)[1] if "://" in one else one
 
+    def _check_keys(allowed: set[str], label: str) -> None:
+        # every scheme fails loudly on unknown keys: a typo'd credential
+        # key must not silently fall back to default/anonymous auth
+        unknown = sorted(set(storage_options) - allowed)
+        if unknown:
+            raise ValueError(
+                f"unsupported {label} storage_options keys {unknown}; "
+                f"supported: {sorted(allowed)}")
+
     stripped = ([_strip(x) for x in path] if isinstance(path, list)
                 else (_strip(path) if path else path))
     if scheme in ("", "file", "local"):
-        if not storage_options and not scheme:
+        _check_keys(set(), "local-path")
+        if not scheme:
             return None, path
         from pyarrow.fs import LocalFileSystem
 
         return LocalFileSystem(), stripped
     if scheme == "s3":
-        unknown = sorted(set(storage_options) - set(_S3_OPTION_MAP))
-        if unknown:
-            raise ValueError(
-                f"unsupported s3 storage_options keys {unknown}; "
-                f"supported: {sorted(set(_S3_OPTION_MAP))}")
+        _check_keys(set(_S3_OPTION_MAP), "s3")
         kw: dict[str, Any] = {}
         for k, v in storage_options.items():
             kw[_S3_OPTION_MAP[k]] = v
@@ -99,6 +115,7 @@ def filesystem_for(path: str | list[str] | None,
 
         return S3FileSystem(**kw), stripped
     if scheme in ("gs", "gcs"):
+        _check_keys({"anon", "anonymous"}, "gcs")
         from pyarrow.fs import GcsFileSystem
 
         if storage_options.get("anon") or storage_options.get("anonymous"):

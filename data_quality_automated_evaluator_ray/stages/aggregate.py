@@ -235,13 +235,18 @@ def partition_metrics_scalable(ds: "ray.data.Dataset",
     combine, and exact distinct-hash counting on within-batch-deduped narrow
     triples (ONE shuffle each). All algebraic statistics are exact; median is
     only in the exact ``partition_metrics`` path."""
-    # materialize the NARROW projection once (~100 B/row, no content): both
-    # the moments branch and the distinct-hash branch consume it, and without
-    # this the upstream pipeline (model stages included) would execute twice.
-    # At extreme scale, fold metrics into the runner's per-partition pass.
+    # The default path is ONE fused stream (moments + distinct-sha in the
+    # same shuffle), so it streams straight through with no materialization
+    # or object-store copy. Only the multi-consumer variants (approx_median
+    # adds a second stream, approx_distinct adds the HLL stream alongside
+    # the moments) materialize the narrow projection once — without that,
+    # the upstream pipeline (model stages included) would execute per
+    # consumer. At extreme scale, fold metrics into the runner's
+    # per-partition pass instead.
     narrow = ds.select_columns(
-        KEY + ["keep", "content_sha256"] + _features_in(ds.schema().names)) \
-        .materialize()
+        KEY + ["keep", "content_sha256"] + _features_in(ds.schema().names))
+    if approx_distinct or approx_median:
+        narrow = narrow.materialize()
     from .partitioning import partitioned_groupby
 
     if not approx_distinct:

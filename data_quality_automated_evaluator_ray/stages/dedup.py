@@ -115,7 +115,9 @@ def exact_dedup(ds: "ray.data.Dataset", text_col: str = "text",
 # Shingling + MinHash
 # ---------------------------------------------------------------------------
 def _token_shingles(text: str, k: int) -> list[str]:
-    toks = text.split()
+    from .text import ascii_tokens
+
+    toks = ascii_tokens(text)  # oracle class [ \t\n\r], NOT str.split()
     if len(toks) < k:
         return [" ".join(toks)] if toks else []
     return [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
@@ -256,7 +258,9 @@ def minhash_lsh_candidates(ds: "ray.data.Dataset", *, text_col: str = "text",
 # SimHash
 # ---------------------------------------------------------------------------
 def simhash64(text: str) -> int:
-    toks = text.split()
+    from .text import ascii_tokens
+
+    toks = ascii_tokens(text)  # oracle class [ \t\n\r], NOT str.split()
     if not toks:
         return 0
     hv = _stable_u64(toks)

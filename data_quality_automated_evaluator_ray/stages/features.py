@@ -78,14 +78,21 @@ def _ascii_class_counts(content: pa.Array
                 _ascii_byte_count(arr, _SPACE_LUT))
     packed = _PACKED_LUT[data]
     # reduceat over NON-EMPTY row starts only (consecutive non-empty
-    # segments tile the byte buffer exactly — same pattern as _line_stats);
+    # segments tile the byte range exactly — same pattern as _line_stats);
     # empty rows would otherwise corrupt neighbours via reduceat's
-    # empty-segment-returns-x[start] quirk
+    # empty-segment-returns-x[start] quirk. A SLICED array's value buffer
+    # extends past off[-1] (shared parent buffer), so the final segment
+    # needs an explicit end boundary or it absorbs the parent's tail bytes.
     nonempty = row_lens > 0
     seg = np.zeros(len(arr), dtype=np.int64)
     if nonempty.any():
-        seg[nonempty] = np.add.reduceat(
-            packed, off[:-1][nonempty].astype(np.int64))
+        ne_starts = off[:-1][nonempty].astype(np.int64)
+        end = int(off[-1])
+        if end < len(data):
+            seg[nonempty] = np.add.reduceat(
+                packed, np.append(ne_starts, end))[:-1]
+        else:
+            seg[nonempty] = np.add.reduceat(packed, ne_starts)
     m = np.int64(_MAX_PACKED_ROW)
     return (_mask_nulls(seg & m, arr),
             _mask_nulls((seg >> _FIELD_BITS) & m, arr),

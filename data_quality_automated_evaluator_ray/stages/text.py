@@ -8,6 +8,7 @@ actor-friendly callables.
 from __future__ import annotations
 
 import hashlib
+import re
 
 import numpy as np
 import pandas as pd
@@ -66,7 +67,7 @@ def repetition_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
             dup_tok.append(None if s is None else 0.0)
             continue
         lines = s.split("\n")
-        toks = s.split()
+        toks = ascii_tokens(s)
         nl, nt = len(lines), len(toks)
         ul = pd.unique(pd.Index(lines)).size
         ut = pd.unique(pd.Index(toks)).size if nt else 0
@@ -149,6 +150,18 @@ class DocumentLangId:
         return (batch
                 .append_column("lang_pred", pa.array(preds, pa.string()))
                 .append_column("lang_conf", pa.array(confs, pa.float64())))
+
+
+_ASCII_WS_RE = re.compile(r"[ \t\n\r]+")
+
+
+def ascii_tokens(text: str) -> list[str]:
+    """Whitespace tokens on the EXACT ASCII class ``[ \t\n\r]+`` — the
+    class every SQL oracle uses (``[^ \x09\x0a\x0d]+``). Python
+    ``str.split()`` splits on ALL Unicode whitespace (\x0b, \x0c, NBSP,
+    U+2028 …) and silently diverges from the oracles on such docs; every
+    scalar tokenization in the engine goes through this helper instead."""
+    return [t for t in _ASCII_WS_RE.split(text) if t]
 
 
 def _whitespace_token_counts(col) -> "tuple[np.ndarray, np.ndarray]":

@@ -418,3 +418,26 @@ def test_skew_and_hash_join_stress_zipf(ray_session, tmp_path):
     got2 = hash_join(ray.data.read_parquet(lp), rds, on="k",
                      num_partitions=16)
     assert got2.count() == len(want)
+
+
+def test_ascii_tokens_matches_oracle_class_on_exotic_whitespace(ray_session):
+    """Code-review r3: operators must tokenize on the oracles' exact ASCII
+    class [ \\t\\n\\r] — Python str.split() splits on \\x0b/\\x0c/NBSP and
+    silently diverged. Drive a \\x0c doc through the shingle/simhash paths
+    and compare against DuckDB with the oracle regex."""
+    import duckdb
+
+    from data_quality_automated_evaluator_ray.stages.dedup import (
+        _token_shingles, simhash64)
+    from data_quality_automated_evaluator_ray.stages.text import ascii_tokens
+
+    doc = "a\x0cb c\xa0d e"
+    con = duckdb.connect()
+    want = con.execute(
+        r"select regexp_extract_all(?, '[^ \x09\x0a\x0d]+')", [doc]
+    ).fetchone()[0]
+    con.close()
+    assert ascii_tokens(doc) == want == ["a\x0cb", "c\xa0d", "e"]
+    # shingles and simhash build on the same token stream
+    assert _token_shingles(doc, 3) == ["a\x0cb c\xa0d e"]
+    assert simhash64("a\x0cb") == simhash64("a\x0cb")  # deterministic
