@@ -32,6 +32,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from .text import ascii_tokens
 from .partitioning import partitioned_groupby as _apply_per_bucket
 
 _MERSENNE = (1 << 61) - 1
@@ -115,8 +116,6 @@ def exact_dedup(ds: "ray.data.Dataset", text_col: str = "text",
 # Shingling + MinHash
 # ---------------------------------------------------------------------------
 def _token_shingles(text: str, k: int) -> list[str]:
-    from .text import ascii_tokens
-
     toks = ascii_tokens(text)  # oracle class [ \t\n\r], NOT str.split()
     if len(toks) < k:
         return [" ".join(toks)] if toks else []
@@ -258,8 +257,6 @@ def minhash_lsh_candidates(ds: "ray.data.Dataset", *, text_col: str = "text",
 # SimHash
 # ---------------------------------------------------------------------------
 def simhash64(text: str) -> int:
-    from .text import ascii_tokens
-
     toks = ascii_tokens(text)  # oracle class [ \t\n\r], NOT str.split()
     if not toks:
         return 0
