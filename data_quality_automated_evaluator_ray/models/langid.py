@@ -165,7 +165,13 @@ class LangIdModel:
             return preds, confs
         cat = np.frombuffer("".join(trunc).encode("utf-32-le"),
                             dtype=np.uint32).astype(np.int64)
-        codes_full = (cat[:-2] * _CHAR_SPACE + cat[1:-1]) * _CHAR_SPACE + cat[2:]
+        # in-place multiply-adds: one ~32 MB temporary instead of three —
+        # the fused stage is DRAM-bound at full machine width, so allocation
+        # traffic here directly costs wide-width scaling (values identical)
+        codes_full = cat[:-2] * _CHAR_SPACE
+        codes_full += cat[1:-1]
+        codes_full *= _CHAR_SPACE
+        codes_full += cat[2:]
         starts = np.zeros(len(trunc), dtype=np.int64)
         np.cumsum(lens[:-1], out=starts[1:])
         c, s = counts[nonempty], starts[nonempty]

@@ -94,8 +94,10 @@ def _tokenize_spans(texts: list[str]) -> tuple[np.ndarray, np.ndarray,
     """
     trunc = [t[:_MAX_CHARS] for t in texts]
     lens = np.array([len(t) for t in trunc], dtype=np.int64)
+    # int32 codepoints (max U+10FFFF < 2^21): halves the memory traffic of
+    # every downstream gather/compare vs int64 — same values everywhere
     cp = np.frombuffer("".join(trunc).encode("utf-32-le"),
-                       dtype=np.uint32).astype(np.int64)
+                       dtype=np.uint32).astype(np.int32)
     n = cp.size
     row_starts = np.zeros(len(trunc), dtype=np.int64)
     np.cumsum(lens[:-1], out=row_starts[1:])
@@ -192,7 +194,7 @@ class _LangLM:
         self.voff = np.zeros(len(toks) + 1, dtype=np.int64)
         np.cumsum(self.vlen, out=self.voff[1:])
         self.vflat = np.frombuffer("".join(toks).encode("utf-32-le"),
-                                   dtype=np.uint32).astype(np.int64)
+                                   dtype=np.uint32).astype(np.int32)
         from ..functions.inthash import IntHashTable, supports
 
         vh = np.array([_poly_hash_cps(
