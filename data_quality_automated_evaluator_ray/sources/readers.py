@@ -72,17 +72,21 @@ def filesystem_for(path: str | list[str] | None,
     Returns ``(None, path)`` for plain local paths with no options — Ray's
     default resolution. Unknown option keys fail loudly: a typo'd credential
     key must not silently fall back to anonymous access."""
+    _FAMILY = {"": "local", "file": "local", "local": "local",
+               "s3": "s3", "gs": "gcs", "gcs": "gcs"}
+
     def _scheme(one: str) -> str:
         return one.split("://", 1)[0] if "://" in one else ""
 
     p = (path[0] if isinstance(path, list) else path) or ""
     scheme = _scheme(p)
     if isinstance(path, list):
-        # one filesystem serves the whole list — mixed schemes would
-        # silently read element N's key against element 0's store
-        mixed = sorted({_scheme(x) for x in path})
-        if len(mixed) > 1:
-            raise ValueError(f"mixed path schemes {mixed} in one source; "
+        # one filesystem serves the whole list — mixed FAMILIES would
+        # silently read element N's key against element 0's store (scheme
+        # aliases of one family — gs/gcs, bare//file:// — are fine)
+        fams = sorted({_FAMILY.get(_scheme(x), _scheme(x)) for x in path})
+        if len(fams) > 1:
+            raise ValueError(f"mixed path schemes {fams} in one source; "
                              f"split into separate sources")
 
     def _strip(one: str) -> str:

@@ -197,14 +197,28 @@ def test_filesystem_for_s3_env_credentials(monkeypatch):
 
 
 def test_read_source_explicit_local_filesystem(ray_session, tmp_path):
-    """file:// scheme (or any storage_options on a local path) routes
-    through an explicit LocalFileSystem and still reads correctly."""
+    """file:// scheme routes through an explicit LocalFileSystem and reads
+    correctly; storage_options on a local path fail loudly (credentials
+    on a local read are a misconfiguration, not something to ignore);
+    scheme ALIASES of one family in a path list are fine, mixed families
+    are rejected."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from data_quality_automated_evaluator_ray.sources.readers import read_source
+    from data_quality_automated_evaluator_ray.sources.readers import (
+        filesystem_for, read_source)
 
     p = tmp_path / "t.parquet"
     pq.write_table(pa.table({"a": [1, 2, 3]}), str(p))
     ds = read_source({"path": f"file://{p}", "format": "parquet"})
     assert sorted(ds.to_pandas()["a"]) == [1, 2, 3]
+
+    with pytest.raises(ValueError, match="local-path storage_options"):
+        filesystem_for(str(p), {"anon": True})
+    # same-family aliases OK; mixed families rejected
+    fs, paths = filesystem_for([f"file://{p}", str(p)], {})
+    assert paths == [str(p), str(p)]
+    with pytest.raises(ValueError, match="mixed path schemes"):
+        filesystem_for(["s3://b/x.parquet", "gs://c/y.parquet"], {})
+    fs2, _ = filesystem_for(["gs://b/x.parquet", "gcs://b/y.parquet"],
+                            {"anon": True})
