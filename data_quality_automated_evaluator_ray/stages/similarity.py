@@ -224,6 +224,42 @@ def kmeans_cluster_stats(ds: "ray.data.Dataset", *, n_clusters: int = 16,
     return out[["cluster", "n", "avg_cos"]]
 
 
+def cluster_balanced_sample(ds: "ray.data.Dataset", *, n_clusters: int = 16,
+                            per_cluster: int = 10, sample_size: int = 2000,
+                            id_col: str = "vec_id",
+                            emb_col: str = "embedding") -> "ray.data.Dataset":
+    """Topic-balanced corpus subset (DataComp-style cluster balancing):
+    assign EVERY embedding to its nearest deterministic k-means centroid,
+    then keep at most ``per_cluster`` rows per cluster (the first by
+    ``id_col`` — deterministic, engine-independent). Counters mode collapse
+    when mixing a training corpus: no cluster can dominate the sample.
+
+    Scale shape: the (k × d) centroid matrix broadcasts once via
+    ``ray.put``; assignment is ONE matmul per batch emitting only
+    (id, cluster) narrow rows; the cap is selection.quota_cap's
+    local-prune + one coarse-partition rank pass — embeddings never enter
+    a shuffle. Assignment ties break to the LOWEST cluster id (np.argmax
+    first-max), matching the oracle's ``order by cosine desc, cluster``."""
+    from .selection import quota_cap
+
+    centroids = train_deterministic_quantizer(
+        ds, n_clusters, sample_size=sample_size, id_col=id_col,
+        emb_col=emb_col)
+    cent_ref = ray.put(centroids)
+
+    def _assign(b: pa.Table) -> pa.Table:
+        cent = ray.get(cent_ref)
+        emb = _normalize(_matrix(b.column(emb_col)))
+        cl = np.argmax(emb @ cent.T, axis=1)
+        return pa.table({id_col: b.column(id_col),
+                         "cluster": pa.array(cl, pa.int64())})
+
+    assigned = ds.select_columns([id_col, emb_col]) \
+        .map_batches(_assign, batch_format="pyarrow")
+    return quota_cap(assigned, per_cluster, key_col="cluster",
+                     order_col=id_col, keep_cols=[id_col, "cluster"])
+
+
 class IvfIndexer:
     """Actor stage: assign each row to its nearest coarse centroid."""
 
