@@ -176,7 +176,10 @@ def run_bench() -> dict:
                           "funnel_view_purchase_events",
                           "local_supply_revenue",
                           "standardize_embeddings_znorm",
-                          "chunk_documents_rag"]}
+                          "chunk_documents_rag",
+                          # round 3: topic-balancing composition (kmeans
+                          # assignment + per-cluster quota)
+                          "cluster_balanced_embeddings"]}
     suite.update(singles)
     suite.update(extra)
     for name, fn in suite.items():
