@@ -156,22 +156,20 @@ def _cast_overrides(overrides: dict[str, str]):
     return _apply
 
 
-def _read_xlsx(path: str | list[str], columns: list[str] | None) -> "ray.data.Dataset":
-    try:
-        import openpyxl  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "XLSX reading needs the 'openpyxl' package (not installed in "
-            "this environment); reference handle_data.py:106 uses "
-            "pl.read_excel the same eager way") from exc
-    import pandas as pd
+def _read_xlsx(path: str | list[str], columns: list[str] | None,
+               sheet: str | None = None) -> "ray.data.Dataset":
+    """XLSX → Dataset via the from-scratch SpreadsheetML parser
+    (sources/xlsx.py, stdlib zip+XML — no Excel engine needed; reference
+    handle_data.py:106 reads the same eager way via pl.read_excel). XLSX is
+    inherently a small driver-side format (no splittable reader exists)."""
+    from .xlsx import read_xlsx_table
 
     paths = path if isinstance(path, list) else [path]
-    frames = [pd.read_excel(p) for p in paths]
-    df = frames[0] if len(frames) == 1 else pd.concat(frames, ignore_index=True)
+    tables = [read_xlsx_table(p, sheet=sheet) for p in paths]
+    t = tables[0] if len(tables) == 1 else pa.concat_tables(tables)
     if columns:
-        df = df[columns]
-    return ray.data.from_pandas(df)
+        t = t.select(columns)
+    return ray.data.from_arrow(t)
 
 
 def _read_sql(source: dict[str, Any],
@@ -265,10 +263,10 @@ def read_source(source: dict[str, Any]) -> "ray.data.Dataset":
             ds = ds.select_columns(columns)
     elif fmt == "xlsx":
         # reference handle_data.py:106,129-130 (eager pl.read_excel → lazy);
-        # here: eager pandas read → from_pandas. XLSX is inherently a small
-        # driver-side format (no splittable reader exists); gated on an Excel
-        # engine being installed (openpyxl — absent in this sandbox).
-        ds = _read_xlsx(path, columns)
+        # here: eager from-scratch SpreadsheetML parse (sources/xlsx.py) →
+        # from_arrow. XLSX is inherently a small driver-side format (no
+        # splittable reader exists).
+        ds = _read_xlsx(path, columns, sheet=source.get("sheet"))
     elif fmt in ("sql", "postgresql", "sqlite"):
         if fmt == "sqlite" and "driver" not in source:
             source = {**source, "driver": "sqlite3"}

@@ -1,0 +1,229 @@
+"""From-scratch XLSX reader: stdlib ``zipfile`` + ``xml.etree``, no engine.
+
+XLSX (ECMA-376 / ISO-29500 SpreadsheetML) is a zip archive of XML parts.
+The reference reads Excel eagerly via ``pl.read_excel`` (reference
+handle_data.py:106); this environment ships no Excel engine (openpyxl /
+xlsx2csv are absent), so the part structure is parsed directly from the
+public spec:
+
+    xl/workbook.xml             sheet name → relationship id
+    xl/_rels/workbook.xml.rels  relationship id → worksheet part path
+    xl/sharedStrings.xml        shared-string table (``t="s"`` cells index it)
+    xl/styles.xml               cellXfs ``numFmtId`` → is-date-format flag
+    xl/worksheets/sheetN.xml    rows of ``<c r= t= s=><v>…</v></c>``
+
+Only what a tabular read needs is implemented; unknown cell types fail
+loudly rather than mis-decoding. The first row is the header (matching the
+reference's ``pl.read_excel`` default), and column dtypes are inferred:
+int64 when every value parses integral, float64 for mixed numerics, bool,
+date32 / timestamp[us] for date-styled serials, utf8 otherwise.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import re
+import zipfile
+from typing import Any
+from xml.etree import ElementTree as ET
+
+import pyarrow as pa
+
+# Built-in numFmtIds that render as dates/times (SpreadsheetML §18.8.30).
+_BUILTIN_DATE_FMTS = set(range(14, 23)) | set(range(27, 37)) | \
+    set(range(45, 48)) | set(range(50, 59))
+# Inside a custom format code, any y/m/d/h/s token outside quoted literals
+# and outside [] sections (colors, conditions) marks a date format.
+_QUOTED = re.compile(r'"[^"]*"|\[[^\]]*\]|\\.')
+_DATE_TOKEN = re.compile(r"[ymdhs]", re.IGNORECASE)
+
+# Excel serial day 0 == 1899-12-30 (the convention that absorbs Lotus's
+# phantom 1900-02-29; serials ≥ 61 are then calendar-correct).
+_EPOCH = _dt.datetime(1899, 12, 30)
+
+
+def _local(tag: str) -> str:
+    """Local name of a possibly-namespaced XML tag."""
+    return tag.rsplit("}", 1)[-1]
+
+
+def _col_index(ref: str) -> int:
+    """'B7' → 1; 'AA3' → 26 (0-based column from an A1-style cell ref)."""
+    n = 0
+    for ch in ref:
+        if ch.isalpha():
+            n = n * 26 + (ord(ch.upper()) - ord("A") + 1)
+        else:
+            break
+    if n == 0:
+        raise ValueError(f"malformed cell reference {ref!r}")
+    return n - 1
+
+
+def _is_date_format(code: str) -> bool:
+    return bool(_DATE_TOKEN.search(_QUOTED.sub("", code)))
+
+
+def _date_styles(z: zipfile.ZipFile) -> list[bool]:
+    """cellXfs index → True when that style renders as a date/time."""
+    try:
+        root = ET.fromstring(z.read("xl/styles.xml"))
+    except KeyError:
+        return []
+    custom_date: set[int] = set()
+    for el in root.iter():
+        if _local(el.tag) == "numFmt":
+            if _is_date_format(el.get("formatCode", "")):
+                custom_date.add(int(el.get("numFmtId", "-1")))
+    flags: list[bool] = []
+    for el in root.iter():
+        if _local(el.tag) == "cellXfs":
+            for xf in el:
+                if _local(xf.tag) != "xf":
+                    continue
+                fmt = int(xf.get("numFmtId", "0"))
+                flags.append(fmt in _BUILTIN_DATE_FMTS or fmt in custom_date)
+    return flags
+
+
+def _shared_strings(z: zipfile.ZipFile) -> list[str]:
+    try:
+        root = ET.fromstring(z.read("xl/sharedStrings.xml"))
+    except KeyError:
+        return []
+    out: list[str] = []
+    for si in root:
+        if _local(si.tag) != "si":
+            continue
+        # plain <t> or rich-text runs <r><t>…; itertext over the si element
+        # concatenates both shapes
+        out.append("".join(
+            t.text or "" for t in si.iter() if _local(t.tag) == "t"))
+    return out
+
+
+def _sheet_part(z: zipfile.ZipFile, sheet: str | None) -> str:
+    """Resolve the worksheet part path for ``sheet`` (None → first sheet)."""
+    wb = ET.fromstring(z.read("xl/workbook.xml"))
+    rid_attr = ("{http://schemas.openxmlformats.org/officeDocument/2006/"
+                "relationships}id")
+    sheets: list[tuple[str, str]] = []  # (name, rid)
+    for el in wb.iter():
+        if _local(el.tag) == "sheet":
+            sheets.append((el.get("name", ""), el.get(rid_attr, "")))
+    if not sheets:
+        raise ValueError("workbook has no sheets")
+    if sheet is None:
+        name, rid = sheets[0]
+    else:
+        match = [s for s in sheets if s[0] == sheet]
+        if not match:
+            raise ValueError(f"sheet {sheet!r} not found; have "
+                             f"{[s[0] for s in sheets]}")
+        name, rid = match[0]
+    rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+    for rel in rels:
+        if rel.get("Id") == rid:
+            target = rel.get("Target", "")
+            return target if target.startswith("xl/") else f"xl/{target}"
+    raise ValueError(f"no relationship {rid!r} for sheet {name!r}")
+
+
+def _cell_value(el: ET.Element, strings: list[str],
+                date_styles: list[bool]) -> Any:
+    """Decode one <c> element to a Python value (None for blank/error)."""
+    t = el.get("t", "n")
+    v_text: str | None = None
+    inline: str | None = None
+    for child in el:
+        lc = _local(child.tag)
+        if lc == "v":
+            v_text = child.text or ""
+        elif lc == "is":
+            inline = "".join(x.text or "" for x in child.iter()
+                             if _local(x.tag) == "t")
+    if t == "inlineStr":
+        return inline
+    if v_text is None:
+        return None
+    if t == "s":
+        return strings[int(v_text)]
+    if t == "str":
+        return v_text
+    if t == "b":
+        return v_text.strip() in ("1", "true", "TRUE")
+    if t == "e":
+        return None  # cell error (#DIV/0! etc.) → null
+    if t == "n":
+        style = int(el.get("s", "-1"))
+        is_date = 0 <= style < len(date_styles) and date_styles[style]
+        if "." in v_text or "e" in v_text or "E" in v_text:
+            num: Any = float(v_text)
+        else:
+            num = int(v_text)
+        if is_date:
+            return _EPOCH + _dt.timedelta(days=float(num))
+        return num
+    raise ValueError(f"unsupported XLSX cell type {t!r}")
+
+
+def _infer_column(values: list[Any]) -> tuple[pa.DataType, list[Any]]:
+    """(arrow type, possibly-coerced values) for one column."""
+    kinds = {type(v) for v in values if v is not None}
+    if not kinds:
+        return pa.string(), values
+    if kinds <= {int}:
+        return pa.int64(), values
+    if kinds <= {int, float}:
+        return pa.float64(), [None if v is None else float(v) for v in values]
+    if kinds <= {bool}:
+        return pa.bool_(), values
+    if kinds <= {_dt.datetime}:
+        if all(v is None or (v.hour, v.minute, v.second, v.microsecond)
+               == (0, 0, 0, 0) for v in values):
+            return pa.date32(), [None if v is None else v.date()
+                                 for v in values]
+        return pa.timestamp("us"), values
+    if kinds <= {str}:
+        return pa.string(), values
+    # mixed → string, rendered the way Excel shows the raw value
+    return pa.string(), [None if v is None else str(v) for v in values]
+
+
+def read_xlsx_table(path: str, *, sheet: str | None = None) -> pa.Table:
+    """Parse one .xlsx file into a pyarrow Table (header = first row)."""
+    with zipfile.ZipFile(path) as z:
+        strings = _shared_strings(z)
+        date_styles = _date_styles(z)
+        part = _sheet_part(z, sheet)
+        root = ET.fromstring(z.read(part))
+
+    rows: list[dict[int, Any]] = []
+    for el in root.iter():
+        if _local(el.tag) != "row":
+            continue
+        cells: dict[int, Any] = {}
+        next_col = 0
+        for c in el:
+            if _local(c.tag) != "c":
+                continue
+            ref = c.get("r")
+            col = _col_index(ref) if ref else next_col
+            next_col = col + 1
+            val = _cell_value(c, strings, date_styles)
+            if val is not None:
+                cells[col] = val
+        rows.append(cells)
+    if not rows:
+        return pa.table({})
+
+    header, data = rows[0], rows[1:]
+    width = max([max(r) + 1 for r in rows if r] or [0])
+    names = [str(header.get(i, f"_c{i}")) for i in range(width)]
+    arrays, fields = [], []
+    for i, name in enumerate(names):
+        col_vals: list[Any] = [r.get(i) for r in data]
+        typ, vals = _infer_column(col_vals)
+        arrays.append(pa.array(vals, typ))
+        fields.append(pa.field(name, typ))
+    return pa.Table.from_arrays(arrays, schema=pa.schema(fields))

@@ -280,8 +280,8 @@ def test_read_source_parquet_and_overrides(ray_session, monkeypatch):
         "key": "s3cret", "plain": "x"}
     with pytest.raises(KeyError):
         substitute_env({"key": "$NOPE_NOT_SET"})
-    with pytest.raises(NotImplementedError):
-        read_source({"path": "x.xlsx"})
+    with pytest.raises(FileNotFoundError):
+        read_source({"path": "x.xlsx"})  # parsed from scratch; missing file
 
 
 def test_ivf_topk_recall(ray_session):

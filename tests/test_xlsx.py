@@ -1,0 +1,168 @@
+"""From-scratch XLSX reader (sources/xlsx.py): handcrafted SpreadsheetML
+workbooks (stdlib zipfile — full control over every cell shape, no Excel
+engine anywhere) exercised through both the parser and read_source."""
+
+import datetime as dt
+import zipfile
+
+import pyarrow as pa
+import pytest
+
+from data_quality_automated_evaluator_ray.sources.xlsx import (
+    _EPOCH, _col_index, read_xlsx_table)
+
+_NS = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+_RNS = ('xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/'
+        'relationships"')
+
+
+def _write_xlsx(path, sheet_xml, shared=(), sheets=("Sheet1",),
+                styles=None, sheet_xmls=None):
+    """Assemble a minimal valid .xlsx. ``sheet_xmls`` maps sheet position →
+    worksheet XML when more than one sheet is wanted."""
+    if styles is None:
+        # xf 0: General; xf 1: built-in date (14); xf 2: custom datetime
+        styles = f"""<styleSheet {_NS}>
+          <numFmts count="1">
+            <numFmt numFmtId="164" formatCode="yyyy\\-mm\\-dd hh:mm"/>
+          </numFmts>
+          <cellXfs count="3">
+            <xf numFmtId="0"/><xf numFmtId="14"/><xf numFmtId="164"/>
+          </cellXfs>
+        </styleSheet>"""
+    sheet_xmls = sheet_xmls or {0: sheet_xml}
+    sheet_els = "".join(
+        f'<sheet name="{n}" sheetId="{i+1}" r:id="rId{i+1}"/>'
+        for i, n in enumerate(sheets))
+    rel_els = "".join(
+        f'<Relationship Id="rId{i+1}" Type="http://schemas.openxmlformats.'
+        f'org/officeDocument/2006/relationships/worksheet" '
+        f'Target="worksheets/sheet{i+1}.xml"/>' for i in range(len(sheets)))
+    sst = "".join(f"<si>{s}</si>" for s in shared)
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("[Content_Types].xml", f'<Types {_NS}/>')
+        z.writestr("xl/workbook.xml",
+                   f'<workbook {_NS} {_RNS}><sheets>{sheet_els}</sheets>'
+                   f'</workbook>')
+        z.writestr("xl/_rels/workbook.xml.rels",
+                   f'<Relationships xmlns="http://schemas.openxmlformats.'
+                   f'org/package/2006/relationships">{rel_els}'
+                   f'</Relationships>')
+        z.writestr("xl/sharedStrings.xml",
+                   f'<sst {_NS} count="{len(shared)}">{sst}</sst>')
+        z.writestr("xl/styles.xml", styles)
+        for i in range(len(sheets)):
+            z.writestr(f"xl/worksheets/sheet{i+1}.xml",
+                       f'<worksheet {_NS}><sheetData>{sheet_xmls[i]}'
+                       f'</sheetData></worksheet>')
+    return str(path)
+
+
+def test_col_index():
+    assert [_col_index(r) for r in ("A1", "B7", "Z2", "AA3", "BC12")] == \
+        [0, 1, 25, 26, 54]
+    with pytest.raises(ValueError):
+        _col_index("7")
+
+
+def test_typed_columns_and_nulls(tmp_path):
+    d_date = (dt.datetime(2024, 3, 5) - _EPOCH).days
+    d_ts = d_date + 0.5  # 12:00, exactly representable
+    rows = f"""
+      <row r="1">
+        <c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c>
+        <c r="C1" t="s"><v>2</v></c><c r="D1" t="s"><v>3</v></c>
+        <c r="E1" t="s"><v>4</v></c><c r="F1" t="s"><v>5</v></c>
+      </row>
+      <row r="2">
+        <c r="A2"><v>7</v></c><c r="B2"><v>1.5</v></c>
+        <c r="C2" t="b"><v>1</v></c><c r="D2" t="s"><v>6</v></c>
+        <c r="E2" s="1"><v>{d_date}</v></c><c r="F2" s="2"><v>{d_ts}</v></c>
+      </row>
+      <row r="3">
+        <c r="A3"><v>-3</v></c><c r="B3"><v>2</v></c>
+        <c r="C3" t="b"><v>0</v></c>
+        <c r="D3" t="inlineStr"><is><t>inline!</t></is></c>
+        <c r="E3" s="1"><v>{d_date + 1}</v></c>
+        <c r="F3" s="2"><v>{d_ts + 2}</v></c>
+      </row>
+      <row r="4">
+        <c r="A4"><v>0</v></c>
+        <c r="C4" t="e"><v>#DIV/0!</v></c>
+        <c r="D4" t="str"><v>from-formula</v></c>
+      </row>
+    """
+    p = _write_xlsx(tmp_path / "t.xlsx", rows,
+                    shared=["<t>i</t>", "<t>f</t>", "<t>b</t>", "<t>s</t>",
+                            "<t>d</t>", "<t>ts</t>",
+                            "<r><t>rich </t></r><r><t>text</t></r>"])
+    t = read_xlsx_table(p)
+    assert t.column_names == ["i", "f", "b", "s", "d", "ts"]
+    assert t.schema.types == [pa.int64(), pa.float64(), pa.bool_(),
+                              pa.string(), pa.date32(), pa.timestamp("us")]
+    assert t.column("i").to_pylist() == [7, -3, 0]
+    assert t.column("f").to_pylist() == [1.5, 2.0, None]
+    assert t.column("b").to_pylist() == [True, False, None]  # error → null
+    assert t.column("s").to_pylist() == ["rich text", "inline!",
+                                         "from-formula"]
+    assert t.column("d").to_pylist() == [dt.date(2024, 3, 5),
+                                         dt.date(2024, 3, 6), None]
+    assert t.column("ts").to_pylist() == [
+        dt.datetime(2024, 3, 5, 12), dt.datetime(2024, 3, 7, 12), None]
+
+
+def test_int_plus_float_promotes(tmp_path):
+    rows = ('<row r="1"><c r="A1" t="inlineStr"><is><t>x</t></is></c></row>'
+            '<row r="2"><c r="A2"><v>1</v></c></row>'
+            '<row r="3"><c r="A3"><v>2.5</v></c></row>')
+    t = read_xlsx_table(_write_xlsx(tmp_path / "p.xlsx", rows))
+    assert t.schema.types == [pa.float64()]
+    assert t.column("x").to_pylist() == [1.0, 2.5]
+
+
+def test_sheet_selection(tmp_path):
+    s1 = ('<row r="1"><c r="A1" t="inlineStr"><is><t>a</t></is></c></row>'
+          '<row r="2"><c r="A2"><v>1</v></c></row>')
+    s2 = ('<row r="1"><c r="A1" t="inlineStr"><is><t>b</t></is></c></row>'
+          '<row r="2"><c r="A2"><v>2</v></c></row>')
+    p = _write_xlsx(tmp_path / "m.xlsx", None, sheets=("First", "Second"),
+                    sheet_xmls={0: s1, 1: s2})
+    assert read_xlsx_table(p).column_names == ["a"]          # default: first
+    assert read_xlsx_table(p, sheet="Second").column_names == ["b"]
+    with pytest.raises(ValueError, match="not found"):
+        read_xlsx_table(p, sheet="Nope")
+
+
+def test_sparse_refs_and_headerless_column(tmp_path):
+    # row 2 writes only column C — A/B are null; header row misses C's name
+    rows = ('<row r="1"><c r="A1" t="inlineStr"><is><t>a</t></is></c>'
+            '<c r="B1" t="inlineStr"><is><t>b</t></is></c></row>'
+            '<row r="2"><c r="C2"><v>9</v></c></row>')
+    t = read_xlsx_table(_write_xlsx(tmp_path / "s.xlsx", rows))
+    assert t.column_names == ["a", "b", "_c2"]
+    assert t.column("_c2").to_pylist() == [9]
+    assert t.column("a").to_pylist() == [None]
+
+
+def test_read_source_multi_file_and_columns(ray_session, tmp_path):
+    from data_quality_automated_evaluator_ray.sources.readers import (
+        read_source)
+
+    rows1 = ('<row r="1"><c r="A1" t="inlineStr"><is><t>k</t></is></c>'
+             '<c r="B1" t="inlineStr"><is><t>v</t></is></c></row>'
+             '<row r="2"><c r="A2"><v>1</v></c>'
+             '<c r="B2" t="inlineStr"><is><t>x</t></is></c></row>')
+    rows2 = ('<row r="1"><c r="A1" t="inlineStr"><is><t>k</t></is></c>'
+             '<c r="B1" t="inlineStr"><is><t>v</t></is></c></row>'
+             '<row r="2"><c r="A2"><v>2</v></c>'
+             '<c r="B2" t="inlineStr"><is><t>y</t></is></c></row>')
+    p1 = _write_xlsx(tmp_path / "a.xlsx", rows1)
+    p2 = _write_xlsx(tmp_path / "b.xlsx", rows2)
+    ds = read_source({"path": [p1, p2], "format": "xlsx", "columns": ["k"]})
+    got = sorted(r["k"] for r in ds.take_all())
+    assert got == [1, 2]
+    # schema_overrides compose on top of the xlsx read
+    ds2 = read_source({"path": p1, "format": "xlsx",
+                       "schema_overrides": {"k": "Float64"}})
+    [row] = ds2.take_all()
+    assert row["k"] == 1.0 and isinstance(row["k"], float)
