@@ -12,9 +12,15 @@ Public-spec sources only: the Iceberg table spec
 manifest-list and manifest_entry Avro schemas, status/content codes) and the
 Avro container spec via ``sources/avro_codec``.
 
-Scope (documented, enforced): copy-on-write data reads. Tables carrying
-live DELETE manifests or delete-file entries (merge-on-read, spec content
-codes 1/2) raise NotImplementedError rather than returning wrong rows.
+Scope (documented, enforced): copy-on-write data reads plus merge-on-read
+POSITION deletes (spec content code 1): position-delete Parquet sidecars
+(``file_path``/``pos`` columns, spec §Position Delete Files) are read once
+on the driver, folded into a per-data-file sorted position index, broadcast
+via ``ray.put``, and applied inside each read task — the sidecars are tiny
+next to the data they tombstone, so a driver-side read + object-store
+broadcast is the scale-correct shape (a table whose delete sidecars rival
+its data needs compaction, not a fancier reader). Equality deletes (content
+code 2) raise NotImplementedError rather than returning wrong rows.
 """
 
 from __future__ import annotations
@@ -62,7 +68,21 @@ def iceberg_data_files(table_path: str, *,
                        ) -> list[str]:
     """Live Parquet data-file paths of the table's chosen snapshot;
     ``filter=(col, op, value)`` skips files whose manifest min/max bounds
-    cannot contain a matching row."""
+    cannot contain a matching row. (Position-delete sidecars, if any, are
+    NOT reflected here — use ``read_iceberg`` for merge-on-read results.)"""
+    data, _ = _scan_plan(table_path, snapshot_id=snapshot_id, filter=filter)
+    return [d["path"] for d in data]
+
+
+def _scan_plan(table_path: str, *,
+               snapshot_id: int | None = None,
+               filter: "tuple[str, str, Any] | None" = None
+               ) -> tuple[list[dict], list[dict]]:
+    """(data_files, position_delete_files) for the chosen snapshot, each a
+    ``{"path", "seq"}`` dict. ``seq`` is the Iceberg data sequence number
+    (entry field 3, inherited from the manifest when null — spec
+    "Sequence Number Inheritance"); a position delete applies to a data
+    file iff ``delete.seq >= data.seq``."""
     meta_path = resolve_metadata_path(table_path)
     meta = json.load(open(meta_path))
     fid = ftyp = None
@@ -70,7 +90,7 @@ def iceberg_data_files(table_path: str, *,
         fid, ftyp = _field_meta(meta, filter[0])
     snaps = meta.get("snapshots", [])
     if not snaps:
-        return []
+        return [], []
     want = snapshot_id if snapshot_id is not None \
         else meta.get("current-snapshot-id")
     snap = next((s for s in snaps if s.get("snapshot-id") == want), None)
@@ -82,37 +102,54 @@ def iceberg_data_files(table_path: str, *,
     else:  # spec v1 alternative: inline manifest path array
         manifests = [{"manifest_path": p} for p in snap["manifests"]]
 
-    files: list[str] = []
+    data: list[dict] = []
+    deletes: list[dict] = []
     for mf in manifests:
         # manifest_file.content: 0 = data, 1 = deletes (spec field 517)
-        if mf.get("content", 0) != 0:
-            raise NotImplementedError(
-                "Iceberg merge-on-read (delete manifests) not supported; "
-                "compact the table to copy-on-write first")
+        is_delete_manifest = mf.get("content", 0) != 0
         pf = pf_idx = None
-        if filter is not None:
+        if filter is not None and not is_delete_manifest:
             pf, pf_idx = _partition_field_for(
                 meta, mf.get("partition_spec_id", 0), fid)
         # manifest-level pruning: field_summaries (spec field 508) carry
         # per-partition-field lower/upper bounds — a whole manifest whose
         # summary interval cannot contain the predicate is never opened
+        # (delete manifests are never pruned: a delete sidecar may
+        # tombstone rows of any surviving data file)
         if pf is not None and not _summary_may_match(
                 mf.get("partitions"), pf_idx, pf, ftyp,
                 filter[1], filter[2]):
             continue
         _, entries = read_avro_file(_strip_scheme(mf["manifest_path"]))
+        mf_seq = mf.get("sequence_number")
         for e in entries:
             if e.get("status") == 2:  # DELETED entry
                 continue
             df = e["data_file"]
-            # data_file.content: 0 = data, 1/2 = delete files (spec field 134)
-            if df.get("content", 0) != 0:
+            seq = e.get("sequence_number")
+            if seq is None:
+                seq = mf_seq if mf_seq is not None else 0
+            content = df.get("content", 0)
+            # data_file.content: 0 = data, 1 = position deletes,
+            # 2 = equality deletes (spec field 134)
+            if content == 2:
                 raise NotImplementedError(
-                    "Iceberg delete files not supported (merge-on-read)")
+                    "Iceberg equality deletes not supported; compact the "
+                    "table (rewrite_data_files) to fold them in first")
+            if content not in (0, 1):
+                raise ValueError(f"unknown Iceberg content code {content}")
             fmt = str(df.get("file_format", "")).upper()
             if fmt != "PARQUET":
                 raise NotImplementedError(
                     f"Iceberg data file format {fmt!r} (only PARQUET)")
+            if content == 1:
+                deletes.append({"path": _strip_scheme(df["file_path"]),
+                                "seq": seq})
+                continue
+            if is_delete_manifest:
+                raise ValueError(
+                    "malformed Iceberg table: data file listed in a delete "
+                    f"manifest ({mf['manifest_path']!r})")
             if filter is not None:
                 # file-level pruning, two independent signals: the data
                 # file's partition tuple (exact under identity/truncate
@@ -122,8 +159,8 @@ def iceberg_data_files(table_path: str, *,
                     continue
                 if not _file_may_match(df, fid, ftyp, filter[1], filter[2]):
                     continue
-            files.append(_strip_scheme(df["file_path"]))
-    return files
+            data.append({"path": _strip_scheme(df["file_path"]), "seq": seq})
+    return data, deletes
 
 
 import struct
@@ -268,6 +305,32 @@ def _file_may_match(df: dict, field_id: int, typ: str, op: str, val) -> bool:
     return _interval_may_match(lo, hi, op, val)
 
 
+def _position_delete_index(data: list[dict],
+                           deletes: list[dict]) -> dict[str, Any]:
+    """data-file path → sorted np.int64 array of tombstoned row positions.
+
+    Reads each position-delete sidecar's (``file_path``, ``pos``) columns —
+    field ids 2147483546/2147483545 per spec — and keeps a delete row only
+    for data files with ``data.seq <= delete.seq`` (a delete cannot
+    tombstone rows written after it)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    seq_of = {d["path"]: d["seq"] for d in data}
+    acc: dict[str, list] = {}
+    for dl in deletes:
+        t = pq.read_table(dl["path"], columns=["file_path", "pos"])
+        paths = t.column("file_path").to_pylist()
+        pos = t.column("pos").to_numpy(zero_copy_only=False)
+        for p, ps in zip(paths, pos):
+            p = _strip_scheme(p)
+            seq = seq_of.get(p)
+            if seq is not None and seq <= dl["seq"]:
+                acc.setdefault(p, []).append(int(ps))
+    return {p: np.unique(np.asarray(v, dtype=np.int64))
+            for p, v in acc.items()}
+
+
 def read_iceberg(table_path: str, *, columns: list[str] | None = None,
                  snapshot_id: int | None = None,
                  filter: tuple[str, str, Any] | None = None,
@@ -280,16 +343,60 @@ def read_iceberg(table_path: str, *, columns: list[str] | None = None,
     cannot satisfy the predicate are skipped entirely (no bytes leave
     storage), and the surviving files still stream through the exact
     row-level ``Dataset.filter`` expression, so the result is precise
-    regardless of how coarse the bounds are."""
+    regardless of how coarse the bounds are.
+
+    Merge-on-read: when the snapshot carries position-delete sidecars, the
+    driver folds them into a per-file sorted position index (tiny next to
+    the data), broadcasts it once via ``ray.put``, and each read task drops
+    its file's tombstoned row positions before anything else sees the rows.
+    The broadcast index costs one object-store entry regardless of task
+    count; data files with no tombstones skip the mask entirely."""
+    import ray
     import ray.data
 
-    files = iceberg_data_files(table_path, snapshot_id=snapshot_id,
+    data, deletes = _scan_plan(table_path, snapshot_id=snapshot_id,
                                filter=filter)
-    if not files:
+    if not data:
         import pyarrow as pa
 
         return ray.data.from_arrow(pa.table({}))
-    ds = ray.data.read_parquet(files, columns=columns, **read_kwargs)
+    files = [d["path"] for d in data]
+    if deletes:
+        index = _position_delete_index(data, deletes)
+        index_ref = ray.put(index)
+
+        class _ReadWithTombstones:
+            """One task per data file: plain Parquet read, then drop the
+            file's tombstoned positions (position = row index within the
+            file, spec §Position Delete Files)."""
+
+            def __init__(self) -> None:
+                self.index = ray.get(index_ref)
+
+            def __call__(self, batch):
+                import numpy as np
+                import pyarrow.parquet as pq
+
+                out = []
+                for path in batch["path"].to_pylist():
+                    t = pq.read_table(path, columns=columns)
+                    dels = self.index.get(path)
+                    if dels is not None and len(dels):
+                        keep = np.ones(t.num_rows, dtype=bool)
+                        keep[dels[dels < t.num_rows]] = False
+                        t = t.filter(keep)
+                    out.append(t)
+                import pyarrow as pa
+
+                return pa.concat_tables(out)
+
+        ds = ray.data.from_items(
+            [{"path": p} for p in files],
+            override_num_blocks=len(files)).map_batches(
+                _ReadWithTombstones, batch_format="pyarrow", batch_size=1,
+                concurrency=(1, max(1, min(len(files), 16))))
+    else:
+        ds = ray.data.read_parquet(files, columns=columns, **read_kwargs)
     if filter is not None:
         col, op, val = filter
         lit = f"{val!r}" if isinstance(val, str) else repr(val)

@@ -153,9 +153,131 @@ def test_iceberg_deleted_entries_skipped(ray_session, tmp_path):
     assert sorted(got["k"]) == sorted(want["k"])
 
 
-def test_iceberg_delete_manifest_rejected(tmp_path):
+def test_iceberg_malformed_delete_manifest_rejected(tmp_path):
+    # a delete manifest whose entries are plain DATA files is malformed —
+    # refuse rather than silently treating tombstones as rows
     root, _ = _build_table(tmp_path, delete_manifest=True)
-    with pytest.raises(NotImplementedError, match="merge-on-read"):
+    with pytest.raises(ValueError, match="delete manifest"):
+        iceberg_data_files(root)
+
+
+MANIFEST_LIST_SCHEMA_V2 = {
+    "type": "record", "name": "manifest_file", "fields": [
+        *MANIFEST_LIST_SCHEMA["fields"],
+        {"name": "sequence_number", "type": ["null", "long"]},
+    ]}
+
+MANIFEST_SCHEMA_V2 = {
+    "type": "record", "name": "manifest_entry", "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"]},
+        {"name": "sequence_number", "type": ["null", "long"]},
+        {"name": "data_file", "type": MANIFEST_SCHEMA["fields"][-1]["type"]},
+    ]}
+
+
+def _build_mor_table(tmp_path, *, late_file=False, equality=False):
+    """v2 table: two data files at sequence 1, a position-delete sidecar at
+    sequence 2 tombstoning f0/pos0 and f1/pos2, optionally a third data file
+    at sequence 3 (AFTER the delete — must keep all rows)."""
+    root = str(tmp_path / "mor")
+    meta = os.path.join(root, "metadata")
+    data = os.path.join(root, "data")
+    os.makedirs(meta)
+    os.makedirs(data)
+
+    def _data_entry(i, seq):
+        df = pd.DataFrame({"k": [i * 10 + j for j in range(3)],
+                           "v": [f"r{i}_{j}" for j in range(3)]})
+        fp = os.path.join(data, f"f{i}.parquet")
+        pq.write_table(pa.Table.from_pandas(df), fp)
+        return df, fp, {"status": 1, "snapshot_id": 1,
+                        "sequence_number": seq,
+                        "data_file": {"content": 0, "file_path": fp,
+                                      "file_format": "PARQUET",
+                                      "record_count": 3,
+                                      "file_size_in_bytes":
+                                          os.path.getsize(fp),
+                                      "lower_bounds": None,
+                                      "upper_bounds": []}}
+
+    frames, entries = [], []
+    n = 3 if late_file else 2
+    for i in range(n):
+        seq = 3 if (late_file and i == 2) else 1
+        df, fp, e = _data_entry(i, seq)
+        frames.append((df, fp))
+        entries.append(e)
+    m0 = os.path.join(meta, "m0.avro")
+    write_avro_file(m0, MANIFEST_SCHEMA_V2, entries)
+
+    # position-delete sidecar: tombstone f0 row 0 and f1 row 2 — f2 too,
+    # but f2 (seq 3) postdates the delete (seq 2) so it must survive
+    tomb = pa.table({"file_path": [frames[0][1], frames[1][1]]
+                     + ([frames[2][1]] if late_file else []),
+                     "pos": pa.array([0, 2] + ([1] if late_file else []),
+                                     pa.int64())})
+    dpath = os.path.join(data, "del0.parquet")
+    pq.write_table(tomb, dpath)
+    dentry = {"status": 1, "snapshot_id": 2, "sequence_number": 2,
+              "data_file": {"content": 2 if equality else 1,
+                            "file_path": dpath, "file_format": "PARQUET",
+                            "record_count": tomb.num_rows,
+                            "file_size_in_bytes": os.path.getsize(dpath),
+                            "lower_bounds": None, "upper_bounds": []}}
+    m1 = os.path.join(meta, "m1.avro")
+    write_avro_file(m1, MANIFEST_SCHEMA_V2, [dentry])
+
+    lpath = os.path.join(meta, "snap-2.avro")
+    write_avro_file(lpath, MANIFEST_LIST_SCHEMA_V2, [
+        {"manifest_path": m0, "manifest_length": os.path.getsize(m0),
+         "partition_spec_id": 0, "content": 0, "added_snapshot_id": 1,
+         "sequence_number": 1},
+        {"manifest_path": m1, "manifest_length": os.path.getsize(m1),
+         "partition_spec_id": 0, "content": 1, "added_snapshot_id": 2,
+         "sequence_number": 2}])
+    md = {"format-version": 2, "table-uuid": "1" * 36, "location": root,
+          "current-snapshot-id": 2, "current-schema-id": 0,
+          "schemas": [{"schema-id": 0, "fields": [
+              {"id": 1, "name": "k", "type": "long"},
+              {"id": 2, "name": "v", "type": "string"}]}],
+          "snapshots": [{"snapshot-id": 2, "manifest-list": lpath}]}
+    with open(os.path.join(meta, "v1.metadata.json"), "w") as f:
+        json.dump(md, f)
+    with open(os.path.join(meta, "version-hint.text"), "w") as f:
+        f.write("1")
+    return root
+
+
+def test_iceberg_position_deletes_applied(ray_session, tmp_path):
+    root = _build_mor_table(tmp_path)
+    got = read_iceberg(root).to_pandas().sort_values("k")
+    # f0 lost pos 0 (k=0), f1 lost pos 2 (k=12)
+    assert got["k"].tolist() == [1, 2, 10, 11]
+    assert got["v"].tolist() == ["r0_1", "r0_2", "r1_0", "r1_1"]
+    # iceberg_data_files still lists the physical files (documented)
+    assert len(iceberg_data_files(root)) == 2
+
+
+def test_iceberg_position_delete_sequence_gating(ray_session, tmp_path):
+    # f2 was written at seq 3, AFTER the seq-2 delete: its pos-1 tombstone
+    # row must not apply, so k=21 survives
+    root = _build_mor_table(tmp_path, late_file=True)
+    got = read_iceberg(root).to_pandas().sort_values("k")
+    assert got["k"].tolist() == [1, 2, 10, 11, 20, 21, 22]
+
+
+def test_iceberg_position_deletes_with_columns_and_filter(ray_session,
+                                                          tmp_path):
+    root = _build_mor_table(tmp_path)
+    got = read_iceberg(root, columns=["k"], filter=("k", ">=", 2)).to_pandas()
+    assert list(got.columns) == ["k"]
+    assert sorted(got["k"]) == [2, 10, 11]
+
+
+def test_iceberg_equality_deletes_rejected(tmp_path):
+    root = _build_mor_table(tmp_path, equality=True)
+    with pytest.raises(NotImplementedError, match="equality deletes"):
         iceberg_data_files(root)
 
 
