@@ -20,7 +20,11 @@ via ``ray.put``, and applied inside each read task — the sidecars are tiny
 next to the data they tombstone, so a driver-side read + object-store
 broadcast is the scale-correct shape (a table whose delete sidecars rival
 its data needs compaction, not a fancier reader). Equality deletes (content
-code 2) raise NotImplementedError rather than returning wrong rows.
+code 2, spec §Equality Delete Files) apply the same way with their own
+spec semantics: STRICT sequence gating (data.seq < delete.seq), partition
+scoping (unpartitioned-spec deletes are global, partitioned ones match
+only their partition), null-equals-null key comparison, and equality_ids
+columns force-read even when projected out.
 """
 
 from __future__ import annotations
@@ -132,19 +136,33 @@ def _scan_plan(table_path: str, *,
             content = df.get("content", 0)
             # data_file.content: 0 = data, 1 = position deletes,
             # 2 = equality deletes (spec field 134)
-            if content == 2:
-                raise NotImplementedError(
-                    "Iceberg equality deletes not supported; compact the "
-                    "table (rewrite_data_files) to fold them in first")
-            if content not in (0, 1):
+            if content not in (0, 1, 2):
                 raise ValueError(f"unknown Iceberg content code {content}")
             fmt = str(df.get("file_format", "")).upper()
             if fmt != "PARQUET":
                 raise NotImplementedError(
                     f"Iceberg data file format {fmt!r} (only PARQUET)")
             if content == 1:
-                deletes.append({"path": _strip_scheme(df["file_path"]),
+                deletes.append({"kind": "pos",
+                                "path": _strip_scheme(df["file_path"]),
                                 "seq": seq})
+                continue
+            if content == 2:
+                ids = df.get("equality_ids")
+                if not ids:
+                    raise ValueError(
+                        "equality delete file without equality_ids "
+                        f"({df['file_path']!r})")
+                deletes.append({
+                    "kind": "eq",
+                    "path": _strip_scheme(df["file_path"]),
+                    "seq": seq,
+                    # spec partition scoping: a delete written under a
+                    # partitioned spec applies only to data files in the
+                    # SAME partition; an unpartitioned-spec delete is global
+                    "spec_id": mf.get("partition_spec_id", 0),
+                    "partition": df.get("partition"),
+                    "cols": [_field_name(meta, i) for i in ids]})
                 continue
             if is_delete_manifest:
                 raise ValueError(
@@ -159,7 +177,9 @@ def _scan_plan(table_path: str, *,
                     continue
                 if not _file_may_match(df, fid, ftyp, filter[1], filter[2]):
                     continue
-            data.append({"path": _strip_scheme(df["file_path"]), "seq": seq})
+            data.append({"path": _strip_scheme(df["file_path"]), "seq": seq,
+                         "spec_id": mf.get("partition_spec_id", 0),
+                         "partition": df.get("partition")})
     return data, deletes
 
 
@@ -176,15 +196,25 @@ _SINGLE_DECODERS = {
 }
 
 
-def _field_meta(meta: dict, col: str) -> tuple[int, str]:
+def _current_schema(meta: dict) -> dict:
     sid = meta.get("current-schema-id", 0)
     schemas = meta.get("schemas") or [meta.get("schema", {})]
-    schema = next((s for s in schemas if s.get("schema-id", 0) == sid),
-                  schemas[0])
-    for f in schema.get("fields", []):
+    return next((s for s in schemas if s.get("schema-id", 0) == sid),
+                schemas[0])
+
+
+def _field_meta(meta: dict, col: str) -> tuple[int, str]:
+    for f in _current_schema(meta).get("fields", []):
         if f.get("name") == col:
             return int(f["id"]), str(f["type"])
     raise KeyError(f"column {col!r} not in Iceberg schema")
+
+
+def _field_name(meta: dict, field_id: int) -> str:
+    for f in _current_schema(meta).get("fields", []):
+        if int(f.get("id", -1)) == field_id:
+            return str(f["name"])
+    raise KeyError(f"field id {field_id} not in Iceberg schema")
 
 
 def _bound(bounds: Any, field_id: int) -> bytes | None:
@@ -319,6 +349,8 @@ def _position_delete_index(data: list[dict],
     seq_of = {d["path"]: d["seq"] for d in data}
     acc: dict[str, list] = {}
     for dl in deletes:
+        if dl["kind"] != "pos":
+            continue
         t = pq.read_table(dl["path"], columns=["file_path", "pos"])
         paths = t.column("file_path").to_pylist()
         pos = t.column("pos").to_numpy(zero_copy_only=False)
@@ -329,6 +361,34 @@ def _position_delete_index(data: list[dict],
                 acc.setdefault(p, []).append(int(ps))
     return {p: np.unique(np.asarray(v, dtype=np.int64))
             for p, v in acc.items()}
+
+
+# nulls compare EQUAL in equality deletes (spec §Equality Delete Files),
+# but pandas merge/isin treat NaN != NaN — encode nulls as this sentinel
+# in the object-dtype key arrays on both sides instead
+_EQ_NULL = "\x00__iceberg_eq_null__"
+
+
+def _equality_delete_sets(deletes: list[dict]) -> list[dict]:
+    """Load each equality-delete sidecar into an applicable-key index:
+    ``{"seq", "spec_id", "partition", "cols", "keys": pd.MultiIndex}``.
+    A delete applies to a data file iff ``data.seq < delete.seq`` (STRICT,
+    unlike position deletes) and the partition scope matches."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    out = []
+    for dl in deletes:
+        if dl["kind"] != "eq":
+            continue
+        t = pq.read_table(dl["path"], columns=dl["cols"])
+        df = t.to_pandas()
+        arrs = [df[c].astype(object).where(df[c].notna(), _EQ_NULL)
+                for c in dl["cols"]]
+        out.append({"seq": dl["seq"], "spec_id": dl["spec_id"],
+                    "partition": dl["partition"], "cols": dl["cols"],
+                    "keys": pd.MultiIndex.from_arrays(arrs)})
+    return out
 
 
 def read_iceberg(table_path: str, *, columns: list[str] | None = None,
@@ -345,12 +405,14 @@ def read_iceberg(table_path: str, *, columns: list[str] | None = None,
     row-level ``Dataset.filter`` expression, so the result is precise
     regardless of how coarse the bounds are.
 
-    Merge-on-read: when the snapshot carries position-delete sidecars, the
-    driver folds them into a per-file sorted position index (tiny next to
-    the data), broadcasts it once via ``ray.put``, and each read task drops
-    its file's tombstoned row positions before anything else sees the rows.
-    The broadcast index costs one object-store entry regardless of task
-    count; data files with no tombstones skip the mask entirely."""
+    Merge-on-read: when the snapshot carries delete sidecars, the driver
+    folds them into broadcast indexes (tiny next to the data they
+    tombstone) — position deletes into a per-file sorted position array,
+    equality deletes into per-sidecar key MultiIndexes with spec-correct
+    STRICT sequence gating and partition scoping — shipped once via
+    ``ray.put``; each read task applies its file's tombstones before
+    anything else sees the rows. Data files with no applicable deletes
+    skip the masks entirely."""
     import ray
     import ray.data
 
@@ -362,32 +424,61 @@ def read_iceberg(table_path: str, *, columns: list[str] | None = None,
         return ray.data.from_arrow(pa.table({}))
     files = [d["path"] for d in data]
     if deletes:
-        index = _position_delete_index(data, deletes)
-        index_ref = ray.put(index)
+        meta_of = {d["path"]: d for d in data}
+        index_ref = ray.put((_position_delete_index(data, deletes),
+                             _equality_delete_sets(deletes), meta_of))
 
         class _ReadWithTombstones:
             """One task per data file: plain Parquet read, then drop the
-            file's tombstoned positions (position = row index within the
-            file, spec §Position Delete Files)."""
+            file's position tombstones (row index within the file, spec
+            §Position Delete Files) and equality-delete key matches."""
 
             def __init__(self) -> None:
-                self.index = ray.get(index_ref)
+                self.pos_index, self.eq_sets, self.meta_of = \
+                    ray.get(index_ref)
+                self.eq_cols = sorted(
+                    {c for e in self.eq_sets for c in e["cols"]})
+
+            def _applicable(self, eq: dict, d: dict) -> bool:
+                if eq["seq"] <= d["seq"]:  # strict: data.seq < delete.seq
+                    return False
+                part = eq["partition"]
+                if part in (None, {}):  # unpartitioned spec: global delete
+                    return True
+                return (eq["spec_id"] == d["spec_id"]
+                        and part == d["partition"])
 
             def __call__(self, batch):
                 import numpy as np
+                import pandas as pd
+                import pyarrow as pa
                 import pyarrow.parquet as pq
 
                 out = []
-                for path in batch["path"].to_pylist():
-                    t = pq.read_table(path, columns=columns)
-                    dels = self.index.get(path)
+                for path in batch.column("path").to_pylist():
+                    d = self.meta_of[path]
+                    # equality columns must be read even when projected out
+                    read_cols = (sorted(set(columns) | set(self.eq_cols))
+                                 if columns else None)
+                    t = pq.read_table(path, columns=read_cols)
+                    dels = self.pos_index.get(path)
                     if dels is not None and len(dels):
                         keep = np.ones(t.num_rows, dtype=bool)
                         keep[dels[dels < t.num_rows]] = False
                         t = t.filter(keep)
+                    for eq in self.eq_sets:
+                        if not t.num_rows or not self._applicable(eq, d):
+                            continue
+                        sub = t.select(eq["cols"]).to_pandas()
+                        arrs = [sub[c].astype(object)
+                                .where(sub[c].notna(), _EQ_NULL)
+                                for c in eq["cols"]]
+                        hit = pd.MultiIndex.from_arrays(arrs).isin(eq["keys"])
+                        if hit.any():
+                            t = t.filter(~np.asarray(hit))
+                    if columns:
+                        t = t.select(columns)
                     out.append(t)
-                import pyarrow as pa
-
                 return pa.concat_tables(out)
 
         ds = ray.data.from_items(

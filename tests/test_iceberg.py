@@ -167,12 +167,19 @@ MANIFEST_LIST_SCHEMA_V2 = {
         {"name": "sequence_number", "type": ["null", "long"]},
     ]}
 
+_DF_V2 = {
+    "type": "record", "name": "r2v2", "fields": [
+        *MANIFEST_SCHEMA["fields"][-1]["type"]["fields"],
+        {"name": "equality_ids",
+         "type": ["null", {"type": "array", "items": "int"}]},
+    ]}
+
 MANIFEST_SCHEMA_V2 = {
     "type": "record", "name": "manifest_entry", "fields": [
         {"name": "status", "type": "int"},
         {"name": "snapshot_id", "type": ["null", "long"]},
         {"name": "sequence_number", "type": ["null", "long"]},
-        {"name": "data_file", "type": MANIFEST_SCHEMA["fields"][-1]["type"]},
+        {"name": "data_file", "type": _DF_V2},
     ]}
 
 
@@ -199,7 +206,8 @@ def _build_mor_table(tmp_path, *, late_file=False, equality=False):
                                       "file_size_in_bytes":
                                           os.path.getsize(fp),
                                       "lower_bounds": None,
-                                      "upper_bounds": []}}
+                                      "upper_bounds": [],
+                                      "equality_ids": None}}
 
     frames, entries = [], []
     n = 3 if late_file else 2
@@ -211,12 +219,18 @@ def _build_mor_table(tmp_path, *, late_file=False, equality=False):
     m0 = os.path.join(meta, "m0.avro")
     write_avro_file(m0, MANIFEST_SCHEMA_V2, entries)
 
-    # position-delete sidecar: tombstone f0 row 0 and f1 row 2 — f2 too,
-    # but f2 (seq 3) postdates the delete (seq 2) so it must survive
-    tomb = pa.table({"file_path": [frames[0][1], frames[1][1]]
-                     + ([frames[2][1]] if late_file else []),
-                     "pos": pa.array([0, 2] + ([1] if late_file else []),
-                                     pa.int64())})
+    if equality:
+        # equality-delete sidecar at seq 2 keyed on k (field id 1):
+        # k=2 (f0) and k=11 (f1) die; k=20 matches f2's data but f2 (seq 3)
+        # is NOT strictly after the delete, so it survives
+        tomb = pa.table({"k": pa.array([2, 11, 20], pa.int64())})
+    else:
+        # position-delete sidecar: tombstone f0 row 0 and f1 row 2 — f2
+        # too, but f2 (seq 3) postdates the delete (seq 2) so it survives
+        tomb = pa.table({"file_path": [frames[0][1], frames[1][1]]
+                         + ([frames[2][1]] if late_file else []),
+                         "pos": pa.array([0, 2] + ([1] if late_file else []),
+                                         pa.int64())})
     dpath = os.path.join(data, "del0.parquet")
     pq.write_table(tomb, dpath)
     dentry = {"status": 1, "snapshot_id": 2, "sequence_number": 2,
@@ -224,7 +238,8 @@ def _build_mor_table(tmp_path, *, late_file=False, equality=False):
                             "file_path": dpath, "file_format": "PARQUET",
                             "record_count": tomb.num_rows,
                             "file_size_in_bytes": os.path.getsize(dpath),
-                            "lower_bounds": None, "upper_bounds": []}}
+                            "lower_bounds": None, "upper_bounds": [],
+                            "equality_ids": [1] if equality else None}}
     m1 = os.path.join(meta, "m1.avro")
     write_avro_file(m1, MANIFEST_SCHEMA_V2, [dentry])
 
@@ -275,10 +290,28 @@ def test_iceberg_position_deletes_with_columns_and_filter(ray_session,
     assert sorted(got["k"]) == [2, 10, 11]
 
 
-def test_iceberg_equality_deletes_rejected(tmp_path):
+def test_iceberg_equality_deletes_applied(ray_session, tmp_path):
     root = _build_mor_table(tmp_path, equality=True)
-    with pytest.raises(NotImplementedError, match="equality deletes"):
-        iceberg_data_files(root)
+    got = read_iceberg(root).to_pandas().sort_values("k")
+    # k=2 and k=11 equality-deleted at seq 2 (data seq 1 < 2, strict)
+    assert got["k"].tolist() == [0, 1, 10, 12]
+
+
+def test_iceberg_equality_delete_strict_sequence(ray_session, tmp_path):
+    # f2 at seq 3 carries k=20, which IS in the delete key set — but the
+    # delete (seq 2) is not strictly after f2, so k=20 survives
+    root = _build_mor_table(tmp_path, equality=True, late_file=True)
+    got = read_iceberg(root).to_pandas().sort_values("k")
+    assert got["k"].tolist() == [0, 1, 10, 12, 20, 21, 22]
+
+
+def test_iceberg_equality_delete_with_projection(ray_session, tmp_path):
+    # projecting AWAY the equality column still applies the delete: the
+    # reader force-reads equality_ids columns, masks, then drops them
+    root = _build_mor_table(tmp_path, equality=True)
+    got = read_iceberg(root, columns=["v"]).to_pandas()
+    assert list(got.columns) == ["v"]
+    assert sorted(got["v"]) == ["r0_0", "r0_1", "r1_0", "r1_2"]
 
 
 def test_read_source_iceberg_dispatch(ray_session, tmp_path):
