@@ -165,6 +165,12 @@ def _read_xlsx(path: str | list[str], columns: list[str] | None,
     from .xlsx import read_xlsx_table
 
     paths = path if isinstance(path, list) else [path]
+    for p in paths:
+        if "://" in p and not p.startswith("file://"):
+            raise ValueError(
+                f"XLSX sources must be local paths (got {p!r}); stage the "
+                "workbook locally first — it is an eager driver-side format")
+    paths = [p[7:] if p.startswith("file://") else p for p in paths]
     tables = [read_xlsx_table(p, sheet=sheet) for p in paths]
     t = tables[0] if len(tables) == 1 else pa.concat_tables(tables)
     if columns:
