@@ -36,10 +36,7 @@ import re
 from typing import Any
 
 from .avro_codec import read_avro_file
-
-
-def _strip_scheme(p: str) -> str:
-    return p[7:] if p.startswith("file://") else p
+from .paths import strip_file_scheme as _strip_scheme
 
 
 def resolve_metadata_path(table_path: str) -> str:
@@ -335,8 +332,8 @@ def _file_may_match(df: dict, field_id: int, typ: str, op: str, val) -> bool:
     return _interval_may_match(lo, hi, op, val)
 
 
-def _position_delete_index(data: list[dict],
-                           deletes: list[dict]) -> dict[str, Any]:
+def _position_delete_index(data: list[dict], deletes: list[dict],
+                           fs: Any = None) -> dict[str, Any]:
     """data-file path → sorted np.int64 array of tombstoned row positions.
 
     Reads each position-delete sidecar's (``file_path``, ``pos``) columns —
@@ -351,7 +348,8 @@ def _position_delete_index(data: list[dict],
     for dl in deletes:
         if dl["kind"] != "pos":
             continue
-        t = pq.read_table(dl["path"], columns=["file_path", "pos"])
+        t = pq.read_table(dl["path"], columns=["file_path", "pos"],
+                          filesystem=fs)
         paths = t.column("file_path").to_pylist()
         pos = t.column("pos").to_numpy(zero_copy_only=False)
         for p, ps in zip(paths, pos):
@@ -369,7 +367,7 @@ def _position_delete_index(data: list[dict],
 _EQ_NULL = "\x00__iceberg_eq_null__"
 
 
-def _equality_delete_sets(deletes: list[dict]) -> list[dict]:
+def _equality_delete_sets(deletes: list[dict], fs: Any = None) -> list[dict]:
     """Load each equality-delete sidecar into an applicable-key index:
     ``{"seq", "spec_id", "partition", "cols", "keys": pd.MultiIndex}``.
     A delete applies to a data file iff ``data.seq < delete.seq`` (STRICT,
@@ -381,7 +379,7 @@ def _equality_delete_sets(deletes: list[dict]) -> list[dict]:
     for dl in deletes:
         if dl["kind"] != "eq":
             continue
-        t = pq.read_table(dl["path"], columns=dl["cols"])
+        t = pq.read_table(dl["path"], columns=dl["cols"], filesystem=fs)
         df = t.to_pandas()
         arrs = [df[c].astype(object).where(df[c].notna(), _EQ_NULL)
                 for c in dl["cols"]]
@@ -424,14 +422,22 @@ def read_iceberg(table_path: str, *, columns: list[str] | None = None,
         return ray.data.from_arrow(pa.table({}))
     files = [d["path"] for d in data]
     if deletes:
+        fs = read_kwargs.pop("filesystem", None)
+        if read_kwargs:
+            raise NotImplementedError(
+                f"read_iceberg kwargs {sorted(read_kwargs)} are not "
+                "supported on a snapshot carrying delete sidecars (only "
+                "'filesystem' is) — compact the table or drop the kwargs")
         meta_of = {d["path"]: d for d in data}
-        index_ref = ray.put((_position_delete_index(data, deletes),
-                             _equality_delete_sets(deletes), meta_of))
+        index_ref = ray.put((_position_delete_index(data, deletes, fs),
+                             _equality_delete_sets(deletes, fs), meta_of))
 
         class _ReadWithTombstones:
-            """One task per data file: plain Parquet read, then drop the
-            file's position tombstones (row index within the file, spec
-            §Position Delete Files) and equality-delete key matches."""
+            """One task per data file, streamed ROW GROUP at a time (the
+            no-deletes path streams too; loading a whole multi-GB file per
+            task would OOM where plain read_parquet would not): per row
+            group, drop position tombstones (file-ordered row index, spec
+            §Position Delete Files), then equality-delete key matches."""
 
             def __init__(self) -> None:
                 self.pos_index, self.eq_sets, self.meta_of = \
@@ -448,38 +454,61 @@ def read_iceberg(table_path: str, *, columns: list[str] | None = None,
                 return (eq["spec_id"] == d["spec_id"]
                         and part == d["partition"])
 
-            def __call__(self, batch):
+            def _apply_eq(self, t, d):
                 import numpy as np
                 import pandas as pd
-                import pyarrow as pa
+
+                for eq in self.eq_sets:
+                    if not t.num_rows or not self._applicable(eq, d):
+                        continue
+                    arrs = []
+                    for c in eq["cols"]:
+                        if c in t.column_names:
+                            s = t.column(c).to_pandas()
+                            arrs.append(s.astype(object)
+                                        .where(s.notna(), _EQ_NULL))
+                        else:
+                            # schema evolution: a data file written before
+                            # the column existed reads as all-null (spec),
+                            # and nulls compare equal in equality deletes
+                            arrs.append(pd.Series([_EQ_NULL] * t.num_rows,
+                                                  dtype=object))
+                    hit = pd.MultiIndex.from_arrays(arrs).isin(eq["keys"])
+                    if hit.any():
+                        t = t.filter(~np.asarray(hit))
+                return t
+
+            def __call__(self, batch):
+                import numpy as np
                 import pyarrow.parquet as pq
 
-                out = []
                 for path in batch.column("path").to_pylist():
                     d = self.meta_of[path]
-                    # equality columns must be read even when projected out
-                    read_cols = (sorted(set(columns) | set(self.eq_cols))
+                    src = fs.open_input_file(path) if fs else path
+                    pf = pq.ParquetFile(src)
+                    names = set(pf.schema_arrow.names)
+                    # equality columns force-read even when projected out —
+                    # but only those this file actually has
+                    read_cols = (sorted(set(columns)
+                                        | (set(self.eq_cols) & names))
                                  if columns else None)
-                    t = pq.read_table(path, columns=read_cols)
                     dels = self.pos_index.get(path)
-                    if dels is not None and len(dels):
-                        keep = np.ones(t.num_rows, dtype=bool)
-                        keep[dels[dels < t.num_rows]] = False
-                        t = t.filter(keep)
-                    for eq in self.eq_sets:
-                        if not t.num_rows or not self._applicable(eq, d):
-                            continue
-                        sub = t.select(eq["cols"]).to_pandas()
-                        arrs = [sub[c].astype(object)
-                                .where(sub[c].notna(), _EQ_NULL)
-                                for c in eq["cols"]]
-                        hit = pd.MultiIndex.from_arrays(arrs).isin(eq["keys"])
-                        if hit.any():
-                            t = t.filter(~np.asarray(hit))
-                    if columns:
-                        t = t.select(columns)
-                    out.append(t)
-                return pa.concat_tables(out)
+                    offset = 0
+                    for rg in range(pf.num_row_groups):
+                        t = pf.read_row_group(rg, columns=read_cols)
+                        n = t.num_rows
+                        if dels is not None and len(dels):
+                            local = dels[(dels >= offset)
+                                         & (dels < offset + n)] - offset
+                            if local.size:
+                                keep = np.ones(n, dtype=bool)
+                                keep[local] = False
+                                t = t.filter(keep)
+                        offset += n
+                        t = self._apply_eq(t, d)
+                        if columns:
+                            t = t.select(columns)
+                        yield t
 
         ds = ray.data.from_items(
             [{"path": p} for p in files],

@@ -1,0 +1,21 @@
+"""Shared source-path normalization (one copy — readers and iceberg both
+need it, and a divergent fix in one would silently miss the other)."""
+
+from __future__ import annotations
+
+from urllib.parse import unquote, urlparse
+
+
+def strip_file_scheme(p: str) -> str:
+    """``file://`` URL → local filesystem path; other strings unchanged.
+
+    Handles the empty and ``localhost`` authority forms (``file:///x`` and
+    ``file://localhost/x`` both mean ``/x``) and percent-encoding; a file
+    URL naming any OTHER host is not a local path and fails loudly."""
+    if not p.startswith("file://"):
+        return p
+    u = urlparse(p)
+    if u.netloc not in ("", "localhost"):
+        raise ValueError(f"file:// URL with remote host {u.netloc!r} is not "
+                         f"a local path: {p!r}")
+    return unquote(u.path)

@@ -162,6 +162,7 @@ def _read_xlsx(path: str | list[str], columns: list[str] | None,
     (sources/xlsx.py, stdlib zip+XML — no Excel engine needed; reference
     handle_data.py:106 reads the same eager way via pl.read_excel). XLSX is
     inherently a small driver-side format (no splittable reader exists)."""
+    from .paths import strip_file_scheme
     from .xlsx import read_xlsx_table
 
     paths = path if isinstance(path, list) else [path]
@@ -170,9 +171,12 @@ def _read_xlsx(path: str | list[str], columns: list[str] | None,
             raise ValueError(
                 f"XLSX sources must be local paths (got {p!r}); stage the "
                 "workbook locally first — it is an eager driver-side format")
-    paths = [p[7:] if p.startswith("file://") else p for p in paths]
+    paths = [strip_file_scheme(p) for p in paths]
     tables = [read_xlsx_table(p, sheet=sheet) for p in paths]
-    t = tables[0] if len(tables) == 1 else pa.concat_tables(tables)
+    # per-file inferred schemas may disagree (int64 vs float64 column, a
+    # trailing column present in one file only) — promote instead of raising
+    t = tables[0] if len(tables) == 1 else pa.concat_tables(
+        tables, promote_options="permissive")
     if columns:
         t = t.select(columns)
     return ray.data.from_arrow(t)

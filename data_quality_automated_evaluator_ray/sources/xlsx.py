@@ -38,8 +38,11 @@ _QUOTED = re.compile(r'"[^"]*"|\[[^\]]*\]|\\.')
 _DATE_TOKEN = re.compile(r"[ymdhs]", re.IGNORECASE)
 
 # Excel serial day 0 == 1899-12-30 (the convention that absorbs Lotus's
-# phantom 1900-02-29; serials ≥ 61 are then calendar-correct).
+# phantom 1900-02-29; serials ≥ 61 are then calendar-correct). Workbooks
+# saved with the 1904 date system (workbookPr date1904, Mac-authored)
+# count from 1904-01-01 instead — detected per workbook.
 _EPOCH = _dt.datetime(1899, 12, 30)
+_EPOCH_1904 = _dt.datetime(1904, 1, 1)
 
 
 def _local(tag: str) -> str:
@@ -86,20 +89,40 @@ def _date_styles(z: zipfile.ZipFile) -> list[bool]:
     return flags
 
 
+def _text_of(el: ET.Element) -> str:
+    """Concatenated cell text of an <si>/<is> element: plain <t> plus
+    rich-text runs <r><t>, SKIPPING phonetic-hint runs (<rPh>, furigana)
+    which are display metadata, not cell value."""
+    parts: list[str] = []
+
+    def walk(e: ET.Element) -> None:
+        for child in e:
+            lc = _local(child.tag)
+            if lc == "rPh":
+                continue
+            if lc == "t":
+                parts.append(child.text or "")
+            else:
+                walk(child)
+    walk(el)
+    return "".join(parts)
+
+
 def _shared_strings(z: zipfile.ZipFile) -> list[str]:
     try:
         root = ET.fromstring(z.read("xl/sharedStrings.xml"))
     except KeyError:
         return []
-    out: list[str] = []
-    for si in root:
-        if _local(si.tag) != "si":
-            continue
-        # plain <t> or rich-text runs <r><t>…; itertext over the si element
-        # concatenates both shapes
-        out.append("".join(
-            t.text or "" for t in si.iter() if _local(t.tag) == "t"))
-    return out
+    return [_text_of(si) for si in root if _local(si.tag) == "si"]
+
+
+def _date1904(z: zipfile.ZipFile) -> bool:
+    """True when the workbook uses the 1904 date system (workbookPr)."""
+    wb = ET.fromstring(z.read("xl/workbook.xml"))
+    for el in wb.iter():
+        if _local(el.tag) == "workbookPr":
+            return el.get("date1904", "0").strip() in ("1", "true")
+    return False
 
 
 def _sheet_part(z: zipfile.ZipFile, sheet: str | None) -> str:
@@ -125,12 +148,15 @@ def _sheet_part(z: zipfile.ZipFile, sheet: str | None) -> str:
     for rel in rels:
         if rel.get("Id") == rid:
             target = rel.get("Target", "")
+            if target.startswith("/"):  # package-absolute part name
+                return target.lstrip("/")
             return target if target.startswith("xl/") else f"xl/{target}"
     raise ValueError(f"no relationship {rid!r} for sheet {name!r}")
 
 
 def _cell_value(el: ET.Element, strings: list[str],
-                date_styles: list[bool]) -> Any:
+                date_styles: list[bool],
+                epoch: _dt.datetime = _EPOCH) -> Any:
     """Decode one <c> element to a Python value (None for blank/error)."""
     t = el.get("t", "n")
     v_text: str | None = None
@@ -140,8 +166,7 @@ def _cell_value(el: ET.Element, strings: list[str],
         if lc == "v":
             v_text = child.text or ""
         elif lc == "is":
-            inline = "".join(x.text or "" for x in child.iter()
-                             if _local(x.tag) == "t")
+            inline = _text_of(child)
     if t == "inlineStr":
         return inline
     if v_text is None:
@@ -162,7 +187,7 @@ def _cell_value(el: ET.Element, strings: list[str],
         else:
             num = int(v_text)
         if is_date:
-            return _EPOCH + _dt.timedelta(days=float(num))
+            return epoch + _dt.timedelta(days=float(num))
         return num
     raise ValueError(f"unsupported XLSX cell type {t!r}")
 
@@ -195,6 +220,7 @@ def read_xlsx_table(path: str, *, sheet: str | None = None) -> pa.Table:
     with zipfile.ZipFile(path) as z:
         strings = _shared_strings(z)
         date_styles = _date_styles(z)
+        epoch = _EPOCH_1904 if _date1904(z) else _EPOCH
         part = _sheet_part(z, sheet)
         root = ET.fromstring(z.read(part))
 
@@ -210,7 +236,7 @@ def read_xlsx_table(path: str, *, sheet: str | None = None) -> pa.Table:
             ref = c.get("r")
             col = _col_index(ref) if ref else next_col
             next_col = col + 1
-            val = _cell_value(c, strings, date_styles)
+            val = _cell_value(c, strings, date_styles, epoch)
             if val is not None:
                 cells[col] = val
         rows.append(cells)

@@ -305,6 +305,75 @@ def test_iceberg_equality_delete_strict_sequence(ray_session, tmp_path):
     assert got["k"].tolist() == [0, 1, 10, 12, 20, 21, 22]
 
 
+def test_iceberg_position_deletes_across_row_groups(ray_session, tmp_path):
+    # one data file, three row groups of 4 rows; tombstones hit every group
+    # (positions are file-ordered; the reader applies them per row group)
+    root = str(tmp_path / "rg")
+    meta, data = os.path.join(root, "metadata"), os.path.join(root, "data")
+    os.makedirs(meta)
+    os.makedirs(data)
+    df = pd.DataFrame({"k": list(range(12))})
+    fp = os.path.join(data, "f0.parquet")
+    pq.write_table(pa.Table.from_pandas(df), fp, row_group_size=4)
+    assert pq.ParquetFile(fp).num_row_groups == 3
+    e = {"status": 1, "snapshot_id": 1, "sequence_number": 1,
+         "data_file": {"content": 0, "file_path": fp,
+                       "file_format": "PARQUET", "record_count": 12,
+                       "file_size_in_bytes": os.path.getsize(fp),
+                       "lower_bounds": None, "upper_bounds": [],
+                       "equality_ids": None}}
+    m0 = os.path.join(meta, "m0.avro")
+    write_avro_file(m0, MANIFEST_SCHEMA_V2, [e])
+    tomb = pa.table({"file_path": [fp] * 4,
+                     "pos": pa.array([0, 5, 10, 11], pa.int64())})
+    dp = os.path.join(data, "del.parquet")
+    pq.write_table(tomb, dp)
+    de = {"status": 1, "snapshot_id": 2, "sequence_number": 2,
+          "data_file": {"content": 1, "file_path": dp,
+                        "file_format": "PARQUET", "record_count": 4,
+                        "file_size_in_bytes": os.path.getsize(dp),
+                        "lower_bounds": None, "upper_bounds": [],
+                        "equality_ids": None}}
+    m1 = os.path.join(meta, "m1.avro")
+    write_avro_file(m1, MANIFEST_SCHEMA_V2, [de])
+    lp = os.path.join(meta, "snap.avro")
+    write_avro_file(lp, MANIFEST_LIST_SCHEMA_V2, [
+        {"manifest_path": m0, "manifest_length": 1, "partition_spec_id": 0,
+         "content": 0, "added_snapshot_id": 1, "sequence_number": 1},
+        {"manifest_path": m1, "manifest_length": 1, "partition_spec_id": 0,
+         "content": 1, "added_snapshot_id": 2, "sequence_number": 2}])
+    json.dump({"format-version": 2, "table-uuid": "4" * 36,
+               "location": root, "current-snapshot-id": 2,
+               "current-schema-id": 0,
+               "schemas": [{"schema-id": 0, "fields": [
+                   {"id": 1, "name": "k", "type": "long"}]}],
+               "snapshots": [{"snapshot-id": 2, "manifest-list": lp}]},
+              open(os.path.join(meta, "v1.metadata.json"), "w"))
+    open(os.path.join(meta, "version-hint.text"), "w").write("1")
+    got = read_iceberg(root).to_pandas().sort_values("k")
+    assert got["k"].tolist() == [1, 2, 3, 4, 6, 7, 8, 9]
+
+
+def test_iceberg_equality_delete_schema_evolution(ray_session, tmp_path):
+    # the equality column is missing from an older data file: per spec the
+    # file reads as all-null there, and null-matches-null in the delete
+    root = _build_mor_table(tmp_path, equality=True)
+    # rewrite f0 WITHOUT the k column (as if k was added after f0)
+    data = os.path.join(root, "data")
+    old = pq.read_table(os.path.join(data, "f0.parquet")).select(["v"])
+    pq.write_table(old, os.path.join(data, "f0.parquet"))
+    got = read_iceberg(root).to_pandas()
+    # delete keys are non-null ints, f0's k is all-null -> f0 untouched;
+    # f1 still loses k=11
+    assert sorted(got["v"]) == ["r0_0", "r0_1", "r0_2", "r1_0", "r1_2"]
+
+
+def test_iceberg_mor_rejects_unsupported_kwargs(ray_session, tmp_path):
+    root = _build_mor_table(tmp_path)
+    with pytest.raises(NotImplementedError, match="delete sidecars"):
+        read_iceberg(root, override_num_blocks=4)
+
+
 def test_iceberg_equality_delete_with_projection(ray_session, tmp_path):
     # projecting AWAY the equality column still applies the delete: the
     # reader force-reads equality_ids columns, masks, then drops them

@@ -144,6 +144,71 @@ def test_sparse_refs_and_headerless_column(tmp_path):
     assert t.column("a").to_pylist() == [None]
 
 
+def test_multi_file_schema_promotion(ray_session, tmp_path):
+    from data_quality_automated_evaluator_ray.sources.readers import (
+        read_source)
+
+    # file A: k all-int; file B: k has a float AND an extra column — the
+    # concat must promote (int64 -> float64, missing column -> nulls)
+    ra = ('<row r="1"><c r="A1" t="inlineStr"><is><t>k</t></is></c></row>'
+          '<row r="2"><c r="A2"><v>1</v></c></row>')
+    rb = ('<row r="1"><c r="A1" t="inlineStr"><is><t>k</t></is></c>'
+          '<c r="B1" t="inlineStr"><is><t>extra</t></is></c></row>'
+          '<row r="2"><c r="A2"><v>2.5</v></c>'
+          '<c r="B2"><v>7</v></c></row>')
+    pa_ = _write_xlsx(tmp_path / "a.xlsx", ra)
+    pb = _write_xlsx(tmp_path / "b.xlsx", rb)
+    df = read_source({"path": [pa_, pb], "format": "xlsx"}).to_pandas()
+    assert sorted(df["k"]) == [1.0, 2.5]
+    assert df["extra"].dropna().tolist() == [7]
+
+
+def test_1904_date_system(tmp_path):
+    import data_quality_automated_evaluator_ray.sources.xlsx as X
+
+    serial = (dt.datetime(2024, 3, 5) - X._EPOCH_1904).days
+    rows = (f'<row r="1"><c r="A1" t="inlineStr"><is><t>d</t></is></c></row>'
+            f'<row r="2"><c r="A2" s="1"><v>{serial}</v></c></row>')
+    # same bytes, workbook flagged date1904 — decode against the 1904 epoch
+    p = _write_xlsx(tmp_path / "mac.xlsx", rows)
+    import zipfile as zf
+    with zf.ZipFile(p) as z:
+        parts = {n: z.read(n) for n in z.namelist()}
+    parts["xl/workbook.xml"] = parts["xl/workbook.xml"].replace(
+        b"<sheets>", b'<workbookPr date1904="1"/><sheets>')
+    with zf.ZipFile(p, "w") as z:
+        for n, b in parts.items():
+            z.writestr(n, b)
+    t = read_xlsx_table(p)
+    assert t.column("d").to_pylist() == [dt.date(2024, 3, 5)]
+
+
+def test_phonetic_runs_skipped(tmp_path):
+    # <rPh> furigana hints are display metadata, not cell value
+    shared = ["<r><t>東京</t></r><rPh sb=\"0\" eb=\"2\">"
+              "<t>トウキョウ</t></rPh>"]
+    rows = ('<row r="1"><c r="A1" t="inlineStr"><is><t>city</t></is></c>'
+            '</row>'
+            '<row r="2"><c r="A2" t="s"><v>0</v></c></row>'
+            '<row r="3"><c r="A3" t="inlineStr"><is><r><t>a</t></r>'
+            '<rPh sb="0" eb="1"><t>NOPE</t></rPh></is></c></row>')
+    t = read_xlsx_table(_write_xlsx(tmp_path / "ph.xlsx", rows,
+                                    shared=shared))
+    assert t.column("city").to_pylist() == ["東京", "a"]
+
+
+def test_strip_file_scheme():
+    from data_quality_automated_evaluator_ray.sources.paths import (
+        strip_file_scheme)
+
+    assert strip_file_scheme("/x/y") == "/x/y"
+    assert strip_file_scheme("file:///x/y") == "/x/y"
+    assert strip_file_scheme("file://localhost/x/y") == "/x/y"
+    assert strip_file_scheme("file:///with%20space") == "/with space"
+    with pytest.raises(ValueError, match="remote host"):
+        strip_file_scheme("file://otherhost/x")
+
+
 def test_read_source_multi_file_and_columns(ray_session, tmp_path):
     from data_quality_automated_evaluator_ray.sources.readers import (
         read_source)
