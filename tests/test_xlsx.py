@@ -209,6 +209,78 @@ def test_strip_file_scheme():
         strip_file_scheme("file://otherhost/x")
 
 
+def _cell_xml(col_letter, rownum, v):
+    ref = f"{col_letter}{rownum}"
+    if v is None:
+        return ""
+    if isinstance(v, bool):
+        return f'<c r="{ref}" t="b"><v>{1 if v else 0}</v></c>'
+    if isinstance(v, int):
+        return f'<c r="{ref}"><v>{v}</v></c>'
+    if isinstance(v, float):
+        return f'<c r="{ref}"><v>{v!r}</v></c>'
+    from xml.sax.saxutils import escape
+    return (f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">'
+            f'{escape(str(v))}</t></is></c>')
+
+
+def test_random_grids_roundtrip():
+    """Property: a random typed grid built as SpreadsheetML parses back to
+    exactly the values written (col-ref math, sparse nulls, inference)."""
+    import tempfile
+
+    from hypothesis import given, settings, strategies as st
+
+    cell = st.one_of(
+        st.none(),
+        st.integers(min_value=-2**40, max_value=2**40),
+        st.floats(allow_nan=False, allow_infinity=False, width=64,
+                  min_value=-1e12, max_value=1e12),
+        st.booleans(),
+        st.text(alphabet=st.characters(blacklist_categories=("Cs", "Cc")),
+                max_size=12),
+    )
+
+    @given(st.lists(st.lists(cell, min_size=1, max_size=6),
+                    min_size=1, max_size=8),
+           st.integers(min_value=1, max_value=6))
+    @settings(max_examples=60, deadline=None, derandomize=True)
+    def run(grid, width):
+        grid = [row[:width] for row in grid]
+        letters = [chr(ord("A") + i) for i in range(width)]
+        header = "".join(
+            f'<c r="{letters[i]}1" t="inlineStr"><is><t>h{i}</t></is></c>'
+            for i in range(width))
+        body = "".join(
+            f'<row r="{rn + 2}">' + "".join(
+                _cell_xml(letters[i], rn + 2, v)
+                for i, v in enumerate(row)) + "</row>"
+            for rn, row in enumerate(grid))
+        with tempfile.TemporaryDirectory() as d:
+            p = _write_xlsx(f"{d}/g.xlsx", f'<row r="1">{header}</row>{body}')
+            t = read_xlsx_table(p)
+        assert t.num_rows == len(grid)
+        for i in range(width):
+            name = f"h{i}"
+            got = t.column(name).to_pylist() if name in t.column_names \
+                else [None] * len(grid)
+            for rn, row in enumerate(grid):
+                want = row[i] if i < len(row) else None
+                g = got[rn]
+                if want is None or (isinstance(want, str) and want == ""):
+                    assert g is None or g == "", (rn, i, g, want)
+                elif isinstance(want, bool):
+                    # a bool column may sit in an int/str-typed column when
+                    # mixed with other kinds — value must still round-trip
+                    assert g in (want, str(want), int(want)), (rn, i, g)
+                elif isinstance(want, (int, float)):
+                    assert g == want or g == float(want) \
+                        or g == str(want), (rn, i, g, want)
+                else:
+                    assert g == want, (rn, i, g, want)
+    run()
+
+
 def test_read_source_multi_file_and_columns(ray_session, tmp_path):
     from data_quality_automated_evaluator_ray.sources.readers import (
         read_source)
