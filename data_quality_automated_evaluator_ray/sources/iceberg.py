@@ -43,6 +43,12 @@ def resolve_metadata_path(table_path: str) -> str:
     """Latest metadata JSON for a table directory: ``version-hint.text``
     if present (HadoopTables layout), else the highest ``v<N>.metadata.json``
     / ``<N>-<uuid>.metadata.json`` in ``metadata/``."""
+    if "://" in table_path and not table_path.startswith("file://"):
+        raise NotImplementedError(
+            f"Iceberg metadata walk is local-filesystem only (got "
+            f"{table_path!r}); mount or mirror the table's metadata/ "
+            "directory locally — the DATA files it points at may still be "
+            "remote via read_iceberg(filesystem=...)")
     table_path = _strip_scheme(table_path)
     if table_path.endswith(".json"):
         return table_path

@@ -374,6 +374,14 @@ def test_iceberg_mor_rejects_unsupported_kwargs(ray_session, tmp_path):
         read_iceberg(root, override_num_blocks=4)
 
 
+def test_iceberg_remote_metadata_rejected():
+    from data_quality_automated_evaluator_ray.sources.iceberg import (
+        resolve_metadata_path)
+
+    with pytest.raises(NotImplementedError, match="local-filesystem only"):
+        resolve_metadata_path("s3://bucket/warehouse/tbl")
+
+
 def test_iceberg_equality_delete_with_projection(ray_session, tmp_path):
     # projecting AWAY the equality column still applies the delete: the
     # reader force-reads equality_ids columns, masks, then drops them
