@@ -36,6 +36,7 @@ import re
 from typing import Any
 
 from .avro_codec import read_avro_file
+from .paths import fs_path as _fs_path
 from .paths import strip_file_scheme as _strip_scheme
 
 
@@ -77,16 +78,17 @@ def iceberg_data_files(table_path: str, *,
     ``filter=(col, op, value)`` skips files whose manifest min/max bounds
     cannot contain a matching row. (Position-delete sidecars, if any, are
     NOT reflected here — use ``read_iceberg`` for merge-on-read results.)"""
-    data, _ = _scan_plan(table_path, snapshot_id=snapshot_id, filter=filter)
+    data, _, _ = _scan_plan(table_path, snapshot_id=snapshot_id,
+                            filter=filter)
     return [d["path"] for d in data]
 
 
 def _scan_plan(table_path: str, *,
                snapshot_id: int | None = None,
                filter: "tuple[str, str, Any] | None" = None
-               ) -> tuple[list[dict], list[dict]]:
-    """(data_files, position_delete_files) for the chosen snapshot, each a
-    ``{"path", "seq"}`` dict. ``seq`` is the Iceberg data sequence number
+               ) -> tuple[list[dict], list[dict], dict]:
+    """(data_files, delete_files, table_metadata) for the chosen snapshot,
+    files as ``{"path", "seq"}`` dicts. ``seq`` is the Iceberg data sequence
     (entry field 3, inherited from the manifest when null — spec
     "Sequence Number Inheritance"); a position delete applies to a data
     file iff ``delete.seq >= data.seq``."""
@@ -97,7 +99,7 @@ def _scan_plan(table_path: str, *,
         fid, ftyp = _field_meta(meta, filter[0])
     snaps = meta.get("snapshots", [])
     if not snaps:
-        return [], []
+        return [], [], meta
     want = snapshot_id if snapshot_id is not None \
         else meta.get("current-snapshot-id")
     snap = next((s for s in snaps if s.get("snapshot-id") == want), None)
@@ -183,7 +185,7 @@ def _scan_plan(table_path: str, *,
             data.append({"path": _strip_scheme(df["file_path"]), "seq": seq,
                          "spec_id": mf.get("partition_spec_id", 0),
                          "partition": df.get("partition")})
-    return data, deletes
+    return data, deletes, meta
 
 
 import struct
@@ -354,8 +356,8 @@ def _position_delete_index(data: list[dict], deletes: list[dict],
     for dl in deletes:
         if dl["kind"] != "pos":
             continue
-        t = pq.read_table(dl["path"], columns=["file_path", "pos"],
-                          filesystem=fs)
+        t = pq.read_table(_fs_path(dl["path"], fs),
+                          columns=["file_path", "pos"], filesystem=fs)
         paths = t.column("file_path").to_pylist()
         pos = t.column("pos").to_numpy(zero_copy_only=False)
         for p, ps in zip(paths, pos):
@@ -365,6 +367,26 @@ def _position_delete_index(data: list[dict], deletes: list[dict],
                 acc.setdefault(p, []).append(int(ps))
     return {p: np.unique(np.asarray(v, dtype=np.int64))
             for p, v in acc.items()}
+
+
+# Iceberg primitive type name → Arrow type, for null-filling a projected
+# column that a schema-evolved (older) data file does not contain.
+def _arrow_type(iceberg_type: str):
+    import pyarrow as pa
+
+    prims = {"boolean": pa.bool_(), "int": pa.int32(), "long": pa.int64(),
+             "float": pa.float32(), "double": pa.float64(),
+             "string": pa.string(), "binary": pa.binary(),
+             "date": pa.date32(), "time": pa.time64("us"),
+             "timestamp": pa.timestamp("us"),
+             "timestamptz": pa.timestamp("us", "UTC"),
+             "uuid": pa.binary(16)}
+    t = prims.get(iceberg_type)
+    if t is None:
+        raise NotImplementedError(
+            f"cannot null-fill evolved column of Iceberg type "
+            f"{iceberg_type!r}")
+    return t
 
 
 # nulls compare EQUAL in equality deletes (spec §Equality Delete Files),
@@ -385,7 +407,8 @@ def _equality_delete_sets(deletes: list[dict], fs: Any = None) -> list[dict]:
     for dl in deletes:
         if dl["kind"] != "eq":
             continue
-        t = pq.read_table(dl["path"], columns=dl["cols"], filesystem=fs)
+        t = pq.read_table(_fs_path(dl["path"], fs), columns=dl["cols"],
+                          filesystem=fs)
         df = t.to_pandas()
         arrs = [df[c].astype(object).where(df[c].notna(), _EQ_NULL)
                 for c in dl["cols"]]
@@ -420,8 +443,8 @@ def read_iceberg(table_path: str, *, columns: list[str] | None = None,
     import ray
     import ray.data
 
-    data, deletes = _scan_plan(table_path, snapshot_id=snapshot_id,
-                               filter=filter)
+    data, deletes, meta = _scan_plan(table_path, snapshot_id=snapshot_id,
+                                     filter=filter)
     if not data:
         import pyarrow as pa
 
@@ -434,6 +457,14 @@ def read_iceberg(table_path: str, *, columns: list[str] | None = None,
                 f"read_iceberg kwargs {sorted(read_kwargs)} are not "
                 "supported on a snapshot carrying delete sidecars (only "
                 "'filesystem' is) — compact the table or drop the kwargs")
+        # table-schema Arrow types for projected columns a schema-evolved
+        # older data file lacks (read as all-null per spec)
+        col_types = {str(f["name"]): str(f["type"])
+                     for f in _current_schema(meta).get("fields", [])}
+        if columns:
+            missing = sorted(set(columns) - set(col_types))
+            if missing:
+                raise KeyError(f"columns {missing} not in Iceberg schema")
         meta_of = {d["path"]: d for d in data}
         index_ref = ray.put((_position_delete_index(data, deletes, fs),
                              _equality_delete_sets(deletes, fs), meta_of))
@@ -490,14 +521,21 @@ def read_iceberg(table_path: str, *, columns: list[str] | None = None,
 
                 for path in batch.column("path").to_pylist():
                     d = self.meta_of[path]
-                    src = fs.open_input_file(path) if fs else path
+                    src = (fs.open_input_file(_fs_path(path, fs))
+                           if fs else path)
                     pf = pq.ParquetFile(src)
                     names = set(pf.schema_arrow.names)
-                    # equality columns force-read even when projected out —
-                    # but only those this file actually has
-                    read_cols = (sorted(set(columns)
-                                        | (set(self.eq_cols) & names))
+                    # equality columns force-read even when projected out,
+                    # and both sets intersect with what this (possibly
+                    # schema-evolved, older) file actually has
+                    read_cols = (sorted((set(columns)
+                                         | set(self.eq_cols)) & names)
                                  if columns else None)
+                    if read_cols is not None and not read_cols:
+                        # file predates every requested column: read one
+                        # physical column purely to carry the row count
+                        # (select(columns) drops it after the null-fill)
+                        read_cols = [pf.schema_arrow.names[0]]
                     dels = self.pos_index.get(path)
                     offset = 0
                     for rg in range(pf.num_row_groups):
@@ -513,6 +551,15 @@ def read_iceberg(table_path: str, *, columns: list[str] | None = None,
                         offset += n
                         t = self._apply_eq(t, d)
                         if columns:
+                            for c in columns:
+                                if c not in t.column_names:
+                                    # schema evolution: column postdates
+                                    # this file → all-null at its table type
+                                    import pyarrow as pa
+
+                                    t = t.append_column(c, pa.nulls(
+                                        t.num_rows,
+                                        _arrow_type(col_types[c])))
                             t = t.select(columns)
                         yield t
 
@@ -522,7 +569,10 @@ def read_iceberg(table_path: str, *, columns: list[str] | None = None,
                 _ReadWithTombstones, batch_format="pyarrow", batch_size=1,
                 concurrency=(1, max(1, min(len(files), 16))))
     else:
-        ds = ray.data.read_parquet(files, columns=columns, **read_kwargs)
+        # explicit pyarrow filesystems want bucket/key paths, not URIs
+        fs0 = read_kwargs.get("filesystem")
+        ds = ray.data.read_parquet([_fs_path(p, fs0) for p in files],
+                                   columns=columns, **read_kwargs)
     if filter is not None:
         col, op, val = filter
         lit = f"{val!r}" if isinstance(val, str) else repr(val)

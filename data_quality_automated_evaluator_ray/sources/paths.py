@@ -3,19 +3,32 @@ need it, and a divergent fix in one would silently miss the other)."""
 
 from __future__ import annotations
 
-from urllib.parse import unquote, urlparse
-
 
 def strip_file_scheme(p: str) -> str:
-    """``file://`` URL → local filesystem path; other strings unchanged.
+    """``file://`` prefix → local filesystem path; other strings unchanged.
 
     Handles the empty and ``localhost`` authority forms (``file:///x`` and
-    ``file://localhost/x`` both mean ``/x``) and percent-encoding; a file
-    URL naming any OTHER host is not a local path and fails loudly."""
+    ``file://localhost/x`` both mean ``/x``); a file URL naming any OTHER
+    host is not a local path and fails loudly. The remainder is treated as
+    a RAW path — no percent-decoding, no fragment/query split — because
+    in-repo writers (Iceberg metadata, test fixtures) store raw paths, and
+    a literal ``#``/``%XX`` in a filename must survive the round trip."""
     if not p.startswith("file://"):
         return p
-    u = urlparse(p)
-    if u.netloc not in ("", "localhost"):
-        raise ValueError(f"file:// URL with remote host {u.netloc!r} is not "
+    rest = p[len("file://"):]
+    if rest.startswith("/"):
+        return rest
+    host, _, tail = rest.partition("/")
+    if host != "localhost":
+        raise ValueError(f"file:// URL with remote host {host!r} is not "
                          f"a local path: {p!r}")
-    return unquote(u.path)
+    return "/" + tail
+
+
+def fs_path(p: str, fs) -> str:
+    """Path form expected by an explicit ``pyarrow.fs`` filesystem: pyarrow
+    filesystem methods take ``bucket/key``-style paths, not URIs, so strip
+    any scheme when ``fs`` is supplied; without one, return unchanged."""
+    if fs is None or "://" not in p:
+        return p
+    return p.split("://", 1)[1]

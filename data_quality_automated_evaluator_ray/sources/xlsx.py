@@ -116,18 +116,17 @@ def _shared_strings(z: zipfile.ZipFile) -> list[str]:
     return [_text_of(si) for si in root if _local(si.tag) == "si"]
 
 
-def _date1904(z: zipfile.ZipFile) -> bool:
+def _date1904(wb: ET.Element) -> bool:
     """True when the workbook uses the 1904 date system (workbookPr)."""
-    wb = ET.fromstring(z.read("xl/workbook.xml"))
     for el in wb.iter():
         if _local(el.tag) == "workbookPr":
             return el.get("date1904", "0").strip() in ("1", "true")
     return False
 
 
-def _sheet_part(z: zipfile.ZipFile, sheet: str | None) -> str:
+def _sheet_part(z: zipfile.ZipFile, sheet: str | None,
+                wb: ET.Element) -> str:
     """Resolve the worksheet part path for ``sheet`` (None → first sheet)."""
-    wb = ET.fromstring(z.read("xl/workbook.xml"))
     rid_attr = ("{http://schemas.openxmlformats.org/officeDocument/2006/"
                 "relationships}id")
     sheets: list[tuple[str, str]] = []  # (name, rid)
@@ -220,8 +219,9 @@ def read_xlsx_table(path: str, *, sheet: str | None = None) -> pa.Table:
     with zipfile.ZipFile(path) as z:
         strings = _shared_strings(z)
         date_styles = _date_styles(z)
-        epoch = _EPOCH_1904 if _date1904(z) else _EPOCH
-        part = _sheet_part(z, sheet)
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        epoch = _EPOCH_1904 if _date1904(wb) else _EPOCH
+        part = _sheet_part(z, sheet, wb)
         root = ET.fromstring(z.read(part))
 
     rows: list[dict[int, Any]] = []

@@ -366,6 +366,18 @@ def test_iceberg_equality_delete_schema_evolution(ray_session, tmp_path):
     # delete keys are non-null ints, f0's k is all-null -> f0 untouched;
     # f1 still loses k=11
     assert sorted(got["v"]) == ["r0_0", "r0_1", "r0_2", "r1_0", "r1_2"]
+    # PROJECTING the evolved column must not crash: f0's rows read as
+    # all-null k (at the table's long -> int64 type), f1's keep values
+    proj = read_iceberg(root, columns=["k", "v"]).to_pandas()
+    assert list(proj.columns) == ["k", "v"]
+    f0 = proj[proj["v"].str.startswith("r0_")]
+    assert f0["k"].isna().all() and len(f0) == 3
+    assert sorted(proj["k"].dropna()) == [10, 12]
+    # projecting ONLY the evolved column still carries f0's row count
+    only_k = read_iceberg(root, columns=["k"]).to_pandas()
+    assert len(only_k) == 5 and only_k["k"].isna().sum() == 3
+    with pytest.raises(KeyError, match="not in Iceberg schema"):
+        read_iceberg(root, columns=["nope"])
 
 
 def test_iceberg_mor_rejects_unsupported_kwargs(ray_session, tmp_path):

@@ -204,9 +204,19 @@ def test_strip_file_scheme():
     assert strip_file_scheme("/x/y") == "/x/y"
     assert strip_file_scheme("file:///x/y") == "/x/y"
     assert strip_file_scheme("file://localhost/x/y") == "/x/y"
-    assert strip_file_scheme("file:///with%20space") == "/with space"
+    # raw-path semantics: literal %XX and # in filenames survive
+    assert strip_file_scheme("file:///with%20pct") == "/with%20pct"
+    assert strip_file_scheme("file:///report#1.xlsx") == "/report#1.xlsx"
     with pytest.raises(ValueError, match="remote host"):
         strip_file_scheme("file://otherhost/x")
+
+
+def test_fs_path():
+    from data_quality_automated_evaluator_ray.sources.paths import fs_path
+
+    assert fs_path("s3://bucket/key", None) == "s3://bucket/key"
+    assert fs_path("s3://bucket/key", object()) == "bucket/key"
+    assert fs_path("/local/p", object()) == "/local/p"
 
 
 def _cell_xml(col_letter, rownum, v):
