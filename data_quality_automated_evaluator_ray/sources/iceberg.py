@@ -351,6 +351,8 @@ def _position_delete_index(data: list[dict], deletes: list[dict],
     import numpy as np
     import pyarrow.parquet as pq
 
+    import pandas as pd
+
     seq_of = {d["path"]: d["seq"] for d in data}
     acc: dict[str, list] = {}
     for dl in deletes:
@@ -358,15 +360,21 @@ def _position_delete_index(data: list[dict], deletes: list[dict],
             continue
         t = pq.read_table(_fs_path(dl["path"], fs),
                           columns=["file_path", "pos"], filesystem=fs)
-        paths = t.column("file_path").to_pylist()
-        pos = t.column("pos").to_numpy(zero_copy_only=False)
-        for p, ps in zip(paths, pos):
-            p = _strip_scheme(p)
+        # vectorized group-by-file: tombstone counts scale with deleted
+        # ROWS, so per-row Python here would dominate at dirty-table scale.
+        # One factorize + one stable argsort; Python work is per FILE.
+        codes, uniques = pd.factorize(t.column("file_path").to_pandas())
+        pos = t.column("pos").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(codes, kind="stable")
+        sc = codes[order]
+        bounds = np.searchsorted(sc, np.arange(len(uniques) + 1))
+        sp = pos[order]
+        for k, u in enumerate(uniques):
+            p = _strip_scheme(u)
             seq = seq_of.get(p)
             if seq is not None and seq <= dl["seq"]:
-                acc.setdefault(p, []).append(int(ps))
-    return {p: np.unique(np.asarray(v, dtype=np.int64))
-            for p, v in acc.items()}
+                acc.setdefault(p, []).append(sp[bounds[k]:bounds[k + 1]])
+    return {p: np.unique(np.concatenate(v)) for p, v in acc.items()}
 
 
 # Iceberg primitive type name → Arrow type, for null-filling a projected
