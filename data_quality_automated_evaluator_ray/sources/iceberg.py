@@ -417,12 +417,21 @@ def _equality_delete_sets(deletes: list[dict], fs: Any = None) -> list[dict]:
             continue
         t = pq.read_table(_fs_path(dl["path"], fs), columns=dl["cols"],
                           filesystem=fs)
-        df = t.to_pandas()
-        arrs = [df[c].astype(object).where(df[c].notna(), _EQ_NULL)
-                for c in dl["cols"]]
-        out.append({"seq": dl["seq"], "spec_id": dl["spec_id"],
-                    "partition": dl["partition"], "cols": dl["cols"],
-                    "keys": pd.MultiIndex.from_arrays(arrs)})
+        entry = {"seq": dl["seq"], "spec_id": dl["spec_id"],
+                 "partition": dl["partition"], "cols": dl["cols"],
+                 "keys": None, "value_set": None}
+        col0 = t.column(dl["cols"][0])
+        if len(dl["cols"]) == 1 and col0.null_count == 0:
+            # fast path: single non-null key column (the common Flink/CDC
+            # upsert shape) matches with ONE vectorized pc.is_in per row
+            # group — no object-dtype sentinel arrays
+            entry["value_set"] = col0.combine_chunks()
+        else:
+            df = t.to_pandas()
+            arrs = [df[c].astype(object).where(df[c].notna(), _EQ_NULL)
+                    for c in dl["cols"]]
+            entry["keys"] = pd.MultiIndex.from_arrays(arrs)
+        out.append(entry)
     return out
 
 
@@ -502,9 +511,19 @@ def read_iceberg(table_path: str, *, columns: list[str] | None = None,
             def _apply_eq(self, t, d):
                 import numpy as np
                 import pandas as pd
+                import pyarrow.compute as pc
 
                 for eq in self.eq_sets:
                     if not t.num_rows or not self._applicable(eq, d):
+                        continue
+                    if eq["value_set"] is not None:
+                        c = eq["cols"][0]
+                        if c not in t.column_names:
+                            continue  # evolved file: all-null vs non-null
+                                      # keys can never match
+                        hit = pc.is_in(t.column(c),
+                                       value_set=eq["value_set"])
+                        t = t.filter(pc.invert(pc.fill_null(hit, False)))
                         continue
                     arrs = []
                     for c in eq["cols"]:

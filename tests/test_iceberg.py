@@ -380,6 +380,52 @@ def test_iceberg_equality_delete_schema_evolution(ray_session, tmp_path):
         read_iceberg(root, columns=["nope"])
 
 
+def test_iceberg_equality_delete_null_keys(ray_session, tmp_path):
+    # a NULL in the key set forces the sentinel MultiIndex path and must
+    # match rows whose key is null (spec: null-equals-null)
+    root = str(tmp_path / "nk")
+    meta, data = os.path.join(root, "metadata"), os.path.join(root, "data")
+    os.makedirs(meta)
+    os.makedirs(data)
+    fp = os.path.join(data, "f0.parquet")
+    pq.write_table(pa.table({"k": pa.array([1, 2, 3, 4], pa.int64()),
+                             "v": pa.array(["a", None, "c", "d"])}), fp)
+    e = {"status": 1, "snapshot_id": 1, "sequence_number": 1,
+         "data_file": {"content": 0, "file_path": fp,
+                       "file_format": "PARQUET", "record_count": 4,
+                       "file_size_in_bytes": 1, "lower_bounds": None,
+                       "upper_bounds": [], "equality_ids": None}}
+    m0 = os.path.join(meta, "m0.avro")
+    write_avro_file(m0, MANIFEST_SCHEMA_V2, [e])
+    dp = os.path.join(data, "del.parquet")
+    pq.write_table(pa.table({"v": pa.array([None, "c"], pa.string())}), dp)
+    de = {"status": 1, "snapshot_id": 2, "sequence_number": 2,
+          "data_file": {"content": 2, "file_path": dp,
+                        "file_format": "PARQUET", "record_count": 2,
+                        "file_size_in_bytes": 1, "lower_bounds": None,
+                        "upper_bounds": [], "equality_ids": [2]}}
+    m1 = os.path.join(meta, "m1.avro")
+    write_avro_file(m1, MANIFEST_SCHEMA_V2, [de])
+    lp = os.path.join(meta, "snap.avro")
+    write_avro_file(lp, MANIFEST_LIST_SCHEMA_V2, [
+        {"manifest_path": m0, "manifest_length": 1, "partition_spec_id": 0,
+         "content": 0, "added_snapshot_id": 1, "sequence_number": 1},
+        {"manifest_path": m1, "manifest_length": 1, "partition_spec_id": 0,
+         "content": 1, "added_snapshot_id": 2, "sequence_number": 2}])
+    json.dump({"format-version": 2, "table-uuid": "7" * 36,
+               "location": root, "current-snapshot-id": 2,
+               "current-schema-id": 0,
+               "schemas": [{"schema-id": 0, "fields": [
+                   {"id": 1, "name": "k", "type": "long"},
+                   {"id": 2, "name": "v", "type": "string"}]}],
+               "snapshots": [{"snapshot-id": 2, "manifest-list": lp}]},
+              open(os.path.join(meta, "v1.metadata.json"), "w"))
+    open(os.path.join(meta, "version-hint.text"), "w").write("1")
+    got = read_iceberg(root).to_pandas().sort_values("k")
+    # v IS NULL (k=2) and v='c' (k=3) both die
+    assert got["k"].tolist() == [1, 4]
+
+
 def test_iceberg_mor_rejects_unsupported_kwargs(ray_session, tmp_path):
     root = _build_mor_table(tmp_path)
     with pytest.raises(NotImplementedError, match="delete sidecars"):
