@@ -397,18 +397,92 @@ def _arrow_type(iceberg_type: str):
     return t
 
 
-# nulls compare EQUAL in equality deletes (spec §Equality Delete Files),
-# but pandas merge/isin treat NaN != NaN — encode nulls as this sentinel
-# in the object-dtype key arrays on both sides instead
-_EQ_NULL = "\x00__iceberg_eq_null__"
+# nulls compare EQUAL in equality deletes (spec §Equality Delete Files) but
+# stay distinct from float NaN, which compares equal to itself (value
+# semantics). The pandas fallback path encodes both as identity sentinels:
+# CLASS objects, because (a) they pickle by reference so driver-built key
+# indexes match worker-side data after the ray.put broadcast, and (b) any
+# non-str value forces pandas onto the PyObjectHashTable — the all-string
+# StringHashTable compares object strings as NUL-terminated C strings, so
+# string sentinels (or real keys with embedded NUL bytes) silently collide.
+class _EqNull:
+    """Identity sentinel for NULL equality-delete keys."""
+
+
+class _EqNan:
+    """Identity sentinel for float-NaN equality-delete keys."""
+
+
+def _decode_dict(arr):
+    """Dictionary-encoded columns decode to their value type so both sides
+    of ``pc.is_in`` / key matching compare plain arrays."""
+    import pyarrow as pa
+
+    if pa.types.is_dictionary(arr.type):
+        return arr.cast(arr.type.value_type)
+    return arr
+
+
+def _encode_eq_keys(t, cols, num_rows):
+    """Vectorized canonical key encoding, the primary multi-column /
+    nullable match path: every key column casts to string (floats widen to
+    float64 first so float32 data never string-collides with a distinct
+    float64 key), backslash then NUL get escaped, nulls become ``\\N``,
+    and columns join on NUL. Injective, so encoded-string equality ==
+    key-tuple equality; Arrow formats NaN as ``'nan'``, giving NaN==NaN
+    and NaN!=null for free. Raises (ArrowNotImplementedError etc.) for
+    types without a string cast; callers fall back to the sentinel path."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    parts = []
+    for c in cols:
+        if c in t.column_names:
+            arr = _decode_dict(t.column(c))
+            if pa.types.is_floating(arr.type):
+                arr = pc.cast(arr, pa.float64())
+            s = pc.cast(arr, pa.string())
+            s = pc.replace_substring(s, pattern="\\", replacement="\\\\")
+            s = pc.replace_substring(s, pattern="\x00", replacement="\\0")
+            s = pc.fill_null(s, "\\N")
+        else:
+            # schema evolution: the column predates this data file, so it
+            # reads as all-null (spec) — and null-matches-null
+            s = pa.array(["\\N"] * num_rows, pa.string())
+        parts.append(s)
+    if len(parts) == 1:
+        return parts[0]
+    return pc.binary_join_element_wise(*parts, "\x00")
+
+
+def _sentinel_series(arr):
+    """Arrow column → object Series with Arrow nulls as ``_EqNull`` and
+    float NaNs as ``_EqNan`` (fallback path for key types that cannot
+    cast to string): null==null, NaN==NaN, null!=NaN — the same semantics
+    ``_encode_eq_keys`` and the single-column ``pc.is_in`` fast path give."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = _decode_dict(arr)
+    s = arr.to_pandas().astype(object)
+    if pa.types.is_floating(arr.type):
+        nans = pc.fill_null(pc.is_nan(arr), False)
+        s[np.asarray(nans)] = _EqNan
+    s[np.asarray(pc.is_null(arr))] = _EqNull
+    return s
 
 
 def _equality_delete_sets(deletes: list[dict], fs: Any = None) -> list[dict]:
     """Load each equality-delete sidecar into an applicable-key index:
-    ``{"seq", "spec_id", "partition", "cols", "keys": pd.MultiIndex}``.
+    ``{"seq", "spec_id", "partition", "cols", "value_set" | "enc_set" |
+    "keys"}`` — a raw Arrow value set (single non-null key column), a
+    canonically encoded string set (general case), or a pandas
+    MultiIndex of sentinel objects (key types with no string cast).
     A delete applies to a data file iff ``data.seq < delete.seq`` (STRICT,
     unlike position deletes) and the partition scope matches."""
     import pandas as pd
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     out = []
@@ -419,18 +493,21 @@ def _equality_delete_sets(deletes: list[dict], fs: Any = None) -> list[dict]:
                           filesystem=fs)
         entry = {"seq": dl["seq"], "spec_id": dl["spec_id"],
                  "partition": dl["partition"], "cols": dl["cols"],
-                 "keys": None, "value_set": None}
-        col0 = t.column(dl["cols"][0])
+                 "keys": None, "value_set": None, "enc_set": None}
+        col0 = _decode_dict(t.column(dl["cols"][0]))
         if len(dl["cols"]) == 1 and col0.null_count == 0:
             # fast path: single non-null key column (the common Flink/CDC
             # upsert shape) matches with ONE vectorized pc.is_in per row
-            # group — no object-dtype sentinel arrays
+            # group — no encoding pass at all
             entry["value_set"] = col0.combine_chunks()
         else:
-            df = t.to_pandas()
-            arrs = [df[c].astype(object).where(df[c].notna(), _EQ_NULL)
-                    for c in dl["cols"]]
-            entry["keys"] = pd.MultiIndex.from_arrays(arrs)
+            try:
+                entry["enc_set"] = _encode_eq_keys(t, dl["cols"],
+                                                   t.num_rows)
+            except pa.ArrowException:
+                # key type without a string cast: pandas object-hash path
+                entry["keys"] = pd.MultiIndex.from_arrays(
+                    [_sentinel_series(t.column(c)) for c in dl["cols"]])
         out.append(entry)
     return out
 
@@ -452,7 +529,8 @@ def read_iceberg(table_path: str, *, columns: list[str] | None = None,
     Merge-on-read: when the snapshot carries delete sidecars, the driver
     folds them into broadcast indexes (tiny next to the data they
     tombstone) — position deletes into a per-file sorted position array,
-    equality deletes into per-sidecar key MultiIndexes with spec-correct
+    equality deletes into per-sidecar key sets (vectorized ``pc.is_in``
+    over raw or canonically-encoded keys) with spec-correct
     STRICT sequence gating and partition scoping — shipped once via
     ``ray.put``; each read task applies its file's tombstones before
     anything else sees the rows. Data files with no applicable deletes
@@ -521,21 +599,29 @@ def read_iceberg(table_path: str, *, columns: list[str] | None = None,
                         if c not in t.column_names:
                             continue  # evolved file: all-null vs non-null
                                       # keys can never match
-                        hit = pc.is_in(t.column(c),
-                                       value_set=eq["value_set"])
-                        t = t.filter(pc.invert(pc.fill_null(hit, False)))
+                        hit = pc.fill_null(
+                            pc.is_in(_decode_dict(t.column(c)),
+                                     value_set=eq["value_set"]), False)
+                        if pc.any(hit).as_py():
+                            t = t.filter(pc.invert(hit))
+                        continue
+                    if eq["enc_set"] is not None:
+                        hit = pc.fill_null(
+                            pc.is_in(_encode_eq_keys(t, eq["cols"],
+                                                     t.num_rows),
+                                     value_set=eq["enc_set"]), False)
+                        if pc.any(hit).as_py():
+                            t = t.filter(pc.invert(hit))
                         continue
                     arrs = []
                     for c in eq["cols"]:
                         if c in t.column_names:
-                            s = t.column(c).to_pandas()
-                            arrs.append(s.astype(object)
-                                        .where(s.notna(), _EQ_NULL))
+                            arrs.append(_sentinel_series(t.column(c)))
                         else:
                             # schema evolution: a data file written before
                             # the column existed reads as all-null (spec),
                             # and nulls compare equal in equality deletes
-                            arrs.append(pd.Series([_EQ_NULL] * t.num_rows,
+                            arrs.append(pd.Series([_EqNull] * t.num_rows,
                                                   dtype=object))
                     hit = pd.MultiIndex.from_arrays(arrs).isin(eq["keys"])
                     if hit.any():

@@ -426,6 +426,113 @@ def test_iceberg_equality_delete_null_keys(ray_session, tmp_path):
     assert got["k"].tolist() == [1, 4]
 
 
+def _build_eq_delete_fixture(root, data_tbl, del_tbl, v_iceberg_type):
+    """Single data file + single equality-delete sidecar on column ``v``
+    (field id 2); table schema is k:long, v:``v_iceberg_type``."""
+    meta, data = os.path.join(root, "metadata"), os.path.join(root, "data")
+    os.makedirs(meta)
+    os.makedirs(data)
+    fp = os.path.join(data, "f0.parquet")
+    pq.write_table(data_tbl, fp)
+    e = {"status": 1, "snapshot_id": 1, "sequence_number": 1,
+         "data_file": {"content": 0, "file_path": fp,
+                       "file_format": "PARQUET",
+                       "record_count": data_tbl.num_rows,
+                       "file_size_in_bytes": 1, "lower_bounds": None,
+                       "upper_bounds": [], "equality_ids": None}}
+    m0 = os.path.join(meta, "m0.avro")
+    write_avro_file(m0, MANIFEST_SCHEMA_V2, [e])
+    dp = os.path.join(data, "del.parquet")
+    pq.write_table(del_tbl, dp)
+    de = {"status": 1, "snapshot_id": 2, "sequence_number": 2,
+          "data_file": {"content": 2, "file_path": dp,
+                        "file_format": "PARQUET",
+                        "record_count": del_tbl.num_rows,
+                        "file_size_in_bytes": 1, "lower_bounds": None,
+                        "upper_bounds": [], "equality_ids": [2]}}
+    m1 = os.path.join(meta, "m1.avro")
+    write_avro_file(m1, MANIFEST_SCHEMA_V2, [de])
+    lp = os.path.join(meta, "snap.avro")
+    write_avro_file(lp, MANIFEST_LIST_SCHEMA_V2, [
+        {"manifest_path": m0, "manifest_length": 1, "partition_spec_id": 0,
+         "content": 0, "added_snapshot_id": 1, "sequence_number": 1},
+        {"manifest_path": m1, "manifest_length": 1, "partition_spec_id": 0,
+         "content": 1, "added_snapshot_id": 2, "sequence_number": 2}])
+    json.dump({"format-version": 2, "table-uuid": "8" * 36,
+               "location": root, "current-snapshot-id": 2,
+               "current-schema-id": 0,
+               "schemas": [{"schema-id": 0, "fields": [
+                   {"id": 1, "name": "k", "type": "long"},
+                   {"id": 2, "name": "v", "type": v_iceberg_type}]}],
+               "snapshots": [{"snapshot-id": 2, "manifest-list": lp}]},
+              open(os.path.join(meta, "v1.metadata.json"), "w"))
+    open(os.path.join(meta, "version-hint.text"), "w").write("1")
+
+
+def test_iceberg_equality_delete_dictionary_keys(ray_session, tmp_path):
+    # a dictionary-encoded key column in the sidecar (pandas categorical /
+    # Arrow dictionary round-trips through Parquet's stored schema) must
+    # decode before the is_in fast path, not crash on a type mismatch
+    root = str(tmp_path / "dk")
+    _build_eq_delete_fixture(
+        root,
+        pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                  "v": pa.array(["a", "b", "c"])}),
+        pa.table({"v": pa.array(["b"]).dictionary_encode()}),
+        "string")
+    got = read_iceberg(root).to_pandas().sort_values("k")
+    assert got["k"].tolist() == [1, 3]
+    assert got["v"].tolist() == ["a", "c"]
+
+
+def test_iceberg_equality_delete_nul_byte_keys(ray_session, tmp_path):
+    # string keys differing only AFTER an embedded NUL byte: pandas'
+    # all-string hash table compares NUL-terminated C strings and would
+    # conflate them — the canonical-encoding path must keep them distinct
+    root = str(tmp_path / "nul")
+    _build_eq_delete_fixture(
+        root,
+        pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                  "v": pa.array(["a\x00b", "a\x00c", ""])}),
+        # the null key forces the non-fast (encoded) path and must only
+        # hit actual nulls, not the empty string
+        pa.table({"v": pa.array(["a\x00b", None], pa.string())}),
+        "string")
+    got = read_iceberg(root).to_pandas().sort_values("k")
+    assert got["k"].tolist() == [2, 3]
+    assert got["v"].tolist() == ["a\x00c", ""]
+
+
+def test_iceberg_equality_delete_nan_vs_null(ray_session, tmp_path):
+    # NaN is a VALUE: a NaN key deletes NaN rows (fast path), and a null
+    # key deletes only null rows — never NaN rows (sentinel path). The two
+    # paths must agree on this split.
+    nan = float("nan")
+    data = pa.table({"k": pa.array([1, 2, 3, 4], pa.int64()),
+                     "v": pa.array([nan, None, 2.0, 3.0], pa.float64())})
+    # fast path: single non-null key set containing NaN
+    root_f = str(tmp_path / "nanf")
+    _build_eq_delete_fixture(
+        root_f, data, pa.table({"v": pa.array([nan], pa.float64())}),
+        "double")
+    got = read_iceberg(root_f).to_pandas().sort_values("k")
+    assert got["k"].tolist() == [2, 3, 4]  # NaN died, null survived
+    # sentinel path: a null in the key set; NaN data must survive
+    root_s = str(tmp_path / "nans")
+    _build_eq_delete_fixture(
+        root_s, data, pa.table({"v": pa.array([None, 3.0], pa.float64())}),
+        "double")
+    got = read_iceberg(root_s).to_pandas().sort_values("k")
+    assert got["k"].tolist() == [1, 3]  # null and 3.0 died, NaN survived
+    # sentinel path with a NaN key: deletes the NaN row, not the null row
+    root_n = str(tmp_path / "nann")
+    _build_eq_delete_fixture(
+        root_n, data, pa.table({"v": pa.array([nan, None], pa.float64())}),
+        "double")
+    got = read_iceberg(root_n).to_pandas().sort_values("k")
+    assert got["k"].tolist() == [3, 4]
+
+
 def test_iceberg_mor_rejects_unsupported_kwargs(ray_session, tmp_path):
     root = _build_mor_table(tmp_path)
     with pytest.raises(NotImplementedError, match="delete sidecars"):
