@@ -163,12 +163,16 @@ class LangIdModel:
         confs = [0.0] * len(texts)
         if not nonempty.any():
             return preds, confs
+        # stay uint32 until the one unavoidable int64 output: the fused
+        # stage is DRAM-bound at full machine width, so every byte of
+        # allocation/read traffic here costs wide-width scaling. The
+        # widening astype doubles as the first operand copy, and the
+        # remaining multiply-adds run in place with uint32 operands
+        # (safe cast; values identical to the all-int64 form).
         cat = np.frombuffer("".join(trunc).encode("utf-32-le"),
-                            dtype=np.uint32).astype(np.int64)
-        # in-place multiply-adds: one ~32 MB temporary instead of three —
-        # the fused stage is DRAM-bound at full machine width, so allocation
-        # traffic here directly costs wide-width scaling (values identical)
-        codes_full = cat[:-2] * _CHAR_SPACE
+                            dtype=np.uint32)
+        codes_full = cat[:-2].astype(np.int64)
+        codes_full *= _CHAR_SPACE
         codes_full += cat[1:-1]
         codes_full *= _CHAR_SPACE
         codes_full += cat[2:]
@@ -186,7 +190,9 @@ class LangIdModel:
         delta = np.zeros(npos + 1, dtype=np.int32)
         delta[s] = 1
         delta[s + c] -= 1
-        cover = np.cumsum(delta[:-1], dtype=np.int32) > 0
+        # sequential in-place accumulate: no second int32 buffer
+        np.add.accumulate(delta[:-1], out=delta[:-1])
+        cover = delta[:-1] > 0
         concat = codes_full[cover]
         seg_counts = c
         # one hash-table probe round against the union table (linear-probe
