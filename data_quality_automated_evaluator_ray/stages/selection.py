@@ -180,14 +180,13 @@ def mixture_resample(ds: "ray.data.Dataset", *, on: str = "text",
         h = np.fromiter(
             (int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) % 10000
              for v in df[on]), dtype=np.int64, count=len(df))
-        whole = np.empty(len(df), dtype=np.int64)
-        thr = np.empty(len(df), dtype=np.int64)
-        strata = df[strata_col].to_numpy()
-        for s in np.unique(strata):
-            wz, tz = plans.get(s, default_plan)
-            m = strata == s
-            whole[m] = wz
-            thr[m] = tz
+        # factorize instead of np.unique: a null stratum is a real value
+        # at dirty-corpus scale (np.unique raises sorting None), and the
+        # -1 sentinel routes it to default_weight
+        codes, uniq = pd.factorize(df[strata_col], use_na_sentinel=True)
+        per_u = [plans.get(s, default_plan) for s in uniq] + [default_plan]
+        whole = np.array([p[0] for p in per_u], dtype=np.int64)[codes]
+        thr = np.array([p[1] for p in per_u], dtype=np.int64)[codes]
         n = whole + (h < thr)
         out = df[cols].iloc[np.repeat(np.arange(len(df)), n)].copy()
         ends = np.cumsum(n)

@@ -533,6 +533,40 @@ def test_iceberg_equality_delete_nan_vs_null(ray_session, tmp_path):
     assert got["k"].tolist() == [3, 4]
 
 
+def test_encode_eq_keys_injective():
+    # canonical key encoding: distinct tuples never collide, equal tuples
+    # always do — across the adversarial cases (escape chars, literal
+    # '\\N' strings vs real nulls, NUL separators, NaN vs null floats)
+    from data_quality_automated_evaluator_ray.sources.iceberg import (
+        _encode_eq_keys)
+    nan = float("nan")
+    t = pa.table({
+        "a": pa.array(["\\N", None, "", "\x00", "a\x00b", "a", "\\",
+                       "\\\\N", "a\\", None], pa.string()),
+        "b": pa.array([1.0, 1.0, nan, None, 0.5, 0.5, -0.0, 0.0, None,
+                       nan], pa.float64()),
+    })
+    enc = _encode_eq_keys(t, ["a", "b"], t.num_rows).to_pylist()
+    # all 10 tuples above are pairwise distinct -> 10 distinct encodings
+    assert len(set(enc)) == t.num_rows
+    # equal tuples encode equal: same table again
+    assert _encode_eq_keys(t, ["a", "b"], t.num_rows).to_pylist() == enc
+    # column-boundary ambiguity: ('a\x00', 'b') vs ('a', '\x00b') must
+    # differ even though the raw concatenations are identical
+    t2 = pa.table({"a": pa.array(["a\x00", "a"]),
+                   "b": pa.array(["b", "\x00b"])})
+    e2 = _encode_eq_keys(t2, ["a", "b"], 2).to_pylist()
+    assert e2[0] != e2[1]
+    # float32 data never collides with a DIFFERENT float64 key, but the
+    # same mathematical value encodes identically after widening
+    f32 = pa.table({"v": pa.array([0.1, 2.5], pa.float32())})
+    f64 = pa.table({"v": pa.array([0.1, 2.5], pa.float64())})
+    a32 = _encode_eq_keys(f32, ["v"], 2).to_pylist()
+    a64 = _encode_eq_keys(f64, ["v"], 2).to_pylist()
+    assert a32[0] != a64[0]  # float32(0.1) != float64(0.1)
+    assert a32[1] == a64[1]  # 2.5 is exact in both widths
+
+
 def test_iceberg_mor_rejects_unsupported_kwargs(ray_session, tmp_path):
     root = _build_mor_table(tmp_path)
     with pytest.raises(NotImplementedError, match="delete sidecars"):

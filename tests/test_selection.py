@@ -90,6 +90,21 @@ def test_mixture_resample_copy_semantics(ray_session):
         _sorted(out2, cols)[sorted(out2.columns)])
 
 
+def test_mixture_resample_null_stratum(ray_session):
+    # a null stratum is a real value in dirty corpora: it must take
+    # default_weight, not crash (np.unique cannot sort None)
+    import ray.data as rd
+    df = pd.DataFrame({"doc_id": [1, 2, 3, 4],
+                       "text": ["a", "b", "c", "d"],
+                       "lang": ["en", None, "de", None]})
+    out = mixture_resample(rd.from_pandas(df),
+                           weights={"en": 2.0, "de": 3.0},
+                           default_weight=1.0).to_pandas()
+    n = out.groupby("doc_id")["copy_id"].size()
+    assert n[1] == 2 and n[3] == 3          # weighted strata
+    assert n[2] == 1 and n[4] == 1          # null stratum -> default 1.0
+
+
 def test_quota_cap_rejects_nonpositive_k(ray_session):
     with pytest.raises(ValueError):
         quota_cap(_docs(1), k=0)
