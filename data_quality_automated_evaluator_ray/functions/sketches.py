@@ -32,15 +32,14 @@ def hll_add_hashes(registers: np.ndarray, hashes64: np.ndarray) -> np.ndarray:
         return registers
     idx = (hashes64 >> np.uint64(64 - _P)).astype(np.int64)
     rest = hashes64 << np.uint64(_P)
-    # rank = leading zeros of the remaining 64-p bits + 1
-    rank = np.ones(hashes64.size, dtype=np.uint8)
+    # rank = leading zeros of the remaining 64-p bits + 1; an all-zero
+    # remainder ranks 64-p+1 (the previous two-branch form left rank=1
+    # when EVERY remainder in the batch was zero)
+    rank = np.full(hashes64.size, 64 - _P + 1, dtype=np.uint8)
     nonzero = rest != 0
     if nonzero.any():
         bits = 63 - np.floor(np.log2(rest[nonzero].astype(np.float64))).astype(np.int64)
-        rank_nz = np.minimum(bits + 1, 64 - _P + 1).astype(np.uint8)
-        r = np.full(hashes64.size, 64 - _P + 1, dtype=np.uint8)
-        r[nonzero] = rank_nz
-        rank = r
+        rank[nonzero] = np.minimum(bits + 1, 64 - _P + 1).astype(np.uint8)
     np.maximum.at(registers, idx, rank)
     return registers
 
