@@ -43,8 +43,9 @@ def _prune_stale_partitions(out_dir: str, metrics_root: str,
     import shutil
 
     # \d{5,}: indices >= 100000 widen past the :05d padding — the stale
-    # tail must still prune at that scale
-    pat = re.compile(r"^part-(\d{5,})(\.json)?$")
+    # tail must still prune at that scale; .tmp- leftovers of a crashed
+    # larger plan are equally stale (in-plan tmps are recreated per run)
+    pat = re.compile(r"^(?:\.tmp-)?(?:part|metrics)-(\d{5,})(\.json)?$")
     for root in (out_dir, metrics_root, lineage_dir):
         if not os.path.isdir(root):
             continue
@@ -124,12 +125,19 @@ def run_resumable(
         # reads metrics/ instead of re-running the pipeline).
         evaluated = ds.materialize()
         reason_counts = evaluated.groupby("drop_reason").count().to_pandas()
-        count_col = [c for c in reason_counts.columns if c != "drop_reason"][0]
-        rows_in = int(reason_counts[count_col].sum())
-        drop_tallies = {
-            r: int(c) for r, c in
-            zip(reason_counts["drop_reason"], reason_counts[count_col]) if r != "keep"
-        }
+        if reason_counts.empty:
+            # zero-row fragment group: Ray's empty groupby loses its
+            # columns entirely, so don't index into them
+            rows_in, drop_tallies = 0, {}
+        else:
+            count_col = [c for c in reason_counts.columns
+                         if c != "drop_reason"][0]
+            rows_in = int(reason_counts[count_col].sum())
+            drop_tallies = {
+                r: int(c) for r, c in
+                zip(reason_counts["drop_reason"], reason_counts[count_col])
+                if r != "keep"
+            }
         out_cols = OUTPUT_COLUMNS + (MODEL_COLUMNS if with_models else [])
         kept = evaluated.filter(expr="keep == True").select_columns(out_cols)
         kept.write_parquet(tmp_dir)
@@ -138,6 +146,11 @@ def run_resumable(
         evaluated.select_columns(metric_cols).write_parquet(tmp_metrics)
         rows_kept = rows_in - sum(drop_tallies.values())
 
+        # a zero-row write_parquet creates NO directory; an empty (or
+        # fully-dropped) partition must still publish + commit so the
+        # resume skips it instead of crashing on the missing tmp dir
+        for d in (tmp_dir, tmp_metrics):
+            os.makedirs(d, exist_ok=True)
         lineage.atomic_publish(tmp_dir, final_dir)
         lineage.atomic_publish(tmp_metrics, metrics_dir)
         lineage.commit(lineage_dir, idx, fragments=frag_group, token=token,

@@ -140,3 +140,25 @@ def test_shrunken_plan_prunes_stale_partitions(ray_session, small_corpus,
     mfiles = glob.glob(os.path.join(out, "metrics", "part-*", "*.parquet"))
     rows = sum(_pq.read_metadata(f).num_rows for f in mfiles)
     assert rows == manifests[0]["rows_in"]
+
+
+def test_empty_fragment_partition_commits(ray_session, small_corpus,
+                                          tmp_path):
+    """A zero-row fragment is legitimate shard dirt at scale: its partition
+    must publish an empty output dir + commit (zero-row write_parquet
+    creates NO directory), and the resume must skip it, not re-run it."""
+    d, paths = small_corpus
+    empty = str(tmp_path / "empty.parquet")
+    src = pq.read_table(paths[0])
+    pq.write_table(src.slice(0, 0), empty)
+    frags = [empty] + list(paths[:1])
+    out = str(tmp_path / "out")
+    s1 = run_resumable(frags, out, partition_size=1, with_models=False)
+    assert s1["partitions_run"] == 2
+    # the empty partition exists (possibly with no parquet files inside)
+    dirs = sorted(glob.glob(os.path.join(out, "part-*")))
+    assert len(dirs) == 2
+    manifests = lineage.load_manifests(os.path.join(out, "lineage"))
+    assert sorted(m["rows_in"] for m in manifests) == [0, 200]
+    s2 = run_resumable(frags, out, partition_size=1, with_models=False)
+    assert s2["partitions_skipped"] == 2 and s2["partitions_run"] == 0
