@@ -524,9 +524,12 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", *, text_col: str = "text",
 
     # small side: per-doc distinct-shingle counts, broadcast to pair scoring
     sizes_df = exploded.groupby("doc_id").count().to_pandas()
-    size_col = [c for c in sizes_df.columns if c != "doc_id"][0]
-    sizes_ref = ray.put(dict(zip(sizes_df["doc_id"].astype(int),
-                                 sizes_df[size_col].astype(int))))
+    if sizes_df.empty:  # Ray's empty groupby loses its columns
+        sizes_ref = ray.put({})
+    else:
+        size_col = [c for c in sizes_df.columns if c != "doc_id"][0]
+        sizes_ref = ray.put(dict(zip(sizes_df["doc_id"].astype(int),
+                                     sizes_df[size_col].astype(int))))
 
     pairs = _apply_per_bucket(exploded, ["shingle"],
                               _merge_pairs_fn(["shingle"]))

@@ -73,6 +73,8 @@ def detect_hot_keys(ds: "ray.data.Dataset", key_col: str = "repo",
                     threshold_frac: float = 0.05) -> dict[str, int]:
     """→ {hot key: row count}. Narrow pre-pass: only the key column moves."""
     counts = ds.select_columns([key_col]).groupby(key_col).count().to_pandas()
+    if counts.empty:  # Ray's empty groupby loses its columns — no keys
+        return {}
     cnt_col = [c for c in counts.columns if c != key_col][0]
     total = int(counts[cnt_col].sum())
     hot = counts[counts[cnt_col] > threshold_frac * total]
