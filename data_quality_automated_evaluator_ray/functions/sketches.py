@@ -33,13 +33,23 @@ def hll_add_hashes(registers: np.ndarray, hashes64: np.ndarray) -> np.ndarray:
     idx = (hashes64 >> np.uint64(64 - _P)).astype(np.int64)
     rest = hashes64 << np.uint64(_P)
     # rank = leading zeros of the remaining 64-p bits + 1; an all-zero
-    # remainder ranks 64-p+1 (the previous two-branch form left rank=1
-    # when EVERY remainder in the batch was zero)
-    rank = np.full(hashes64.size, 64 - _P + 1, dtype=np.uint8)
-    nonzero = rest != 0
-    if nonzero.any():
-        bits = 63 - np.floor(np.log2(rest[nonzero].astype(np.float64))).astype(np.int64)
-        rank[nonzero] = np.minimum(bits + 1, 64 - _P + 1).astype(np.uint8)
+    # remainder ranks 64-p+1. EXACT bit ops, not float log2: a remainder
+    # within half-ULP below 2^k rounds UP through float64 (rank off by one,
+    # and 2^64-1 rounded to 2^64 produced an illegal rank 0 that lost the
+    # observation). Smear the MSB down, then SWAR-popcount → clz.
+    x = rest.copy()
+    for sh in (1, 2, 4, 8, 16, 32):
+        x |= x >> np.uint64(sh)
+    # SWAR popcount over the smeared value: set bits = 64 - clz
+    m1, m2, m4 = (np.uint64(0x5555555555555555),
+                  np.uint64(0x3333333333333333),
+                  np.uint64(0x0F0F0F0F0F0F0F0F))
+    x = x - ((x >> np.uint64(1)) & m1)
+    x = (x & m2) + ((x >> np.uint64(2)) & m2)
+    x = (x + (x >> np.uint64(4))) & m4
+    pop = (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+    clz = (np.uint64(64) - pop).astype(np.int64)  # 64 for rest == 0
+    rank = np.minimum(clz + 1, 64 - _P + 1).astype(np.uint8)
     np.maximum.at(registers, idx, rank)
     return registers
 

@@ -18,6 +18,7 @@ import os
 
 import ray.data
 
+from ..stages.partitioning import groupby_counts
 from ..state import lineage
 from .quality_filter import apply_quality_filter
 
@@ -124,20 +125,13 @@ def run_resumable(
         # model inference runs exactly once per row per run (the report later
         # reads metrics/ instead of re-running the pipeline).
         evaluated = ds.materialize()
-        reason_counts = evaluated.groupby("drop_reason").count().to_pandas()
-        if reason_counts.empty:
-            # zero-row fragment group: Ray's empty groupby loses its
-            # columns entirely, so don't index into them
-            rows_in, drop_tallies = 0, {}
-        else:
-            count_col = [c for c in reason_counts.columns
-                         if c != "drop_reason"][0]
-            rows_in = int(reason_counts[count_col].sum())
-            drop_tallies = {
-                r: int(c) for r, c in
-                zip(reason_counts["drop_reason"], reason_counts[count_col])
-                if r != "keep"
-            }
+        reason_counts = groupby_counts(evaluated, ["drop_reason"])
+        rows_in = int(reason_counts["n"].sum())
+        drop_tallies = {
+            r: int(c) for r, c in
+            zip(reason_counts["drop_reason"], reason_counts["n"])
+            if r != "keep"
+        }
         out_cols = OUTPUT_COLUMNS + (MODEL_COLUMNS if with_models else [])
         kept = evaluated.filter(expr="keep == True").select_columns(out_cols)
         kept.write_parquet(tmp_dir)

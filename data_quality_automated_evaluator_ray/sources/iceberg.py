@@ -413,6 +413,13 @@ class _EqNan:
     """Identity sentinel for float-NaN equality-delete keys."""
 
 
+class _EqNegZero:
+    """Identity sentinel for float -0.0 keys: Iceberg/Java value equality
+    (Double.equals) keeps -0.0 distinct from +0.0, as the encoded and
+    raw-is_in paths naturally do — the pandas hash table would conflate
+    them."""
+
+
 def _decode_dict(arr):
     """Dictionary-encoded columns decode to their value type so both sides
     of ``pc.is_in`` / key matching compare plain arrays."""
@@ -430,8 +437,10 @@ def _encode_eq_keys(t, cols, num_rows):
     float64 key), backslash then NUL get escaped, nulls become ``\\N``,
     and columns join on NUL. Injective, so encoded-string equality ==
     key-tuple equality; Arrow formats NaN as ``'nan'``, giving NaN==NaN
-    and NaN!=null for free. Raises (ArrowNotImplementedError etc.) for
-    types without a string cast; callers fall back to the sentinel path."""
+    and NaN!=null for free. Raises for types without a TOTAL string cast
+    (binary may hold non-UTF-8 bytes on the data side even when the
+    delete side casts fine, so it is rejected up front); callers fall
+    back to the sentinel path."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -441,6 +450,11 @@ def _encode_eq_keys(t, cols, num_rows):
             arr = _decode_dict(t.column(c))
             if pa.types.is_floating(arr.type):
                 arr = pc.cast(arr, pa.float64())
+            t_ = arr.type
+            if (pa.types.is_binary(t_) or pa.types.is_large_binary(t_)
+                    or pa.types.is_fixed_size_binary(t_)):
+                raise pa.ArrowTypeError(
+                    "binary equality keys use the sentinel path")
             s = pc.cast(arr, pa.string())
             s = pc.replace_substring(s, pattern="\\", replacement="\\\\")
             s = pc.replace_substring(s, pattern="\x00", replacement="\\0")
@@ -469,6 +483,10 @@ def _sentinel_series(arr):
     if pa.types.is_floating(arr.type):
         nans = pc.fill_null(pc.is_nan(arr), False)
         s[np.asarray(nans)] = _EqNan
+        # pandas hashes -0.0 == +0.0; Java/Iceberg value equality (and the
+        # other two match paths) keep them distinct
+        f = np.asarray(arr, dtype=np.float64)
+        s[np.signbit(f) & (f == 0.0)] = _EqNegZero
     s[np.asarray(pc.is_null(arr))] = _EqNull
     return s
 
@@ -483,6 +501,7 @@ def _equality_delete_sets(deletes: list[dict], fs: Any = None) -> list[dict]:
     unlike position deletes) and the partition scope matches."""
     import pandas as pd
     import pyarrow as pa
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     out = []
@@ -495,6 +514,12 @@ def _equality_delete_sets(deletes: list[dict], fs: Any = None) -> list[dict]:
                  "partition": dl["partition"], "cols": dl["cols"],
                  "keys": None, "value_set": None, "enc_set": None}
         col0 = _decode_dict(t.column(dl["cols"][0]))
+        if pa.types.is_floating(col0.type):
+            # promote to double at build time: pc.is_in would otherwise
+            # silently DOWNCAST a float64 value_set to a float32 data
+            # column's type, deleting rows whose promoted double value
+            # differs from the key (the encoded path keeps them distinct)
+            col0 = pc.cast(col0, pa.float64())
         if len(dl["cols"]) == 1 and col0.null_count == 0:
             # fast path: single non-null key column (the common Flink/CDC
             # upsert shape) matches with ONE vectorized pc.is_in per row
@@ -589,8 +614,14 @@ def read_iceberg(table_path: str, *, columns: list[str] | None = None,
             def _apply_eq(self, t, d):
                 import numpy as np
                 import pandas as pd
+                import pyarrow as pa
                 import pyarrow.compute as pc
 
+                # CDC tables accumulate many sidecars on the SAME key
+                # columns — encode each distinct cols-tuple once per row
+                # group, not once per sidecar (invalidated when a filter
+                # changes t)
+                enc_cache: dict[tuple, object] = {}
                 for eq in self.eq_sets:
                     if not t.num_rows or not self._applicable(eq, d):
                         continue
@@ -599,19 +630,29 @@ def read_iceberg(table_path: str, *, columns: list[str] | None = None,
                         if c not in t.column_names:
                             continue  # evolved file: all-null vs non-null
                                       # keys can never match
+                        col = _decode_dict(t.column(c))
+                        if pa.types.is_floating(col.type):
+                            # compare at double precision (build side
+                            # promoted the value_set): is_in would silently
+                            # downcast the keys to float32 otherwise
+                            col = pc.cast(col, pa.float64())
                         hit = pc.fill_null(
-                            pc.is_in(_decode_dict(t.column(c)),
-                                     value_set=eq["value_set"]), False)
+                            pc.is_in(col, value_set=eq["value_set"]), False)
                         if pc.any(hit).as_py():
                             t = t.filter(pc.invert(hit))
+                            enc_cache.clear()
                         continue
                     if eq["enc_set"] is not None:
+                        key = tuple(eq["cols"])
+                        enc = enc_cache.get(key)
+                        if enc is None:
+                            enc = _encode_eq_keys(t, eq["cols"], t.num_rows)
+                            enc_cache[key] = enc
                         hit = pc.fill_null(
-                            pc.is_in(_encode_eq_keys(t, eq["cols"],
-                                                     t.num_rows),
-                                     value_set=eq["enc_set"]), False)
+                            pc.is_in(enc, value_set=eq["enc_set"]), False)
                         if pc.any(hit).as_py():
                             t = t.filter(pc.invert(hit))
+                            enc_cache.clear()
                         continue
                     arrs = []
                     for c in eq["cols"]:
@@ -626,6 +667,7 @@ def read_iceberg(table_path: str, *, columns: list[str] | None = None,
                     hit = pd.MultiIndex.from_arrays(arrs).isin(eq["keys"])
                     if hit.any():
                         t = t.filter(~np.asarray(hit))
+                        enc_cache.clear()
                 return t
 
             def __call__(self, batch):

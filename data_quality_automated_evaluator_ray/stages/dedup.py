@@ -523,13 +523,11 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", *, text_col: str = "text",
     exploded = ds.map_batches(_shingles, batch_format="pyarrow").materialize()
 
     # small side: per-doc distinct-shingle counts, broadcast to pair scoring
-    sizes_df = exploded.groupby("doc_id").count().to_pandas()
-    if sizes_df.empty:  # Ray's empty groupby loses its columns
-        sizes_ref = ray.put({})
-    else:
-        size_col = [c for c in sizes_df.columns if c != "doc_id"][0]
-        sizes_ref = ray.put(dict(zip(sizes_df["doc_id"].astype(int),
-                                     sizes_df[size_col].astype(int))))
+    from .partitioning import groupby_counts
+
+    sizes_df = groupby_counts(exploded, ["doc_id"])
+    sizes_ref = ray.put(dict(zip(sizes_df["doc_id"].astype(int),
+                                 sizes_df["n"].astype(int))))
 
     pairs = _apply_per_bucket(exploded, ["shingle"],
                               _merge_pairs_fn(["shingle"]))

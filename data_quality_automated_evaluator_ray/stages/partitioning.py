@@ -69,16 +69,29 @@ def add_partition_key(ds: "ray.data.Dataset", n_partitions: int,
     return ds.map_batches(_fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def groupby_counts(ds: "ray.data.Dataset",
+                   key_cols: list[str]) -> pd.DataFrame:
+    """Empty-safe ``groupby(keys).count()`` → DataFrame with columns
+    ``key_cols + ["n"]``. Ray's groupby on a zero-row dataset returns a
+    frame with NO columns at all; every caller otherwise needs the same
+    guard before indexing the count column."""
+    counts = ds.groupby(key_cols if len(key_cols) > 1 else key_cols[0]) \
+        .count().to_pandas()
+    if counts.empty:
+        return pd.DataFrame({**{k: pd.Series(dtype=object)
+                                for k in key_cols},
+                             "n": pd.Series(dtype="int64")})
+    cnt_col = [c for c in counts.columns if c not in key_cols][0]
+    return counts.rename(columns={cnt_col: "n"})
+
+
 def detect_hot_keys(ds: "ray.data.Dataset", key_col: str = "repo",
                     threshold_frac: float = 0.05) -> dict[str, int]:
     """→ {hot key: row count}. Narrow pre-pass: only the key column moves."""
-    counts = ds.select_columns([key_col]).groupby(key_col).count().to_pandas()
-    if counts.empty:  # Ray's empty groupby loses its columns — no keys
-        return {}
-    cnt_col = [c for c in counts.columns if c != key_col][0]
-    total = int(counts[cnt_col].sum())
-    hot = counts[counts[cnt_col] > threshold_frac * total]
-    return dict(zip(hot[key_col], hot[cnt_col].astype(int)))
+    counts = groupby_counts(ds.select_columns([key_col]), [key_col])
+    total = int(counts["n"].sum())
+    hot = counts[counts["n"] > threshold_frac * total]
+    return dict(zip(hot[key_col], hot["n"].astype(int)))
 
 
 def add_salt(ds: "ray.data.Dataset", hot_keys: dict[str, int],

@@ -567,6 +567,53 @@ def test_encode_eq_keys_injective():
     assert a32[1] == a64[1]  # 2.5 is exact in both widths
 
 
+def test_iceberg_equality_delete_float32_data_float64_keys(ray_session,
+                                                           tmp_path):
+    # schema evolved float->double: the float32 data value 0.1f promotes to
+    # 0.10000000149..., which != the double key 0.1 — pc.is_in would
+    # silently downcast the key set and over-delete without the explicit
+    # double promotion (2.5 is exact in both widths and must still match)
+    root = str(tmp_path / "f32")
+    _build_eq_delete_fixture(
+        root,
+        pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                  "v": pa.array([0.1, 2.5, 7.0], pa.float32())}),
+        pa.table({"v": pa.array([0.1, 2.5], pa.float64())}),
+        "double")
+    got = read_iceberg(root).to_pandas().sort_values("k")
+    assert got["k"].tolist() == [1, 3]  # 0.1f survived, 2.5 died
+
+
+def test_iceberg_equality_delete_binary_keys(ray_session, tmp_path):
+    # binary keys cannot ride the string-encode path (data may hold
+    # non-UTF-8 bytes); a null key forces the non-fast path, which must
+    # fall back to the object-sentinel MultiIndex and still match bytes
+    root = str(tmp_path / "bin")
+    _build_eq_delete_fixture(
+        root,
+        pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                  "v": pa.array([b"\xff\xfe", b"ab", b"cd"], pa.binary())}),
+        pa.table({"v": pa.array([b"\xff\xfe", None], pa.binary())}),
+        "binary")
+    got = read_iceberg(root).to_pandas().sort_values("k")
+    assert got["k"].tolist() == [2, 3]
+
+
+def test_sentinel_series_negzero_nan_null():
+    # the pandas fallback path must agree with the encoded / raw-is_in
+    # paths: -0.0 != +0.0, NaN == NaN, null == null, all three distinct
+    from data_quality_automated_evaluator_ray.sources.iceberg import (
+        _EqNan, _EqNegZero, _EqNull, _sentinel_series)
+    arr = pa.chunked_array([pa.array([-0.0, 0.0, float("nan"), None, 1.0],
+                                     pa.float64())])
+    s = _sentinel_series(arr)
+    assert s[0] is _EqNegZero
+    assert s[1] == 0.0 and not isinstance(s[1], type)
+    assert s[2] is _EqNan
+    assert s[3] is _EqNull
+    assert s[4] == 1.0
+
+
 def test_iceberg_mor_rejects_unsupported_kwargs(ray_session, tmp_path):
     root = _build_mor_table(tmp_path)
     with pytest.raises(NotImplementedError, match="delete sidecars"):
