@@ -426,9 +426,12 @@ def test_iceberg_equality_delete_null_keys(ray_session, tmp_path):
     assert got["k"].tolist() == [1, 4]
 
 
-def _build_eq_delete_fixture(root, data_tbl, del_tbl, v_iceberg_type):
+def _build_eq_delete_fixture(root, data_tbl, del_tbl, v_iceberg_type,
+                             *, extra_fields=None, eq_ids=None):
     """Single data file + single equality-delete sidecar on column ``v``
-    (field id 2); table schema is k:long, v:``v_iceberg_type``."""
+    (field id 2); table schema is k:long, v:``v_iceberg_type`` plus any
+    ``extra_fields`` ([(name, iceberg_type), ...] from field id 3).
+    ``eq_ids`` overrides the sidecar's equality field ids (default [2])."""
     meta, data = os.path.join(root, "metadata"), os.path.join(root, "data")
     os.makedirs(meta)
     os.makedirs(data)
@@ -449,7 +452,8 @@ def _build_eq_delete_fixture(root, data_tbl, del_tbl, v_iceberg_type):
                         "file_format": "PARQUET",
                         "record_count": del_tbl.num_rows,
                         "file_size_in_bytes": 1, "lower_bounds": None,
-                        "upper_bounds": [], "equality_ids": [2]}}
+                        "upper_bounds": [],
+                        "equality_ids": list(eq_ids or [2])}}
     m1 = os.path.join(meta, "m1.avro")
     write_avro_file(m1, MANIFEST_SCHEMA_V2, [de])
     lp = os.path.join(meta, "snap.avro")
@@ -458,12 +462,14 @@ def _build_eq_delete_fixture(root, data_tbl, del_tbl, v_iceberg_type):
          "content": 0, "added_snapshot_id": 1, "sequence_number": 1},
         {"manifest_path": m1, "manifest_length": 1, "partition_spec_id": 0,
          "content": 1, "added_snapshot_id": 2, "sequence_number": 2}])
+    fields = [{"id": 1, "name": "k", "type": "long"},
+              {"id": 2, "name": "v", "type": v_iceberg_type}]
+    for i, (name, typ) in enumerate(extra_fields or []):
+        fields.append({"id": 3 + i, "name": name, "type": typ})
     json.dump({"format-version": 2, "table-uuid": "8" * 36,
                "location": root, "current-snapshot-id": 2,
                "current-schema-id": 0,
-               "schemas": [{"schema-id": 0, "fields": [
-                   {"id": 1, "name": "k", "type": "long"},
-                   {"id": 2, "name": "v", "type": v_iceberg_type}]}],
+               "schemas": [{"schema-id": 0, "fields": fields}],
                "snapshots": [{"snapshot-id": 2, "manifest-list": lp}]},
               open(os.path.join(meta, "v1.metadata.json"), "w"))
     open(os.path.join(meta, "version-hint.text"), "w").write("1")
@@ -612,6 +618,77 @@ def test_sentinel_series_negzero_nan_null():
     assert s[2] is _EqNan
     assert s[3] is _EqNull
     assert s[4] == 1.0
+
+
+def _eq_delete_oracle(data_rows, key_rows, cols):
+    """Pure-Python value-equality oracle for equality deletes: null==null,
+    NaN==NaN, -0.0 != +0.0 (Java Double.equals), bytes/str exact. Returns
+    the surviving k values in order."""
+    import math
+
+    def canon(v):
+        if v is None:
+            return ("null",)
+        if isinstance(v, float):
+            if math.isnan(v):
+                return ("nan",)
+            return ("f", v, math.copysign(1.0, v))
+        return ("v", v)
+
+    keys = {tuple(canon(r[c]) for c in cols) for r in key_rows}
+    return [r["k"] for r in data_rows
+            if tuple(canon(r[c]) for c in cols) not in keys]
+
+
+def test_iceberg_equality_delete_paths_match_oracle(ray_session, tmp_path):
+    # every match path (raw is_in / canonical encode / object sentinel)
+    # against one independent value-equality oracle, over the adversarial
+    # value sets the paths were built for
+    nan = float("nan")
+    strs = ["\\N", "", "\x00", "a\x00b", "a\x00c", "\\", "x", None]
+    floats = [nan, -0.0, 0.0, 1.5, None, 2.0, 3.25, nan]
+    cases = []
+    # 1. string keys incl. null -> encoded path
+    cases.append(("s_enc", {"v": (strs, pa.string())},
+                  {"v": (["\x00", "a\x00b", None, "\\N"], pa.string())},
+                  ["v"], "string", None, None))
+    # 2. float keys incl. null/NaN/-0.0 -> encoded path
+    cases.append(("f_enc", {"v": (floats, pa.float64())},
+                  {"v": ([nan, -0.0, None], pa.float64())},
+                  ["v"], "double", None, None))
+    # 3. float single non-null keys -> fast is_in path
+    cases.append(("f_fast", {"v": (floats, pa.float64())},
+                  {"v": ([0.0, 3.25], pa.float64())},
+                  ["v"], "double", None, None))
+    # 4. two-column (string, float) -> encoded join path
+    cases.append(("two_enc",
+                  {"v": (["a", "a", "b", None, "a\x00"], pa.string()),
+                   "w": ([1.0, 2.0, 1.0, 1.0, 1.0], pa.float64())},
+                  {"v": (["a", None], pa.string()),
+                   "w": ([1.0, 1.0], pa.float64())},
+                  ["v", "w"], "string", [("w", "double")], [2, 3]))
+    # 5. binary + null key -> object-sentinel fallback path
+    cases.append(("bin_sent",
+                  {"v": ([b"\xff", b"ab", None, b""], pa.binary())},
+                  {"v": ([b"\xff", None], pa.binary())},
+                  ["v"], "binary", None, None))
+    for name, data_cols, key_cols_vals, cols, vtype, extra, eq_ids in cases:
+        n = len(next(iter(data_cols.values()))[0])
+        data = {"k": pa.array(list(range(1, n + 1)), pa.int64())}
+        for c, (vals, typ) in data_cols.items():
+            data[c] = pa.array(vals, typ)
+        dele = {c: pa.array(vals, typ)
+                for c, (vals, typ) in key_cols_vals.items()}
+        root = str(tmp_path / name)
+        _build_eq_delete_fixture(root, pa.table(data), pa.table(dele),
+                                 vtype, extra_fields=extra, eq_ids=eq_ids)
+        got = sorted(read_iceberg(root).to_pandas()["k"].tolist())
+        data_rows = [dict(zip(data, row))
+                     for row in zip(*(a.to_pylist() for a in data.values()))]
+        key_rows = [dict(zip(dele, row))
+                    for row in zip(*(a.to_pylist() for a in dele.values()))]
+        want = sorted(_eq_delete_oracle(data_rows, key_rows, cols))
+        assert got == want, f"{name}: {got} != {want}"
 
 
 def test_iceberg_mor_rejects_unsupported_kwargs(ray_session, tmp_path):
