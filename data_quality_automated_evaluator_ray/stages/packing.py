@@ -87,6 +87,13 @@ def pack_sequences(ds: "ray.data.Dataset", capacity: int, *,
     # over the SMALL range table, never over rows)
     sums = (narrow.groupby([part_col, "rkey"])
             .aggregate(Sum("tokens", alias_name="rtotal")).to_pandas())
+    if sums.empty:  # empty input: well-formed zero-row packing
+        from .partitioning import empty_result
+
+        return empty_result(ds, [part_col],
+                            {id_col: pa.int64(), "tokens": pa.int64(),
+                             "seq_id": pa.int64(),
+                             "seq_offset": pa.int64()})
     sums = sums.sort_values([part_col, "rkey"]).reset_index(drop=True)
     excl = (sums.groupby(part_col, sort=False)["rtotal"].cumsum()
             - sums["rtotal"]).to_numpy(dtype=np.int64)
@@ -149,6 +156,10 @@ def global_shuffle_rank(ds: "ray.data.Dataset", *, id_col: str = "doc_id",
 
     counts = (narrow.groupby("__rkey")
               .aggregate(Count(alias_name="n")).to_pandas())
+    if counts.empty:  # empty input: well-formed zero-row ranking
+        from .partitioning import empty_result
+
+        return empty_result(ds, cols, {out_col: pa.int64()})
     counts = counts.sort_values("__rkey").reset_index(drop=True)
     excl = counts["n"].cumsum() - counts["n"]
     base = {int(r): int(b) for r, b in zip(counts["__rkey"], excl)}
@@ -200,6 +211,11 @@ def ntile_by_value(ds: "ray.data.Dataset", *, value_col: str,
     narrow = ds.map_batches(_key, batch_format="pyarrow").materialize()
     counts = (narrow.groupby("__rkey")
               .aggregate(Count(alias_name="n")).to_pandas())
+    if counts.empty:  # empty input: well-formed zero-row tiling
+        from .partitioning import empty_result
+
+        return empty_result(ds, list(ds.schema().names),
+                            {out_col: pa.int64()})
     counts = counts.sort_values("__rkey").reset_index(drop=True)
     excl = counts["n"].cumsum() - counts["n"]
     total = int(counts["n"].sum())

@@ -85,6 +85,30 @@ def groupby_counts(ds: "ray.data.Dataset",
     return counts.rename(columns={cnt_col: "n"})
 
 
+def empty_result(ds: "ray.data.Dataset", keep: list[str],
+                 extra: "dict[str, pa.DataType]") -> "ray.data.Dataset":
+    """Well-formed ZERO-ROW result for a two-level-scan operator whose
+    driver prep (range sums → prefix offsets) has nothing to plan over:
+    the ``keep`` columns come typed from the INPUT's schema (an empty
+    derived dataset has already lost its schema in Ray), plus typed empty
+    ``extra`` output columns."""
+    def _pa_type(t):
+        # pandas-block datasets report numpy dtypes (object for strings)
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(t)
+        except (pa.ArrowNotImplementedError, TypeError):
+            return pa.string()
+
+    sch = ds.schema()
+    cols = {n: pa.array([], _pa_type(t))
+            for n, t in zip(sch.names, sch.types) if n in keep}
+    for n, t in extra.items():
+        cols[n] = pa.array([], t)
+    return ray.data.from_arrow(pa.table(cols))
+
+
 def detect_hot_keys(ds: "ray.data.Dataset", key_col: str = "repo",
                     threshold_frac: float = 0.05) -> dict[str, int]:
     """→ {hot key: row count}. Narrow pre-pass: only the key column moves."""

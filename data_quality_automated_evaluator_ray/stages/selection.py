@@ -94,6 +94,13 @@ def token_budget_select(ds: "ray.data.Dataset", budget: int, *,
 
     sums = (narrow.groupby([part_col, "rkey"])
             .aggregate(Sum("tokens", alias_name="rtotal")).to_pandas())
+    if sums.empty:  # empty input: nothing to budget (and the empty
+        from .partitioning import empty_result  # aggregate has no columns)
+
+        return empty_result(ds, [part_col],
+                            {id_col: pa.int64(), "tokens": pa.int64(),
+                             "alpha": pa.int64(),
+                             "cum_tokens": pa.int64()})
     sums = sums.sort_values([part_col, "rkey"]).reset_index(drop=True)
     excl = (sums.groupby(part_col, sort=False)["rtotal"].cumsum()
             - sums["rtotal"]).to_numpy(dtype=np.int64)

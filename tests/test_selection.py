@@ -236,3 +236,32 @@ def test_config_dedup_pipeline(ray_session, tmp_path):
     # schema round-trips whole rows (not just ids)
     got = pd.read_parquet(out_fuzzy)
     assert {"doc_id", "text", "lang", "source"} <= set(got.columns)
+
+
+def test_two_level_scan_operators_empty_input(ray_session):
+    # the driver-side range-sum prep of every two-level-scan operator gets
+    # an EMPTY aggregate (which loses its columns — Ray quirk) on an empty
+    # input; each must return a well-formed zero-row dataset with a typed
+    # schema instead of crashing in sort_values
+    import ray.data as rd
+
+    from data_quality_automated_evaluator_ray.stages.packing import (
+        global_shuffle_rank, ntile_by_value, pack_sequences)
+
+    empty = rd.from_pandas(pd.DataFrame({
+        "doc_id": pd.Series(dtype="int64"),
+        "lang": pd.Series(dtype=str),
+        "text": pd.Series(dtype=str),
+        "quality": pd.Series(dtype="float64")}))
+    cases = [
+        (token_budget_select(empty, budget=100),
+         {"doc_id", "lang", "tokens", "alpha", "cum_tokens"}),
+        (pack_sequences(empty, capacity=64),
+         {"doc_id", "lang", "tokens", "seq_id", "seq_offset"}),
+        (global_shuffle_rank(empty), {"doc_id", "shuffle_rank"}),
+        (ntile_by_value(empty, value_col="quality", tiebreak_col="doc_id"),
+         {"doc_id", "lang", "text", "quality", "tile"}),
+    ]
+    for ds, want_cols in cases:
+        assert ds.count() == 0
+        assert set(ds.schema().names) == want_cols
