@@ -99,6 +99,8 @@ def exact_dedup(ds: "ray.data.Dataset", text_col: str = "text",
     hashed = ds.map_batches(lambda b: add_content_hash(b, text_col),
                             batch_format="pyarrow", zero_copy_batch=True) \
                .materialize()
+    if hashed.count() == 0:
+        return ds  # empty input: nothing to dedup (schema survives on ds)
     keepers = _apply_per_bucket(
         hashed.select_columns(["content_hash", id_col]), ["content_hash"],
         lambda part: part.groupby("content_hash", as_index=False, sort=False,

@@ -72,6 +72,8 @@ def grouped_corr(ds: "ray.data.Dataset", x_col: str, y_col: str,
         return out
 
     part = ds.map_batches(_partials, batch_format="pyarrow").to_pandas()
+    if part.empty:  # empty input (a zero-row Ray result loses columns)
+        return pd.DataFrame(columns=by + ["n", "mean_x", "mean_y", "corr"])
     gb = part.groupby(by, sort=False, dropna=False)
     gidx = gb.ngroup().to_numpy()
     G = len(gb)
@@ -244,6 +246,8 @@ def grouped_percentiles(ds: "ray.data.Dataset", col: str, by: list[str],
 
     out = partitioned_groupby(ds.select_columns(by + [col]), by, _pct,
                               num_partitions=num_partitions).to_pandas()
+    if out.empty:  # empty input (a zero-row Ray result loses columns)
+        return pd.DataFrame(columns=by + ["n"] + labels)
     return out.sort_values(by).reset_index(drop=True)
 
 

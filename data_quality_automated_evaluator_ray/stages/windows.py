@@ -258,8 +258,11 @@ def funnel_conversion(
     partials = partitioned_groupby(
         ds.map_batches(_narrow, batch_format="pyarrow"), [key_col], _part,
         num_partitions=num_partitions).to_pandas()
-    n_views = int(partials["n_views"].sum())
-    n_conv = int(partials["n_converted"].sum())
+    if partials.empty:  # empty input (zero-row Ray result loses columns)
+        n_views = n_conv = 0
+    else:
+        n_views = int(partials["n_views"].sum())
+        n_conv = int(partials["n_converted"].sum())
     return pd.DataFrame([{
         "n_views": np.int64(n_views),
         "n_converted": np.int64(n_conv),

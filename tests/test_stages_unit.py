@@ -441,3 +441,33 @@ def test_ascii_tokens_matches_oracle_class_on_exotic_whitespace(ray_session):
     # shingles and simhash build on the same token stream
     assert _token_shingles(doc, 3) == ["a\x0cb c\xa0d e"]
     assert simhash64("a\x0cb") == simhash64("a\x0cb")  # deterministic
+
+
+def test_empty_input_operators_well_formed(ray_session):
+    # empty corpora/logs are legitimate at shard granularity: the driver
+    # preps and report collectors must return well-formed empties, not
+    # crash on Ray's column-less zero-row results
+    import pandas as pd
+
+    import ray.data as rd
+    from data_quality_automated_evaluator_ray.stages import (
+        dedup, statistics, windows)
+
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": pd.Series(dtype="int64"), "lang": pd.Series(dtype=str),
+        "text": pd.Series(dtype=str),
+        "quality": pd.Series(dtype="float64")}))
+    events = rd.from_pandas(pd.DataFrame({
+        "user_id": pd.Series(dtype="int64"),
+        "event_type": pd.Series(dtype=str),
+        "ts": pd.Series(dtype="datetime64[us]"),
+        "value": pd.Series(dtype="float64")}))
+    assert dedup.exact_dedup(docs).count() == 0
+    corr = statistics.grouped_corr(events, "value", "value", ["event_type"])
+    assert len(corr) == 0 and "corr" in corr.columns
+    pct = statistics.grouped_percentiles(events, "value", ["event_type"])
+    assert len(pct) == 0 and "p50" in pct.columns
+    fc = windows.funnel_conversion(
+        events, key_col="user_id", ts_col="ts", event_col="event_type",
+        from_event="view", to_event="purchase")
+    assert int(fc.iloc[0]["n_views"]) == 0
