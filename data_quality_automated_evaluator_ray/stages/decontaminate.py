@@ -45,7 +45,8 @@ def benchmark_shingle_set(benchmark: "ray.data.Dataset", *,
         return pa.table({"shingle": pa.array(sorted(out), pa.string())})
 
     exploded = benchmark.map_batches(_explode, batch_format="pyarrow")
-    return set(exploded.unique("shingle"))
+    vals = exploded.unique("shingle")  # None on an empty benchmark
+    return set(vals) if vals else set()
 
 
 def contamination_flags(corpus: "ray.data.Dataset",

@@ -539,6 +539,11 @@ def standardize_embeddings(ds: "ray.data.Dataset", *,
 
     part = ds.select_columns([emb_col]) \
         .map_batches(_partials, batch_format="pyarrow").to_pandas()
+    if part.empty:  # empty input (zero-row Ray result loses columns)
+        from .partitioning import empty_result
+
+        return empty_result(ds, list(ds.schema().names),
+                            {out_col: pa.list_(pa.float64())})
     gb = part.groupby("dim", sort=True)
     gidx = gb.ngroup().to_numpy()
     G = len(gb)

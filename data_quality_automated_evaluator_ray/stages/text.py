@@ -562,8 +562,11 @@ def vocab_coverage(ds: "ray.data.Dataset", *, text_col: str = "text",
         return pd.DataFrame({"n_value": vc.index.to_numpy(np.int64),
                              "tok_count": vc.to_numpy(np.int64)})
 
-    hist = summed.map_batches(_hist, batch_format="pyarrow").to_pandas() \
-        .groupby("n_value")["tok_count"].sum().reset_index() \
+    hist = summed.map_batches(_hist, batch_format="pyarrow").to_pandas()
+    if hist.empty:  # empty/all-null corpus (zero-row frame loses columns)
+        return solve_coverage(np.empty(0, np.int64), np.empty(0, np.int64),
+                              targets)
+    hist = hist.groupby("n_value")["tok_count"].sum().reset_index() \
         .sort_values("n_value", ascending=False).reset_index(drop=True)
 
     return solve_coverage(hist["n_value"].to_numpy(np.int64),

@@ -471,3 +471,13 @@ def test_empty_input_operators_well_formed(ray_session):
         events, key_col="user_id", ts_col="ts", event_col="event_type",
         from_event="view", to_event="purchase")
     assert int(fc.iloc[0]["n_views"]) == 0
+    from data_quality_automated_evaluator_ray.stages import (
+        decontaminate, similarity, text)
+    cov = text.vocab_coverage(docs)
+    assert len(cov) == 3 and cov["k_tokens"].isna().all()
+    emb = rd.from_pandas(pd.DataFrame({
+        "vec_id": pd.Series(dtype="int64"),
+        "embedding": pd.Series(dtype=object)}))
+    z = similarity.standardize_embeddings(emb)
+    assert z.count() == 0 and "z_emb" in z.schema().names
+    assert decontaminate.contamination_flags(docs, docs).count() == 0
