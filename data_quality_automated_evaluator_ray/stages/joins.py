@@ -125,7 +125,10 @@ def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset", *,
     hash-partition on the key across ``num_partitions`` aggregators — use
     when the small side is too big to broadcast. Prefer ``broadcast_join``
     whenever one side fits in the object store: it moves zero rows of the
-    big side. At scale, size num_partitions ≈ cluster cores and pick the
+    big side. Caveat: Ray's hash-shuffle aggregator errors when a side is
+    entirely EMPTY (schema loss); when an empty side is possible, guard
+    with count metadata first (``skew_join`` does — its narrow pre-pass
+    makes the check free). At scale, size num_partitions ≈ cluster cores and pick the
     join key so hot keys don't serialize into one aggregator (salt first
     via stages/partitioning.add_salt when skewed)."""
     return left.join(right, join_type=join_type,
@@ -180,10 +183,16 @@ def skew_join(left: "ray.data.Dataset", right: "ray.data.Dataset", *,
             except (pa.ArrowNotImplementedError, TypeError):
                 return pa.string()  # object dtype
 
-        lsch, rsch = left.schema(), right.schema()
-        fields = list(zip(lsch.names, lsch.types))
-        fields += [(n, t) for n, t in zip(rsch.names, rsch.types)
-                   if n != rkey and n not in lsch.names]
+        def _fields_of(ds):
+            # a DERIVED empty dataset (e.g. drop_columns over zero rows)
+            # reports schema() None — type what we can, skip the rest
+            sch = ds.schema()
+            return list(zip(sch.names, sch.types)) if sch is not None else []
+
+        lfields = _fields_of(left)
+        lnames = {n for n, _ in lfields}
+        fields = lfields + [(n, t) for n, t in _fields_of(right)
+                            if n != rkey and n not in lnames]
         return ray.data.from_arrow(
             pa.table({n: pa.array([], type=_pa_type(t)) for n, t in fields}))
     thresh = hot_threshold_frac * int(total_raw)

@@ -481,3 +481,40 @@ def test_empty_input_operators_well_formed(ray_session):
     z = similarity.standardize_embeddings(emb)
     assert z.count() == 0 and "z_emb" in z.schema().names
     assert decontaminate.contamination_flags(docs, docs).count() == 0
+
+
+def test_join_family_empty_inputs(ray_session):
+    # empty sides are legitimate after upstream filters; skew_join's free
+    # pre-pass guard must type the empty result even when a DERIVED empty
+    # side has lost its schema
+    import pandas as pd
+
+    import ray.data as rd
+    from data_quality_automated_evaluator_ray.stages import joins
+
+    left = rd.from_pandas(pd.DataFrame({"k": pd.Series(dtype="int64"),
+                                        "ts": pd.Series(dtype="int64"),
+                                        "v": pd.Series(dtype=str)}))
+    right = rd.from_pandas(pd.DataFrame({"k": pd.Series(dtype="int64"),
+                                         "ts": pd.Series(dtype="int64"),
+                                         "w": pd.Series(dtype=str)}))
+    out = joins.skew_join(left, right.drop_columns(["ts"]), on="k")
+    assert out.count() == 0
+    # the DERIVED empty right side has lost its schema (Ray quirk), so its
+    # columns cannot be typed; the left side's must all survive
+    assert {"k", "ts", "v"} <= set(out.schema().names)
+    out2 = joins.skew_join(left, right, on="k")
+    assert out2.count() == 0
+    assert set(out2.schema().names) == {"k", "ts", "v", "w"}
+    assert joins.asof_join(left, right, on="ts", by="k",
+                           right_cols=["w"]).count() == 0
+    nel = rd.from_pandas(pd.DataFrame({"k": [1], "ts": [7], "v": ["a"]}))
+    m = joins.asof_join(nel, right, on="ts", by="k",
+                        right_cols=["w"]).to_pandas()
+    assert len(m) == 1 and m["w"].isna().all()  # left join, no match
+    iv = rd.from_pandas(pd.DataFrame({"k": pd.Series(dtype="int64"),
+                                      "lo": pd.Series(dtype="int64"),
+                                      "hi": pd.Series(dtype="int64")}))
+    assert joins.range_join(
+        left.select_columns(["k", "ts"]), iv, by="k", value_col="ts",
+        lo_col="lo", hi_col="hi", bucket_width=10).count() == 0
