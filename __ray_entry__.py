@@ -17,12 +17,11 @@ the library) calls ray.init()/ray.shutdown().
   list_dot_product), and natural-language identification (the full trigram
   profile table embedded as literals; avg log-likelihood + softmax redone
   in SQL — the natural profile is float64 precisely so the double-summing
-  oracle matches). Only genuinely non-SQL pipelines stay rows-only: the
-  perplexity-model flagship twins (qf_code_corpus,
-  partition_metrics_code_corpus — the LM's vocab/threshold tables are two
-  orders larger than the langid profile) and ivf_topk (centroids are
-  k-means over a data sample — not expressible as a static SQL string) —
-  all covered by pytest golden/parity tests instead.
+  oracle matches), and — round 4 — the two model-backed flagship twins
+  (qf_code_corpus, partition_metrics_code_corpus): their langid/perplexity
+  parameter tables are materialized as deterministic parquet
+  (pipelines/model_oracle.py) and the full cascade is recomputed in SQL
+  joining against them, so every queries() entry now has a hard oracle.
 """
 
 from __future__ import annotations
@@ -54,55 +53,20 @@ def entry() -> Any:
     return apply_quality_filter(ds, scorer_concurrency=(1, 4))
 
 
-def _code_corpus_dir(sf_dir: str) -> str:
-    from data_quality_automated_evaluator_ray.pipelines.queries import (
-        code_corpus_dir)
-
-    return code_corpus_dir(sf_dir)
-
-
-def _qf_code_corpus(sf_dir: str):
-    from data_quality_automated_evaluator_ray.pipelines.quality_filter import (
-        apply_quality_filter, read_corpus)
-
-    d = _code_corpus_dir(sf_dir)
-    ds = apply_quality_filter(read_corpus(d), scorer_concurrency=(1, 4))
-    return ds.select_columns(["repo", "path", "lang", "keep", "drop_reason",
-                              "content_sha256", "lang_pred", "perplexity"])
-
-
-def _partition_metrics_code_corpus(sf_dir: str):
-    from data_quality_automated_evaluator_ray.pipelines.quality_filter import (
-        apply_quality_filter, read_corpus)
-    from data_quality_automated_evaluator_ray.stages.aggregate import (
-        partition_metrics)
-
-    d = _code_corpus_dir(sf_dir)
-    ds = apply_quality_filter(read_corpus(d), scorer_concurrency=(1, 4))
-    return partition_metrics(ds)
-
-
 def queries() -> dict[str, Callable[[str], Any]]:
     from data_quality_automated_evaluator_ray.pipelines.queries import SQL_QUERIES
 
-    out: dict[str, Callable[[str], Any]] = {}
-    for name, (fn, _sql) in SQL_QUERIES.items():
-        out[name] = fn
-        if name == "fuzzy_link_documents":
-            # model-backed pipelines: rows-only checks (the perplexity LM's
-            # count tables are ~100x the langid profile — a literal-table
-            # SQL oracle would be a multi-MB string). Spliced here so they
-            # sit INSIDE the driver's first-50 correctness window.
-            out["qf_code_corpus"] = _qf_code_corpus
-            out["partition_metrics_code_corpus"] = _partition_metrics_code_corpus
-    return out
+    return {name: fn for name, (fn, _sql) in SQL_QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
+    from data_quality_automated_evaluator_ray.pipelines.model_oracle import (
+        materialize_model_tables)
     from data_quality_automated_evaluator_ray.pipelines.queries import (
         SQL_QUERIES, code_corpus_dir)
 
-    # the code-corpus oracle reads deterministic /tmp parquet fragments:
-    # make sure they exist even if the SQL runs before the Ray query does
+    # the code-corpus + model-table oracles read deterministic /tmp parquet:
+    # make sure both exist even if the SQL runs before the Ray query does
     code_corpus_dir("sf0.01")
+    materialize_model_tables()
     return {name: sql for name, (_fn, sql) in SQL_QUERIES.items()}

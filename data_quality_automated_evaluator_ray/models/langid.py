@@ -208,12 +208,19 @@ class LangIdModel:
         moff = np.zeros(seg_counts.size, dtype=np.int64)
         np.cumsum(mcnt[:-1], out=moff[1:])
         nz = mcnt > 0
-        tm = np.zeros((seg_counts.size, len(self.langs)), dtype=self.logp_t.dtype)
+        # totals accumulate in float64 regardless of profile dtype: the
+        # expensive random-access gather stays float32 for the code profile
+        # (half the DRAM traffic), but the streaming reduceat widens each
+        # value exactly — so per-row confidences are reproducible by a
+        # double-summing DuckDB oracle to ~1e-15 (float32 accumulation was
+        # order-dependent pairwise, off by up to 2e-6 vs any SQL sum, which
+        # broke round-6 hash equality for the partition-metrics oracle)
+        tm = np.zeros((seg_counts.size, len(self.langs)), dtype=np.float64)
         if nz.any():
             Wm = self.logp_t[midx]        # (matched, langs) contiguous rows
-            tm[nz] = np.add.reduceat(Wm, moff[nz], axis=0)
-        n_oov = (seg_counts - mcnt).astype(self.logp_t.dtype)
-        totals = (tm + n_oov[:, None] * self.oovs[None, :]).astype(np.float64)
+            tm[nz] = np.add.reduceat(Wm, moff[nz], axis=0, dtype=np.float64)
+        n_oov = (seg_counts - mcnt).astype(np.float64)
+        totals = tm + n_oov[:, None] * self.oovs.astype(np.float64)[None, :]
         # average log-likelihood per trigram, softmax over languages
         avg = totals / seg_counts[:, None]
         avg -= avg.max(axis=1, keepdims=True)

@@ -1,0 +1,317 @@
+"""DuckDB oracles for the two model-backed code-corpus pipelines.
+
+The langid + perplexity models are deterministic pure functions of the seeded
+grammars, so their parameter tables can be materialized once as parquet and
+the whole flagship pipeline (features -> langid -> perplexity -> scrub ->
+keep/drop cascade -> partition metrics) re-expressed as ANSI SQL joining
+against them. This promotes ``qf_code_corpus`` and
+``partition_metrics_code_corpus`` from rows-only checks to hard value-hash
+oracles.
+
+Float-exactness contract (all empirically verified in
+tests/test_model_oracle.py):
+
+* langid confidences are float64-accumulated in the model (models/langid.py
+  score_batch widens the float32 profile gathers exactly), so a
+  double-summing SQL ``avg(coalesce(logp, oov))`` reproduces them to ~1e-15
+  -- far inside the round-6 hash comparison.
+* per-token perplexity terms are single IEEE-double multiply/divide/adds in
+  both engines (identical results); only the per-row bits sum is
+  order-sensitive (~1e-14), again inside round-6.
+* the two decision thresholds crossed by model floats (lang_conf >= 0.60,
+  ppl_excess > 0) have corpus-wide margins >= 1e-2, eight orders above the
+  cross-engine float noise (asserted in tests).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .. import rules
+
+MODEL_TABLES_DIR = "/tmp/dqare_model_tables"
+_CORPUS = "/tmp/dqare_corpus_sf0.01/part-*.parquet"
+
+
+def materialize_model_tables(out_dir: str = MODEL_TABLES_DIR) -> str:
+    """Write the deterministic model parameter tables as parquet (atomic,
+    idempotent): langid union profile + oovs, LM vocab/bigram/meta.
+
+    Every value is a pure function of the seeded model builds, so concurrent
+    writers produce identical bytes; the rename publish makes any winner
+    correct.
+    """
+    if os.path.isdir(out_dir):
+        return out_dir
+    from ..models import LangIdModel, NgramLM
+    from ..models.ngram_lm import _L_FLOOR
+
+    tmp = f"{out_dir}.tmp-{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+
+    m = LangIdModel.get()
+    union_cols: dict[str, pa.Array] = {
+        "code": pa.array(m.union_codes, pa.int64())}
+    for j, lg in enumerate(m.langs):
+        union_cols[f"l_{lg}"] = pa.array(
+            m.logp_matrix[j].astype(np.float64), pa.float64())
+    pq.write_table(pa.table(union_cols), f"{tmp}/langid_union.parquet")
+    pq.write_table(
+        pa.table({f"oov_{lg}": pa.array([float(m.oovs[j])], pa.float64())
+                  for j, lg in enumerate(m.langs)}),
+        f"{tmp}/langid_meta.parquet")
+
+    lm = NgramLM.get()
+    v_lang, v_tok, v_tid, v_uc = [], [], [], []
+    b_lang, b_code, b_cnt = [], [], []
+    meta = {k: [] for k in ("lang", "total", "v", "bos", "floor_p",
+                            "threshold")}
+    for lg in sorted(lm.models):
+        ml = lm.models[lg]
+        for tok, tid in ml.vocab.items():
+            v_lang.append(lg)
+            v_tok.append(tok)
+            v_tid.append(tid)
+            v_uc.append(int(ml.uni[tid]))
+        b_lang.extend([lg] * ml.bi_codes.size)
+        b_code.extend(ml.bi_codes.tolist())
+        b_cnt.extend(int(c) for c in ml.bi_counts)
+        meta["lang"].append(lg)
+        meta["total"].append(ml.total)
+        meta["v"].append(ml.V)
+        meta["bos"].append(ml.bos_id)
+        # the model's exact double: _L_FLOOR / (V + 1)
+        meta["floor_p"].append(_L_FLOOR / (ml.V + 1))
+        meta["threshold"].append(lm.thresholds[lg])
+    pq.write_table(
+        pa.table({"lang": pa.array(v_lang, pa.string()),
+                  "token": pa.array(v_tok, pa.string()),
+                  "tid": pa.array(v_tid, pa.int64()),
+                  "uc": pa.array(v_uc, pa.int64())}),
+        f"{tmp}/lm_vocab.parquet")
+    pq.write_table(
+        pa.table({"lang": pa.array(b_lang, pa.string()),
+                  "code": pa.array(b_code, pa.int64()),
+                  "cnt": pa.array(b_cnt, pa.int64())}),
+        f"{tmp}/lm_bigram.parquet")
+    pq.write_table(
+        pa.table({"lang": pa.array(meta["lang"], pa.string()),
+                  "total": pa.array(meta["total"], pa.float64()),
+                  "v": pa.array(meta["v"], pa.int64()),
+                  "bos": pa.array(meta["bos"], pa.int64()),
+                  "floor_p": pa.array(meta["floor_p"], pa.float64()),
+                  "threshold": pa.array(meta["threshold"], pa.float64())}),
+        f"{tmp}/lm_meta.parquet")
+    try:
+        os.rename(tmp, out_dir)
+    except OSError:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the publish race
+    return out_dir
+
+
+def _langid_avg_cols() -> str:
+    return ",\n         ".join(
+        f"avg(coalesce(u.l_{lg}, lm.oov_{lg})) as a_{lg}"
+        for lg in rules.LANGUAGES)
+
+
+def _per_row_sql() -> str:
+    """CTE chain producing one row per corpus file with every feature, model
+    score, and the full keep/drop cascade -- shared by both oracles.
+
+    Mirrors stages/features.py + models/langid.py score_batch (float64
+    accumulation) + models/ngram_lm.py perplexity_batch + stages/keep_drop.py
+    apply_rules, with the model parameter tables read from
+    ``materialize_model_tables()`` parquet.
+    """
+    from ..models.langid import _CHAR_SPACE, _MAX_SCORE_CHARS
+    from ..models.ngram_lm import _L_BI, _L_UNI, _MAX_CHARS, _MAX_TOKENS
+    from .queries import _scrub_sql_expr  # noqa: PLC0415 (cycle-free at call)
+
+    langs = rules.LANGUAGES
+    a_list = ", ".join(f"a_{lg}" for lg in langs)
+    pred_case = ("case " + " ".join(f"when a_{lg} = mx then '{lg}'"
+                                    for lg in langs) + " end")
+    conf = "1.0 / (" + " + ".join(f"exp(8.0 * (a_{lg} - mx))"
+                                  for lg in langs) + ")"
+    return f"""
+src as (
+  select repo, path, lang, content from read_parquet('{_CORPUS}')
+),
+f as (
+  select repo, path, lang,
+         length(content) as n_chars,
+         len(string_split(content, chr(10))) as n_lines,
+         list_max(list_transform(string_split(content, chr(10)),
+                                 x -> length(x))) as max_line_len,
+         length(regexp_replace(content, '[^A-Za-z]', '', 'g')) as alpha_cnt,
+         len(regexp_extract_all(content, '[^\\x00-\\x7f]')) as non_ascii_cnt,
+         len(regexp_extract_all(content,
+             '[\\x01-\\x08\\x0b\\x0c\\x0e-\\x1f]')) as ctrl_cnt,
+         len(regexp_extract_all(content, '{rules.TOKEN_PATTERN}'))
+           as token_count,
+         (contains(content, 'DO NOT EDIT') or contains(content, '@generated')
+          or contains(content, 'Autogenerated by')) as autogen,
+         content
+  from src
+),
+lid_d as (
+  select repo, path, substr(content, 1, {_MAX_SCORE_CHARS}) as t from src
+),
+lid_tri as (
+  select repo, path,
+         ord(substr(t, i, 1))::BIGINT * {_CHAR_SPACE * _CHAR_SPACE}
+         + ord(substr(t, i + 1, 1))::BIGINT * {_CHAR_SPACE}
+         + ord(substr(t, i + 2, 1))::BIGINT as code
+  from (select * from lid_d where t is not null and length(t) >= 3),
+       unnest(range(1, length(t) - 1)) as uu(i)
+),
+lid_agg as (
+  select tri.repo, tri.path,
+         {_langid_avg_cols()}
+  from lid_tri tri
+  left join read_parquet('{MODEL_TABLES_DIR}/langid_union.parquet') u
+    using (code)
+  cross join read_parquet('{MODEL_TABLES_DIR}/langid_meta.parquet') lm
+  group by tri.repo, tri.path
+),
+lid as (
+  select repo, path, {pred_case} as lang_pred, {conf} as lang_conf
+  from (select repo, path, {a_list}, greatest({a_list}) as mx from lid_agg)
+),
+ppl_tok as (
+  select repo, path, lang,
+         list_slice(regexp_extract_all(substr(content, 1, {_MAX_CHARS}),
+                                       '{rules.TOKEN_PATTERN}'),
+                    1, {_MAX_TOKENS}) as toks
+  from src
+  where content is not null and length(content) > 0
+),
+ppl_t as (
+  select repo, path, lang, len(toks) as ntok,
+         unnest(toks) as tok,
+         unnest(range(1, len(toks) + 1)) as pos
+  from ppl_tok where len(toks) > 0
+),
+ppl_j as (
+  select t.repo, t.path, t.lang, t.ntok, t.pos, v.tid, v.uc,
+         lag(v.tid) over w as pid,
+         lag(v.uc) over w as p_uc
+  from ppl_t t
+  left join read_parquet('{MODEL_TABLES_DIR}/lm_vocab.parquet') v
+    on v.lang = t.lang and v.token = t.tok
+  window w as (partition by t.repo, t.path order by t.pos)
+),
+ppl_p as (
+  select j.repo, j.path, j.ntok,
+         mm.floor_p
+         + (case when j.tid is not null
+                 then {_L_UNI} * j.uc / mm.total else 0.0 end)
+         + (case when b.cnt is not null
+                 then {_L_BI} * b.cnt
+                      / (case when j.pos = 1 then mm.total
+                              else j.p_uc::double end)
+                 else 0.0 end) as p
+  from ppl_j j
+  join read_parquet('{MODEL_TABLES_DIR}/lm_meta.parquet') mm
+    on mm.lang = j.lang
+  left join read_parquet('{MODEL_TABLES_DIR}/lm_bigram.parquet') b
+    on b.lang = j.lang and j.tid is not null
+       and (j.pos = 1 or j.pid is not null)
+       and b.code = (case when j.pos = 1 then mm.bos else j.pid end)
+                    * (mm.v + 1) + j.tid
+),
+ppl as (
+  select repo, path, sum(-log2(p)) / any_value(ntok) as perplexity
+  from ppl_p group by repo, path
+),
+rows_full as (
+  select f.repo, f.path, f.lang,
+         f.n_chars, f.max_line_len, f.token_count,
+         case when f.n_chars = 0 then 0.0
+              else f.alpha_cnt::double / greatest(f.n_chars, 1)
+         end as alpha_ratio,
+         coalesce(lid.lang_pred, 'unknown') as lang_pred,
+         coalesce(lid.lang_conf, 0.0) as lang_conf,
+         coalesce(ppl.perplexity, 0.0) as perplexity,
+         case when f.content is not null and f.n_chars > 0
+                   and mm.threshold is not null
+              then coalesce(ppl.perplexity, 0.0) - mm.threshold
+              else 0.0 end as ppl_excess,
+         sha256({_scrub_sql_expr('f.content')}) as content_sha256,
+         case
+           when f.content is null then 'null_content'
+           when f.n_chars = 0 then 'empty_content'
+           when f.max_line_len > {rules.MAX_LINE_LEN} then 'long_lines'
+           when f.n_chars >= {rules.MIN_CHARS_FOR_ALPHA}
+                and f.alpha_cnt::double / greatest(f.n_chars, 1)
+                    < {rules.MIN_ALPHA_RATIO} then 'low_alpha'
+           when f.ctrl_cnt > {rules.MAX_CTRL_CHARS}
+                or f.non_ascii_cnt::double / greatest(f.n_chars, 1)
+                   > {rules.MAX_NON_ASCII_RATIO} then 'encoding'
+           when f.autogen then 'autogenerated'
+           when coalesce(lid.lang_pred, 'unknown') <> 'unknown'
+                and coalesce(lid.lang_pred, 'unknown') <> f.lang
+                and coalesce(lid.lang_conf, 0.0)
+                    >= {rules.LANGID_CONF_THRESHOLD} then 'lang_mismatch'
+           when (case when f.content is not null and f.n_chars > 0
+                           and mm.threshold is not null
+                      then coalesce(ppl.perplexity, 0.0) - mm.threshold
+                      else 0.0 end) > 0.0
+                and f.token_count >= {rules.MIN_TOKENS_FOR_PPL}
+             then 'high_perplexity'
+           else 'keep'
+         end as drop_reason
+  from f
+  left join lid using (repo, path)
+  left join ppl using (repo, path)
+  left join read_parquet('{MODEL_TABLES_DIR}/lm_meta.parquet') mm
+    on mm.lang = f.lang
+)"""
+
+
+def qf_code_corpus_sql() -> str:
+    from .queries import _R
+
+    return f"""
+with {_per_row_sql()}
+select repo, path, lang, (drop_reason = 'keep') as keep, drop_reason,
+       content_sha256, lang_pred, round(perplexity, {_R}) as perplexity
+from rows_full
+"""
+
+
+def partition_metrics_code_corpus_sql() -> str:
+    from ..stages.aggregate import NUMERIC_FEATURES
+    from .queries import _R
+
+    stat_cols = []
+    for c in NUMERIC_FEATURES:
+        stat_cols.append(f"""
+       round(min({c}::double), {_R}) as {c}_min,
+       round(max({c}::double), {_R}) as {c}_max,
+       round(avg({c}::double), {_R}) as {c}_mean,
+       round(median({c}::double), {_R}) as {c}_median,
+       round(case when count({c}) > 1 then stddev_samp({c}::double) end,
+             {_R}) as {c}_std""")
+    return f"""
+with {_per_row_sql()}
+select repo, lang,
+       count(*) as n_files,
+       round(sum(case when drop_reason = 'keep' then 1 else 0 end)::double
+             / count(*), {_R}) as keep_rate,
+       round(sum(case when content_sha256 is null then 1 else 0 end)::double
+             / count(*), {_R}) as null_rate,
+       round(case when count(content_sha256) = 0 then 0.0
+                  else 1.0 - count(distinct content_sha256)::double
+                             / count(content_sha256)::double
+             end, {_R}) as dup_rate,{",".join(stat_cols)}
+from rows_full
+group by repo, lang
+"""

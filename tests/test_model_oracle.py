@@ -1,0 +1,95 @@
+"""Soundness of the model-backed DuckDB oracles (pipelines/model_oracle.py).
+
+The oracles recompute langid + perplexity in IEEE double; the pipeline
+accumulates langid totals in float64 over float32 profile gathers (exact
+widening) and perplexity fully in float64, so per-row cross-engine noise is
+bounded by summation-order differences (~1e-13). These tests assert that
+every decision threshold the floats cross has a margin orders of magnitude
+wider than that noise — making the hash-exact oracle sound, not lucky."""
+
+import glob
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+NOISE = 1e-9  # >> observed cross-engine per-row float noise (~1e-13)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    from data_quality_automated_evaluator_ray.pipelines.queries import (
+        code_corpus_dir)
+
+    d = code_corpus_dir("sf0.01")
+    t = pa.concat_tables(
+        [pq.read_table(f, columns=["content", "lang"])
+         for f in sorted(glob.glob(f"{d}/part-*.parquet"))])
+    return t.column("content").to_pylist(), t.column("lang").to_pylist()
+
+
+def test_langid_threshold_and_argmax_margins(corpus):
+    from data_quality_automated_evaluator_ray.models import LangIdModel
+    from data_quality_automated_evaluator_ray.rules import (
+        LANGID_CONF_THRESHOLD)
+
+    texts, _ = corpus
+    m = LangIdModel.get()
+    preds, confs = m.score_batch(texts)
+    confs = np.array(confs)
+    # the lang_mismatch rule compares conf >= 0.60: margin must dwarf noise
+    margin = np.abs(confs - LANGID_CONF_THRESHOLD).min()
+    assert margin > 1e-3, f"conf threshold margin {margin} too small"
+
+    # argmax stability: top-1 vs top-2 average log-likelihood gap
+    from data_quality_automated_evaluator_ray.models.langid import (
+        _MAX_SCORE_CHARS)
+
+    scored = [t for t in texts if t and len(t[:_MAX_SCORE_CHARS]) >= 3]
+    # recompute totals through the public path per row is expensive;
+    # the conf >= ~0.5 bound already implies an avg-loglik gap, but check
+    # directly that no row is a near-tie: conf==~1/7 would mean a 7-way tie
+    tied = (np.abs(confs[confs > 0.0] - 1.0 / len(m.langs)) < 1e-6).sum()
+    assert tied == 0
+    assert len(scored) == (confs > 0.0).sum()
+
+
+def test_perplexity_threshold_margin(corpus):
+    from data_quality_automated_evaluator_ray.models import NgramLM
+    from data_quality_automated_evaluator_ray.rules import (
+        MIN_TOKENS_FOR_PPL, TOKEN_PATTERN)
+    import re
+
+    texts, langs = corpus
+    lm = NgramLM.get()
+    ppls = np.array(lm.perplexity_batch(texts, langs))
+    tok_re = re.compile(TOKEN_PATTERN)
+    excess = []
+    for t, lg, p in zip(texts, langs, ppls):
+        th = lm.thresholds.get(lg)
+        if t and th is not None and len(tok_re.findall(t)) >= MIN_TOKENS_FOR_PPL:
+            excess.append(p - th)
+    excess = np.array(excess)
+    # the high_perplexity rule compares excess > 0: nearest row to the
+    # threshold must sit far outside cross-engine float noise
+    margin = np.abs(excess).min()
+    assert margin > NOISE, f"ppl_excess margin {margin} within float noise"
+
+
+def test_materialize_idempotent_and_deterministic(tmp_path):
+    from data_quality_automated_evaluator_ray.pipelines.model_oracle import (
+        materialize_model_tables)
+
+    d1 = materialize_model_tables(str(tmp_path / "a"))
+    d2 = materialize_model_tables(str(tmp_path / "a"))  # idempotent no-op
+    assert d1 == d2
+    d3 = materialize_model_tables(str(tmp_path / "b"))
+    for f in sorted(os.listdir(d1)):
+        t1, t3 = pq.read_table(f"{d1}/{f}"), pq.read_table(f"{d3}/{f}")
+        assert t1.equals(t3), f"{f} not deterministic"
+    names = {os.path.basename(p) for p in glob.glob(f"{d1}/*.parquet")}
+    assert names == {"langid_union.parquet", "langid_meta.parquet",
+                     "lm_vocab.parquet", "lm_bigram.parquet",
+                     "lm_meta.parquet"}

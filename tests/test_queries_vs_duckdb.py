@@ -96,7 +96,8 @@ def test_query_matches_oracle(ray_session, ddb, name):
     # the code-corpus oracle reads the deterministic sf0.01 corpus fragments
     # (the driver's correctness scale); run the Ray side at the same sf
     sf = ("/root/testdata/sf0.01"
-          if name in ("qf_heuristic_code_corpus", "line_dedup_code_corpus")
+          if name in ("qf_heuristic_code_corpus", "line_dedup_code_corpus",
+                      "qf_code_corpus", "partition_metrics_code_corpus")
           else SF)
     ray_df = _to_pandas(fn(sf))
     sql_df = ddb.execute(sql).df()
@@ -118,7 +119,7 @@ def test_rows_only_queries_run(ray_session):
     q = e.queries()
     oracles = e.oracle_sql()
     rows_only = [k for k in q if k not in oracles]
-    assert rows_only == ["qf_code_corpus", "partition_metrics_code_corpus"]
+    assert rows_only == []  # round 4: every query has a hard oracle
     # every queries() entry must sit inside the driver's first-50 window
     # or have a same-family representative that does (COVERAGE.md §window)
     names = list(q)
