@@ -120,10 +120,11 @@ def test_rows_only_queries_run(ray_session):
     oracles = e.oracle_sql()
     rows_only = [k for k in q if k not in oracles]
     assert rows_only == []  # round 4: every query has a hard oracle
-    # every queries() entry must sit inside the driver's first-50 window
-    # or have a same-family representative that does (COVERAGE.md §window)
+    # the window rotates each round (COVERAGE.md §window): round 4 fronts
+    # the two newly-promoted model-pipeline oracles plus every entry whose
+    # last driver-hash evidence was round 2
     names = list(q)
     window = set(names[:50])
     assert {"qf_code_corpus", "partition_metrics_code_corpus",
-            "asof_purchase_events", "ann_methods_topk_embeddings",
-            "fuzzy_link_documents", "profile_orders"} <= window
+            "skewed_events_by_type", "decontaminate_documents",
+            "text_quality_documents", "embedding_neardup"} <= window
