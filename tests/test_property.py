@@ -83,6 +83,27 @@ def test_mulmod_p61_matches_bigint_math(a, h, b):
     assert int(_minhash_values(aa, bb, hh)[0, 0]) == (a * h + b) % _P61
 
 
+def test_minhash_values_into_bit_equal():
+    """The in-place workspace variant used by MinHasher's hot loop must be
+    bit-equal to the allocating reference implementation on random inputs,
+    including the p-1 boundary."""
+    import numpy as np
+
+    from data_quality_automated_evaluator_ray.stages.dedup import (
+        _minhash_values, _minhash_values_into)
+
+    rng = np.random.RandomState(3)
+    for rows, s in [(8, 1000), (5, 17), (1, 1)]:
+        a = rng.randint(1, _P61, size=rows, dtype=np.uint64)
+        b = rng.randint(0, _P61, size=rows, dtype=np.uint64)
+        hv = rng.randint(0, _P61, size=s, dtype=np.uint64)
+        hv[0] = _P61 - 1
+        a[0] = _P61 - 1
+        ws = [np.empty((8, s), np.uint64) for _ in range(3)]
+        assert np.array_equal(_minhash_values(a, b, hv),
+                              _minhash_values_into(a, b, hv, ws))
+
+
 # ---------------------------------------------------------------------------
 # DuckDB scrub-SQL generation: the regexp_replace chain built by
 # _scrub_sql_expr must equal the ordered Python `re` scrub for ANY pattern
