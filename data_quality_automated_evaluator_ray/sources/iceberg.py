@@ -72,14 +72,27 @@ def resolve_metadata_path(table_path: str) -> str:
 
 def iceberg_data_files(table_path: str, *,
                        snapshot_id: int | None = None,
-                       filter: "tuple[str, str, Any] | None" = None
-                       ) -> list[str]:
+                       filter: "tuple[str, str, Any] | None" = None,
+                       strict: bool = False) -> list[str]:
     """Live Parquet data-file paths of the table's chosen snapshot;
     ``filter=(col, op, value)`` skips files whose manifest min/max bounds
-    cannot contain a matching row. (Position-delete sidecars, if any, are
-    NOT reflected here — use ``read_iceberg`` for merge-on-read results.)"""
-    data, _, _ = _scan_plan(table_path, snapshot_id=snapshot_id,
-                            filter=filter)
+    cannot contain a matching row. Delete sidecars (position/equality), if
+    any, are NOT reflected here — reading these paths directly resurrects
+    logically-deleted rows; use ``read_iceberg`` for merge-on-read results.
+    When the snapshot carries live deletes this warns, or raises with
+    ``strict=True``."""
+    data, deletes, _ = _scan_plan(table_path, snapshot_id=snapshot_id,
+                                  filter=filter)
+    if deletes:
+        msg = (f"snapshot of {table_path} carries {len(deletes)} live "
+               "delete sidecar(s); reading the returned data files "
+               "directly resurrects logically-deleted rows — use "
+               "read_iceberg for merge-on-read results")
+        if strict:
+            raise ValueError(msg)
+        import warnings
+
+        warnings.warn(msg, stacklevel=2)
     return [d["path"] for d in data]
 
 
@@ -705,17 +718,20 @@ def read_iceberg(table_path: str, *, columns: list[str] | None = None,
                                 t = t.filter(keep)
                         offset += n
                         t = self._apply_eq(t, d)
-                        if columns:
-                            for c in columns:
-                                if c not in t.column_names:
-                                    # schema evolution: column postdates
-                                    # this file → all-null at its table type
-                                    import pyarrow as pa
+                        # project to the CURRENT table schema (or the
+                        # requested subset) in a fixed column order: a
+                        # data file predating a column yields it all-null
+                        # at its table type (spec), and without this every
+                        # pre-evolution file would emit a divergent block
+                        # schema that breaks downstream unification
+                        want = columns if columns else list(col_types)
+                        for c in want:
+                            if c not in t.column_names:
+                                import pyarrow as pa
 
-                                    t = t.append_column(c, pa.nulls(
-                                        t.num_rows,
-                                        _arrow_type(col_types[c])))
-                            t = t.select(columns)
+                                t = t.append_column(c, pa.nulls(
+                                    t.num_rows, _arrow_type(col_types[c])))
+                        t = t.select(want)
                         yield t
 
         ds = ray.data.from_items(

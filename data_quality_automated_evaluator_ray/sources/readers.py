@@ -113,8 +113,17 @@ def filesystem_for(path: str | list[str] | None,
     if scheme == "s3":
         _check_keys(set(_S3_OPTION_MAP), "s3")
         kw: dict[str, Any] = {}
+        src_of: dict[str, str] = {}
         for k, v in storage_options.items():
-            kw[_S3_OPTION_MAP[k]] = v
+            tgt = _S3_OPTION_MAP[k]
+            if tgt in kw and kw[tgt] != v:
+                # two aliases of one constructor kwarg with different
+                # values — last-one-wins would silently drop a credential
+                raise ValueError(
+                    f"conflicting s3 storage_options: {src_of[tgt]!r} and "
+                    f"{k!r} both set {tgt!r} with different values")
+            kw[tgt] = v
+            src_of[tgt] = k
         from pyarrow.fs import S3FileSystem
 
         return S3FileSystem(**kw), stripped
@@ -125,6 +134,38 @@ def filesystem_for(path: str | list[str] | None,
         if storage_options.get("anon") or storage_options.get("anonymous"):
             return GcsFileSystem(anonymous=True), stripped
         return GcsFileSystem(), stripped
+    if scheme == "hf":
+        # the reference's shipped example configs read Hugging Face Hub
+        # paths directly (reference README.md:416,439,472); map them onto
+        # fsspec's HfFileSystem, or onto a local mirror directory when the
+        # hub client isn't installed / the run is offline
+        _check_keys({"token", "endpoint", "local_mirror"}, "hf")
+        mirror = storage_options.get("local_mirror")
+        if mirror:
+            # hf://datasets/org/name/file → <mirror>/datasets/org/name/file
+            from pyarrow.fs import LocalFileSystem
+
+            from .paths import strip_file_scheme
+
+            root = strip_file_scheme(mirror)
+            join = lambda s: os.path.join(root, s)  # noqa: E731
+            return LocalFileSystem(), ([join(s) for s in stripped]
+                                       if isinstance(stripped, list)
+                                       else join(stripped))
+        try:
+            import fsspec
+            from pyarrow.fs import FSSpecHandler, PyFileSystem
+
+            hf_kw = {k: v for k, v in storage_options.items()
+                     if k in ("token", "endpoint")}
+            return PyFileSystem(FSSpecHandler(
+                fsspec.filesystem("hf", **hf_kw))), stripped
+        except (ImportError, ValueError) as e:
+            raise NotImplementedError(
+                f"hf:// paths need the huggingface_hub fsspec backend "
+                f"({e}); offline, stage the dataset locally and point "
+                "storage_options {'local_mirror': <dir>} at a directory "
+                "mirroring the hf:// layout") from None
     raise ValueError(f"unsupported path scheme {scheme!r} for {p!r}")
 
 
@@ -292,9 +333,13 @@ def read_source(source: dict[str, Any]) -> "ray.data.Dataset":
         # users get the manifest min/max pruning + exact residual row
         # filter, not just direct read_iceberg callers
         f = source.get("filter")
+        # the filesystem resolved from storage_options must reach the data
+        # files, same as every other format branch (the metadata walk is
+        # local-only and guards itself)
+        ice_kw = {"filesystem": fs} if fs is not None else {}
         ds = read_iceberg(path, columns=columns,
                           snapshot_id=source.get("snapshot_id"),
-                          filter=tuple(f) if f else None)
+                          filter=tuple(f) if f else None, **ice_kw)
     else:
         raise ValueError(f"cannot infer a reader for source format {fmt!r}")
 

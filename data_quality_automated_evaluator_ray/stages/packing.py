@@ -214,8 +214,7 @@ def ntile_by_value(ds: "ray.data.Dataset", *, value_col: str,
     if counts.empty:  # empty input: well-formed zero-row tiling
         from .partitioning import empty_result
 
-        return empty_result(ds, list(ds.schema().names),
-                            {out_col: pa.int64()})
+        return empty_result(ds, None, {out_col: pa.int64()})
     counts = counts.sort_values("__rkey").reset_index(drop=True)
     excl = counts["n"].cumsum() - counts["n"]
     total = int(counts["n"].sum())

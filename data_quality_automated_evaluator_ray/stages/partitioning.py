@@ -85,13 +85,15 @@ def groupby_counts(ds: "ray.data.Dataset",
     return counts.rename(columns={cnt_col: "n"})
 
 
-def empty_result(ds: "ray.data.Dataset", keep: list[str],
+def empty_result(ds: "ray.data.Dataset", keep: "list[str] | None",
                  extra: "dict[str, pa.DataType]") -> "ray.data.Dataset":
     """Well-formed ZERO-ROW result for a two-level-scan operator whose
     driver prep (range sums → prefix offsets) has nothing to plan over:
-    the ``keep`` columns come typed from the INPUT's schema (an empty
-    derived dataset has already lost its schema in Ray), plus typed empty
-    ``extra`` output columns."""
+    the ``keep`` columns (``None`` = all input columns) come typed from
+    the INPUT's schema (an empty derived dataset has already lost its
+    schema in Ray), plus typed empty ``extra`` output columns. A DERIVED
+    empty input whose ``schema()`` is already ``None`` contributes no
+    columns — the ``extra`` columns still type the result."""
     def _pa_type(t):
         # pandas-block datasets report numpy dtypes (object for strings)
         if isinstance(t, pa.DataType):
@@ -102,8 +104,9 @@ def empty_result(ds: "ray.data.Dataset", keep: list[str],
             return pa.string()
 
     sch = ds.schema()
+    fields = list(zip(sch.names, sch.types)) if sch is not None else []
     cols = {n: pa.array([], _pa_type(t))
-            for n, t in zip(sch.names, sch.types) if n in keep}
+            for n, t in fields if keep is None or n in keep}
     for n, t in extra.items():
         cols[n] = pa.array([], t)
     return ray.data.from_arrow(pa.table(cols))

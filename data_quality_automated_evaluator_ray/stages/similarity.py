@@ -542,8 +542,7 @@ def standardize_embeddings(ds: "ray.data.Dataset", *,
     if part.empty:  # empty input (zero-row Ray result loses columns)
         from .partitioning import empty_result
 
-        return empty_result(ds, list(ds.schema().names),
-                            {out_col: pa.list_(pa.float64())})
+        return empty_result(ds, None, {out_col: pa.list_(pa.float64())})
     gb = part.groupby("dim", sort=True)
     gidx = gb.ngroup().to_numpy()
     G = len(gb)

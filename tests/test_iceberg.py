@@ -270,8 +270,12 @@ def test_iceberg_position_deletes_applied(ray_session, tmp_path):
     # f0 lost pos 0 (k=0), f1 lost pos 2 (k=12)
     assert got["k"].tolist() == [1, 2, 10, 11]
     assert got["v"].tolist() == ["r0_1", "r0_2", "r1_0", "r1_1"]
-    # iceberg_data_files still lists the physical files (documented)
-    assert len(iceberg_data_files(root)) == 2
+    # iceberg_data_files still lists the physical files, but WARNS that
+    # live delete sidecars are ignored (strict=True raises instead)
+    with pytest.warns(UserWarning, match="delete sidecar"):
+        assert len(iceberg_data_files(root)) == 2
+    with pytest.raises(ValueError, match="delete sidecar"):
+        iceberg_data_files(root, strict=True)
 
 
 def test_iceberg_position_delete_sequence_gating(ray_session, tmp_path):
@@ -366,6 +370,12 @@ def test_iceberg_equality_delete_schema_evolution(ray_session, tmp_path):
     # delete keys are non-null ints, f0's k is all-null -> f0 untouched;
     # f1 still loses k=11
     assert sorted(got["v"]) == ["r0_0", "r0_1", "r0_2", "r1_0", "r1_2"]
+    # columns=None must ALSO null-fill the evolved column so every block
+    # carries the full current table schema in a fixed order (r3 ADVICE:
+    # divergent pre-evolution block schemas break downstream unification)
+    assert list(got.columns) == ["k", "v"]
+    f0_all = got[got["v"].str.startswith("r0_")]
+    assert f0_all["k"].isna().all() and len(f0_all) == 3
     # PROJECTING the evolved column must not crash: f0's rows read as
     # all-null k (at the table's long -> int64 type), f1's keep values
     proj = read_iceberg(root, columns=["k", "v"]).to_pandas()

@@ -222,3 +222,57 @@ def test_read_source_explicit_local_filesystem(ray_session, tmp_path):
         filesystem_for(["s3://b/x.parquet", "gs://c/y.parquet"], {})
     fs2, _ = filesystem_for(["gs://b/x.parquet", "gcs://b/y.parquet"],
                             {"anon": True})
+
+
+def test_filesystem_for_s3_conflicting_aliases():
+    """Two aliases of one S3FileSystem kwarg with DIFFERENT values must
+    fail loudly (r3 ADVICE: dict-order last-one-wins silently dropped a
+    credential); the same value under two aliases is harmless."""
+    from data_quality_automated_evaluator_ray.sources.readers import (
+        filesystem_for)
+
+    with pytest.raises(ValueError, match="conflicting s3 storage_options"):
+        filesystem_for("s3://b/k", {"key": "A", "aws_access_key_id": "B"})
+    fs, _ = filesystem_for(
+        "s3://b/k", {"key": "A", "aws_access_key_id": "A",
+                     "secret": "S", "region": "us-east-1"})
+    assert fs.region == "us-east-1"
+
+
+def test_read_source_hf_local_mirror(ray_session, tmp_path):
+    """The reference's shipped example configs read hf://datasets/... paths
+    (reference README.md:416-472); with storage_options
+    {'local_mirror': dir} the same config reads a locally-staged mirror of
+    the hub layout verbatim — the offline path for this sandbox."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_quality_automated_evaluator_ray.sources.readers import (
+        filesystem_for, read_source)
+
+    repo = tmp_path / "datasets" / "Org" / "name"
+    repo.mkdir(parents=True)
+    pq.write_table(pa.table({"a": [1, 2, 3], "b": ["x", "y", "z"]}),
+                   str(repo / "part.parquet"))
+    ds = read_source({
+        "path": "hf://datasets/Org/name/part.parquet", "format": "parquet",
+        "storage_options": {"local_mirror": str(tmp_path)}})
+    assert sorted(ds.to_pandas()["a"]) == [1, 2, 3]
+    # CSV via hf:// (the reference's most common hub format)
+    (repo / "saske.csv").write_text("a,b\n1,x\n2,y\n")
+    ds2 = read_source({
+        "path": "hf://datasets/Org/name/saske.csv", "format": "csv",
+        "storage_options": {"local_mirror": str(tmp_path)}})
+    assert ds2.count() == 2
+
+    # without a mirror: either the fsspec hub backend resolves (hub client
+    # installed) or the offline staging hint raises — never a silent wrong
+    # filesystem
+    try:
+        fs, stripped = filesystem_for("hf://datasets/Org/name/x.csv", {})
+    except NotImplementedError as e:
+        assert "local_mirror" in str(e)
+    else:
+        assert stripped == "datasets/Org/name/x.csv"
+    with pytest.raises(ValueError, match="unsupported hf storage_options"):
+        filesystem_for("hf://datasets/Org/name/x.csv", {"anon": True})

@@ -518,3 +518,29 @@ def test_join_family_empty_inputs(ray_session):
     assert joins.range_join(
         left.select_columns(["k", "ts"]), iv, by="k", value_col="ts",
         lo_col="lo", hi_col="hi", bucket_width=10).count() == 0
+
+
+def test_two_level_scan_derived_schemaless_empty(ray_session):
+    # a DERIVED empty dataset (drop_columns over zero rows) reports
+    # schema() None; the two-level-scan empty guards must still return a
+    # well-formed typed empty, not crash (r3 ADVICE)
+    import pandas as pd
+
+    import ray.data as rd
+    from data_quality_automated_evaluator_ray.stages import packing, similarity
+
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": pd.Series(dtype="int64"),
+        "quality": pd.Series(dtype="float64"),
+        "extra": pd.Series(dtype=str)}))
+    derived = docs.drop_columns(["extra"])
+    assert derived.schema() is None  # the Ray quirk under test
+    out = packing.ntile_by_value(derived, value_col="quality",
+                                 tiebreak_col="doc_id")
+    assert out.count() == 0 and "tile" in out.schema().names
+    emb = rd.from_pandas(pd.DataFrame({
+        "vec_id": pd.Series(dtype="int64"),
+        "embedding": pd.Series(dtype=object),
+        "x": pd.Series(dtype=str)}))
+    z = similarity.standardize_embeddings(emb.drop_columns(["x"]))
+    assert z.count() == 0 and "z_emb" in z.schema().names
