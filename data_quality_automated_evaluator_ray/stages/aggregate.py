@@ -191,7 +191,10 @@ def _hll_partials(batch: pa.Table) -> pa.Table:
     the shuffle payload is O(keys × batches × 4 KiB), independent of rows."""
     from ..functions.sketches import hll_add, hll_create
 
+    from .partitioning import escape_nul_keys, restore_nul_keys
+
     df = batch.select(KEY + ["content_sha256"]).to_pandas()
+    df, _ch = escape_nul_keys(df, KEY)  # exact NUL-bearing keys
     out_repo, out_lang, out_sk = [], [], []
     for (repo, lang), g in df.groupby(KEY, sort=False):
         sk = hll_create()
@@ -199,8 +202,10 @@ def _hll_partials(batch: pa.Table) -> pa.Table:
         out_repo.append(repo)
         out_lang.append(lang)
         out_sk.append(sk.tobytes())
-    return pa.table({"repo": pa.array(out_repo, pa.string()),
-                     "lang": pa.array(out_lang, pa.string()),
+    out = pd.DataFrame({"repo": out_repo, "lang": out_lang})
+    out = restore_nul_keys(out, _ch)
+    return pa.table({"repo": pa.array(out["repo"], pa.string()),
+                     "lang": pa.array(out["lang"], pa.string()),
                      "sketch": pa.array(out_sk, pa.binary())})
 
 
@@ -209,8 +214,11 @@ def _median_partials(batch: pa.Table) -> pa.Table:
     batch's values (functions/quantiles.py) — the scalable median partial."""
     from ..functions.quantiles import sketch_values
 
+    from .partitioning import escape_nul_keys, restore_nul_keys
+
     feats = _features_in(batch.column_names)
     df = batch.select(KEY + feats).to_pandas()
+    df, _ch = escape_nul_keys(df, KEY)  # exact NUL-bearing keys
     repo_l, lang_l, feat_l, pts_l, n_l = [], [], [], [], []
     for (repo, lang), g in df.groupby(KEY, sort=False):
         for c in feats:
@@ -221,8 +229,10 @@ def _median_partials(batch: pa.Table) -> pa.Table:
             feat_l.append(c)
             pts_l.append(points.tolist())
             n_l.append(n)
-    return pa.table({"repo": pa.array(repo_l, pa.string()),
-                     "lang": pa.array(lang_l, pa.string()),
+    out = restore_nul_keys(pd.DataFrame({"repo": repo_l, "lang": lang_l}),
+                           _ch)
+    return pa.table({"repo": pa.array(out["repo"], pa.string()),
+                     "lang": pa.array(out["lang"], pa.string()),
                      "feature": pa.array(feat_l, pa.string()),
                      "points": pa.array(pts_l, pa.list_(pa.float64())),
                      "n": pa.array(n_l, pa.int64())})

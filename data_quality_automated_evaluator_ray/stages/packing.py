@@ -95,8 +95,11 @@ def pack_sequences(ds: "ray.data.Dataset", capacity: int, *,
                              "seq_id": pa.int64(),
                              "seq_offset": pa.int64()})
     sums = sums.sort_values([part_col, "rkey"]).reset_index(drop=True)
-    excl = (sums.groupby(part_col, sort=False)["rtotal"].cumsum()
-            - sums["rtotal"]).to_numpy(dtype=np.int64)
+    # exact for NUL-bearing part keys (see partitioning.sorted_group_offsets)
+    from .partitioning import sorted_group_offsets
+
+    excl = sorted_group_offsets(sums[part_col],
+                                sums["rtotal"].to_numpy(np.int64))
     base = {(p, int(r)): int(b) for p, r, b in
             zip(sums[part_col], sums["rkey"], excl)}
     base_ref = ray.put(base)

@@ -170,6 +170,108 @@ def salted_count_sum(ds: "ray.data.Dataset", *, key_cols: list[str],
     return partials.groupby(key_cols).map_groups(_merge, batch_format="pandas")
 
 
+def escape_nul_keys(df: pd.DataFrame,
+                    key_cols: list[str]) -> "tuple[pd.DataFrame, list[str]]":
+    """MEASURED (TODO r3): pandas' all-string groupby/factorize hash table
+    compares NUL-terminated C strings, so keys differing only after an
+    embedded NUL byte ('a\\x00b' vs 'a\\x00c') silently CONFLATE. Escape
+    affected string key columns injectively ('\\'→'\\\\', NUL→'\\0') so the
+    groupby codes are exact; equality (and therefore grouping/joining) is
+    preserved, only within-column sort order of backslash-bearing keys can
+    shift — callers order results on restored values.
+
+    Returns ``(df, changed_cols)`` — pass ``changed_cols`` to
+    :func:`restore_nul_keys` on any output that carries the column. The
+    NUL scan is one vectorized pass per string key column; the escape
+    itself runs only when a NUL is actually present (pathological data),
+    so the hot path pays ~nothing."""
+    changed: list[str] = []
+    for c in key_cols:
+        s = df[c]
+        if s.dtype != object and not isinstance(s.dtype, pd.StringDtype):
+            continue
+        try:  # Arrow substring scan: ~2× pandas str.contains on the
+            arr = pa.array(s, from_pandas=True)  # hot all-clean path
+            if not pa.types.is_string(arr.type) \
+                    and not pa.types.is_large_string(arr.type):
+                continue
+            if not pc.any(pc.match_substring(arr, "\x00")).as_py():
+                continue
+        except (pa.ArrowInvalid, pa.ArrowTypeError):  # mixed object column
+            continue
+        if not changed:
+            df = df.copy(deep=False)
+        df[c] = s.str.replace("\\", "\\\\", regex=False) \
+            .str.replace("\x00", "\\0", regex=False)
+        changed.append(c)
+    return df, changed
+
+
+def restore_nul_keys(df: pd.DataFrame, changed: list[str]) -> pd.DataFrame:
+    """Inverse of :func:`escape_nul_keys` for the ``changed`` columns
+    present in ``df`` — a single left-to-right pass ('\\\\'→'\\',
+    '\\0'→NUL); sequential plain replaces are NOT a correct inverse
+    (r'\\0' in the original would round-trip wrong)."""
+    import re
+
+    unesc = re.compile(r"\\(.)")
+
+    def _one(v):
+        if not isinstance(v, str):
+            return v
+        return unesc.sub(lambda m: "\x00" if m.group(1) == "0"
+                         else m.group(1), v)
+
+    for c in changed:
+        if c in df.columns:
+            df[c] = df[c].map(_one)
+    return df
+
+
+def exact_factorize(s: pd.Series) -> "tuple[np.ndarray, np.ndarray]":
+    """``pd.factorize(use_na_sentinel=True)``-compatible ``(codes,
+    uniques)`` that does NOT conflate string values differing only after
+    an embedded NUL (pandas' factorize hash table compares NUL-terminated
+    C strings): string columns go through Arrow dictionary codes; other
+    dtypes fall back to pandas (whose numeric paths hash correctly)."""
+    if s.dtype == object or isinstance(s.dtype, pd.StringDtype):
+        try:
+            arr = pa.array(s, from_pandas=True)
+        except (pa.ArrowInvalid, pa.ArrowTypeError):
+            arr = None  # mixed-type object column
+        if arr is not None and (pa.types.is_string(arr.type)
+                                or pa.types.is_large_string(arr.type)):
+            enc = arr.dictionary_encode()
+            idx = enc.indices.to_numpy(zero_copy_only=False)
+            if enc.indices.null_count:
+                codes = np.where(np.isnan(idx), -1,
+                                 np.nan_to_num(idx)).astype(np.int64)
+            else:
+                codes = idx.astype(np.int64)
+            return codes, enc.dictionary.to_pandas().to_numpy(dtype=object)
+    codes, uniq = pd.factorize(s, use_na_sentinel=True)
+    return np.asarray(codes, dtype=np.int64), np.asarray(uniq)
+
+
+def sorted_group_offsets(sorted_keys: pd.Series,
+                         values: np.ndarray) -> np.ndarray:
+    """Exclusive per-GROUP prefix sums of ``values`` over a frame already
+    SORTED by the key column — the NUL-safe replacement for
+    ``df.groupby(key)[v].cumsum() - v`` (pandas' string groupby conflates
+    NUL-adjacent keys; here group boundaries come from exact elementwise
+    ``!=`` against the previous row, valid because equal keys are
+    contiguous after the sort)."""
+    v = np.asarray(values, dtype=np.int64)
+    if not len(v):
+        return v
+    csum = np.cumsum(v)
+    new_grp = sorted_keys.ne(sorted_keys.shift()).to_numpy()
+    new_grp[0] = True
+    excl_global = csum - v
+    grp_id = np.cumsum(new_grp) - 1
+    return excl_global - excl_global[new_grp][grp_id]
+
+
 def partitioned_groupby(ds: "ray.data.Dataset", key_cols: list[str],
                         part_fn_impl, *,
                         num_partitions: int = 64) -> "ray.data.Dataset":
@@ -197,7 +299,15 @@ def partitioned_groupby(ds: "ray.data.Dataset", key_cols: list[str],
         return df
 
     def _part_fn(part: pd.DataFrame) -> pd.DataFrame:
-        return part_fn_impl(part.drop(columns="__part"))
+        # pandas groupbys inside part_fn_impl would conflate string keys
+        # differing after an embedded NUL (see escape_nul_keys); partition
+        # ASSIGNMENT above is hash_pandas_object (NUL-safe), so escaping
+        # here — after the shuffle, before the group work — keeps every
+        # bucket exact without touching the fifteen part_fn callers
+        part, changed = escape_nul_keys(part.drop(columns="__part"),
+                                        key_cols)
+        out = part_fn_impl(part)
+        return restore_nul_keys(out, changed) if changed else out
 
     return ds.map_batches(_addpart, batch_format="pandas") \
         .groupby("__part").map_groups(_part_fn, batch_format="pandas")

@@ -102,8 +102,11 @@ def token_budget_select(ds: "ray.data.Dataset", budget: int, *,
                              "alpha": pa.int64(),
                              "cum_tokens": pa.int64()})
     sums = sums.sort_values([part_col, "rkey"]).reset_index(drop=True)
-    excl = (sums.groupby(part_col, sort=False)["rtotal"].cumsum()
-            - sums["rtotal"]).to_numpy(dtype=np.int64)
+    # exact for NUL-bearing part keys (see partitioning.sorted_group_offsets)
+    from .partitioning import sorted_group_offsets
+
+    excl = sorted_group_offsets(sums[part_col],
+                                sums["rtotal"].to_numpy(np.int64))
     alive = excl <= budget  # base > budget ⇒ every cum_tokens there > budget
     base = {(p, int(r)): int(b) for p, r, b, a in
             zip(sums[part_col], sums["rkey"], excl, alive) if a}
@@ -190,7 +193,9 @@ def mixture_resample(ds: "ray.data.Dataset", *, on: str = "text",
         # factorize instead of np.unique: a null stratum is a real value
         # at dirty-corpus scale (np.unique raises sorting None), and the
         # -1 sentinel routes it to default_weight
-        codes, uniq = pd.factorize(df[strata_col], use_na_sentinel=True)
+        from .partitioning import exact_factorize
+
+        codes, uniq = exact_factorize(df[strata_col])
         per_u = [plans.get(s, default_plan) for s in uniq] + [default_plan]
         whole = np.array([p[0] for p in per_u], dtype=np.int64)[codes]
         thr = np.array([p[1] for p in per_u], dtype=np.int64)[codes]

@@ -49,9 +49,17 @@ def grouped_corr(ds: "ray.data.Dataset", x_col: str, y_col: str,
     pairs, not per-column ``count(*)``/``avg``; null group keys form their
     own group, as in SQL.
     """
+    from .partitioning import escape_nul_keys, restore_nul_keys
+
     def _partials(b: pa.Table) -> pd.DataFrame:
         df = b.select(by + [x_col, y_col]).to_pandas()
         df = df.dropna(subset=[x_col, y_col])
+        # escape→group→restore WITHIN the batch (exact for NUL-bearing
+        # string keys, see partitioning.escape_nul_keys); escaping must not
+        # leak across batches — whether a column is escaped depends on the
+        # batch's own values, so cross-batch escaped/raw forms of one key
+        # would split a group at the driver merge
+        df, _ch = escape_nul_keys(df, by)
         g = df.groupby(by, sort=False, dropna=False)
         x = df[x_col].to_numpy(dtype=np.float64)
         y = df[y_col].to_numpy(dtype=np.float64)
@@ -69,11 +77,12 @@ def grouped_corr(ds: "ray.data.Dataset", x_col: str, y_col: str,
         out["m2x"] = np.bincount(gidx, weights=dx * dx, minlength=G)
         out["m2y"] = np.bincount(gidx, weights=dy * dy, minlength=G)
         out["cxy"] = np.bincount(gidx, weights=dx * dy, minlength=G)
-        return out
+        return restore_nul_keys(out, _ch)
 
     part = ds.map_batches(_partials, batch_format="pyarrow").to_pandas()
     if part.empty:  # empty input (a zero-row Ray result loses columns)
         return pd.DataFrame(columns=by + ["n", "mean_x", "mean_y", "corr"])
+    part, _mch = escape_nul_keys(part, by)  # exact merge keys, see above
     gb = part.groupby(by, sort=False, dropna=False)
     gidx = gb.ngroup().to_numpy()
     G = len(gb)
@@ -100,6 +109,7 @@ def grouped_corr(ds: "ray.data.Dataset", x_col: str, y_col: str,
     res["mean_x"] = mx_tot
     res["mean_y"] = my_tot
     res["corr"] = corr
+    res = restore_nul_keys(res, _mch)
     return res.sort_values(by).reset_index(drop=True)
 
 
@@ -172,11 +182,16 @@ def rollup_aggregate(ds: "ray.data.Dataset", keys: list[str], value_col: str,
     as ``case when grouping(k)=1 then 'ALL' else coalesce(k::varchar,
     'NULL') end``.
     """
+    from .partitioning import escape_nul_keys, restore_nul_keys
+
     def _partials(b: pa.Table) -> pd.DataFrame:
         df = b.select(keys + [value_col]).to_pandas()
         for k in keys:  # nulls are real groups (ANSI GROUP BY keeps them)
             df[k] = df[k].astype(object).where(df[k].notna(), "NULL") \
                 .astype(str)
+        # exact for NUL-bearing keys (escape→group→restore within the
+        # batch; see partitioning.escape_nul_keys / grouped_corr note)
+        df, _ch = escape_nul_keys(df, keys)
         g = df.groupby(keys, sort=False)[value_col]
         out = g.agg(n="size", s="sum").reset_index()
         out["n"] = out["n"].astype(np.int64)
@@ -186,9 +201,10 @@ def rollup_aggregate(ds: "ray.data.Dataset", keys: list[str], value_col: str,
             out["s"] = out["s"].astype(np.int64)
         else:
             out["s"] = out["s"].astype(np.float64)
-        return out
+        return restore_nul_keys(out, _ch)
 
     part = ds.map_batches(_partials, batch_format="pyarrow").to_pandas()
+    part, _mch = escape_nul_keys(part, keys)  # exact fold keys
     finest = part.groupby(keys, sort=False)[["n", "s"]].sum().reset_index()
 
     levels = [finest]
@@ -208,6 +224,7 @@ def rollup_aggregate(ds: "ray.data.Dataset", keys: list[str], value_col: str,
     out["avg_value"] = out["s"].to_numpy(np.float64) \
         / out["n"].to_numpy(np.float64)
     out = out.rename(columns={"n": "n_rows", "s": "sum_value"})
+    out = restore_nul_keys(out, _mch)  # 'ALL' slots are escape-invariant
     return out.sort_values(keys).reset_index(drop=True)
 
 

@@ -337,16 +337,24 @@ def _doc_term_counts(batch: pa.Table, text_col: str,
     token loop. Returns columns (id_col, term, c)."""
     lst = pc.split_pattern(pc.cast(batch.column(text_col), pa.string()), " ")
     lst = lst.combine_chunks() if isinstance(lst, pa.ChunkedArray) else lst
-    flat = pc.list_flatten(lst).to_pandas()
+    # group on Arrow dictionary CODES, not the strings: exact for terms
+    # with embedded NULs (pandas' all-string groupby conflates those) and
+    # an int-int groupby besides
+    enc = pc.list_flatten(lst).dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    terms = enc.dictionary.to_pandas()
     reps = pc.list_value_length(lst).to_numpy(zero_copy_only=False)
     reps = np.nan_to_num(reps).astype(np.int64)
     ids = np.repeat(batch.column(id_col).to_numpy(zero_copy_only=False), reps)
-    t = pd.DataFrame({id_col: ids, "term": flat})
-    t = t[t["term"] != ""]
-    out = t.groupby([id_col, "term"], sort=False).size().rename("c") \
+    t = pd.DataFrame({id_col: ids, "__code": codes})
+    empty_code = (terms == "").to_numpy().nonzero()[0]
+    if empty_code.size:
+        t = t[t["__code"] != empty_code[0]]
+    out = t.groupby([id_col, "__code"], sort=False).size().rename("c") \
         .reset_index()
+    out["term"] = terms.to_numpy()[out.pop("__code").to_numpy()]
     out["c"] = out["c"].astype(np.int64)
-    return out
+    return out[[id_col, "term", "c"]]
 
 
 def normalize_text(batch: pa.Table, text_col: str = "text",
@@ -463,8 +471,15 @@ def top_bigrams_pmi(ds: "ray.data.Dataset", *, text_col: str = "text",
         if len(flat) > 1:
             adj = ids[1:] == ids[:-1]
             bg = pd.DataFrame({"w1": flat[:-1][adj], "w2": flat[1:][adj]})
+            # exact for NUL-bearing tokens (pandas all-string groupby
+            # conflates them; see partitioning.escape_nul_keys)
+            from .partitioning import escape_nul_keys, restore_nul_keys
+
+            bg, ch = escape_nul_keys(bg, ["w1", "w2"])
             cnt = bg.groupby(["w1", "w2"], sort=False).size().rename("n") \
                 .reset_index()
+            if ch:
+                cnt = restore_nul_keys(cnt, ch)
             cnt.insert(0, "kind", np.int8(1))
             cnt["n"] = cnt["n"].astype(np.int64)
             out = pd.concat([out_u, cnt], ignore_index=True)

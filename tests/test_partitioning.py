@@ -66,3 +66,69 @@ def test_salted_aggregate_matches_unsalted(ray_session, small_corpus):
     assert got["repo"].tolist() == want["repo"].tolist()
     assert got["n"].tolist() == want["n"].tolist()
     np.testing.assert_allclose(got["n_chars_sum"], want["n_chars_sum"].astype(float))
+
+
+def test_partitioned_groupby_nul_keys_exact(ray_session):
+    # MEASURED r3: pandas all-string groupby conflates keys differing only
+    # after an embedded NUL; partitioned_groupby must keep them distinct
+    # end-to-end (escape before the part fn, restore on its output)
+    import pandas as pd
+
+    import ray.data as rd
+    from data_quality_automated_evaluator_ray.stages.partitioning import (
+        partitioned_groupby)
+
+    keys = ["a\x00b", "a\x00c", "a\x00b", "a\x00c", "plain", "a b",
+            "back\\slash", "back\\\x00slash", r"literal\0", "literal\x00"]
+    df = pd.DataFrame({"k": keys * 3, "v": list(range(len(keys) * 3))})
+    out = partitioned_groupby(
+        rd.from_pandas(df), ["k"],
+        lambda part: part.groupby("k", as_index=False)["v"]
+        .agg(["count", "sum"]),
+        num_partitions=4).to_pandas()
+    want = {k: (int((df["k"] == k).sum()), sum(df.loc[df["k"] == k, "v"]))
+            for k in set(keys)}
+    assert len(out) == len(want) == 8
+    got = {r["k"]: (r["count"], r["sum"]) for _, r in out.iterrows()}
+    assert got == want  # keys restored byte-exact, counts not conflated
+
+
+def test_escape_nul_keys_roundtrip_property():
+    import pandas as pd
+
+    from data_quality_automated_evaluator_ray.stages.partitioning import (
+        escape_nul_keys, restore_nul_keys)
+
+    vals = ["", "\x00", "\\", "\\\x00", "\x00\\", r"\0", "\\0x", "a\x00b",
+            "a b", None, "\\\\", "\x00\x00", r"lit\0eral" + "\x00"]
+    df = pd.DataFrame({"k": vals, "v": range(len(vals))})
+    esc, changed = escape_nul_keys(df, ["k"])
+    assert changed == ["k"]
+    # escaped column is NUL-free and injective
+    e = esc["k"].dropna()
+    assert not e.str.contains("\x00", regex=False).any()
+    assert e.nunique() == len(set(v for v in vals if v is not None))
+    back = restore_nul_keys(esc.copy(), changed)
+    assert back["k"].tolist() == vals
+    # no-NUL frames pass through untouched (no copy, no change)
+    clean = pd.DataFrame({"k": ["a", "b\\c", None], "n": [1, 2, 3]})
+    same, ch2 = escape_nul_keys(clean, ["k"])
+    assert ch2 == [] and same is clean
+    # int key columns are never touched
+    ints = pd.DataFrame({"k": [1, 2], "v": [1, 2]})
+    _, ch3 = escape_nul_keys(ints, ["k"])
+    assert ch3 == []
+
+
+def test_doc_term_counts_nul_terms(ray_session):
+    import pyarrow as pa
+
+    from data_quality_automated_evaluator_ray.stages.text import (
+        _doc_term_counts)
+
+    b = pa.table({"doc_id": [1, 1, 2],
+                  "text": ["x\x00a x\x00b x\x00a", "", "x\x00a plain"]})
+    out = _doc_term_counts(b, "text", "doc_id")
+    got = {(r["doc_id"], r["term"]): r["c"] for _, r in out.iterrows()}
+    assert got == {(1, "x\x00a"): 2, (1, "x\x00b"): 1,
+                   (2, "x\x00a"): 1, (2, "plain"): 1}
