@@ -61,22 +61,22 @@ def _mask_nulls(counts: np.ndarray, arr: pa.Array) -> pa.Array:
     return out
 
 
-def _ascii_class_counts(content: pa.Array
-                        ) -> tuple[pa.Array, pa.Array, pa.Array]:
-    """Per-row (alpha, word, space) byte counts in one fused pass
-    (null rows → null)."""
-    arr = content.combine_chunks() if isinstance(content, pa.ChunkedArray) else content
+def _packed_class_counts(arr: pa.Array, packed_lut: np.ndarray,
+                         fallback_luts: "list[np.ndarray]"
+                         ) -> "list[pa.Array]":
+    """Per-row byte counts for the 21-bit fields of ``packed_lut`` in one
+    gather + one segmented reduceat (null rows → null); rows longer than
+    the 21-bit field cap fall back to one exact cumsum per class."""
+    n_fields = len(fallback_luts)
     bufs = arr.buffers()
     if bufs[2] is None or len(arr) == 0:
         z = np.zeros(len(arr), dtype=np.int64)
-        return tuple(_mask_nulls(z, arr) for _ in range(3))
+        return [_mask_nulls(z, arr) for _ in range(n_fields)]
     data, off = _string_buffer(arr)
     row_lens = off[1:] - off[:-1]
     if len(data) and row_lens.max() > _MAX_PACKED_ROW:
-        return (_ascii_byte_count(arr, _ALPHA_LUT),
-                _ascii_byte_count(arr, _WORD_LUT),
-                _ascii_byte_count(arr, _SPACE_LUT))
-    packed = _PACKED_LUT[data]
+        return [_ascii_byte_count(arr, lut) for lut in fallback_luts]
+    packed = packed_lut[data]
     # reduceat over NON-EMPTY row starts only (consecutive non-empty
     # segments tile the byte range exactly — same pattern as _line_stats);
     # empty rows would otherwise corrupt neighbours via reduceat's
@@ -94,9 +94,103 @@ def _ascii_class_counts(content: pa.Array
         else:
             seg[nonempty] = np.add.reduceat(packed, ne_starts)
     m = np.int64(_MAX_PACKED_ROW)
-    return (_mask_nulls(seg & m, arr),
-            _mask_nulls((seg >> _FIELD_BITS) & m, arr),
-            _mask_nulls((seg >> (2 * _FIELD_BITS)) & m, arr))
+    return [_mask_nulls((seg >> (i * _FIELD_BITS)) & m, arr)
+            for i in range(n_fields)]
+
+
+def _ascii_class_counts(content: pa.Array
+                        ) -> tuple[pa.Array, pa.Array, pa.Array]:
+    """Per-row (alpha, word, space) byte counts in one fused pass
+    (null rows → null)."""
+    arr = content.combine_chunks() if isinstance(content, pa.ChunkedArray) else content
+    return tuple(_packed_class_counts(
+        arr, _PACKED_LUT, [_ALPHA_LUT, _WORD_LUT, _SPACE_LUT]))
+
+
+# [A-Za-z_] — a word-run token CONTINUES through these after it starts
+_LETTER_LUT = _ALPHA_LUT.copy()
+_LETTER_LUT[ord("_")] = True
+
+_DIGIT_LUT = np.zeros(256, dtype=bool)
+_DIGIT_LUT[ord("0"):ord("9") + 1] = True
+
+# control chars: CTRL_CHAR_PATTERN [\x00-\x08\x0b\x0c\x0e-\x1f] (ASCII-range
+# bytes — byte count == codepoint count, as for the classes above)
+_CTRL_LUT = np.zeros(256, dtype=bool)
+_CTRL_LUT[0:0x09] = True
+_CTRL_LUT[0x0B] = _CTRL_LUT[0x0C] = True
+_CTRL_LUT[0x0E:0x20] = True
+
+# non-ASCII codepoints = UTF-8 LEAD bytes >= 0xC0 (Arrow strings are valid
+# UTF-8: every non-ASCII codepoint contributes exactly one lead byte, and
+# continuation bytes 0x80-0xBF never stand alone) — counts codepoints
+# matching NON_ASCII_PATTERN [^\x00-\x7f] exactly
+_NONASCII_LUT = np.zeros(256, dtype=bool)
+_NONASCII_LUT[0xC0:] = True
+
+# second packed LUT (2 × 21-bit fields): ctrl + non-ascii in ONE
+# gather+reduceat, same row-length cap as _PACKED_LUT
+_PACKED_LUT2 = (_CTRL_LUT.astype(np.int64)
+                | (_NONASCII_LUT.astype(np.int64) << _FIELD_BITS))
+
+
+def _word_token_counts(arr: pa.Array) -> np.ndarray:
+    """Per-row count of WORD_TOKEN_PATTERN matches
+    (``[A-Za-z_][A-Za-z0-9_]*|[0-9]+``) by run analysis over the raw byte
+    buffer — replaces the dominant RE2 scan of the features stage
+    (measured 62.7 → ~8 ms / 4096 rows, bit-identical; differential-tested
+    vs Python ``re`` in tests/test_features.py).
+
+    Left-to-right regex scanning makes every maximal [A-Za-z0-9_] run
+    yield at most two tokens: an optional leading digit token, then —
+    from the first letter/underscore on — ONE token consuming the rest of
+    the run. So matches = (#runs) + (#runs that start with a digit and
+    contain a letter/underscore)."""
+    data, off = _string_buffer(arr)
+    n = len(arr)
+    if len(data) == 0 or n == 0:
+        return np.zeros(n, dtype=np.int64)
+    w = _WORD_LUT[data]
+    s = w.copy()
+    s[1:] &= ~w[:-1]
+    row_lens = off[1:] - off[:-1]
+    row_starts = off[:-1][row_lens > 0].astype(np.int64)
+    # a row's first byte never continues the previous row's run (and a
+    # SLICED array's buffer may carry parent bytes before off[0])
+    s[row_starts] = w[row_starts]
+    rs = np.flatnonzero(s)
+    # only run starts inside [off[0], off[-1]) are real rows' runs
+    lo, hi = int(off[0]), int(off[-1])
+    rs = rs[(rs >= lo) & (rs < hi)]
+    if rs.size == 0:
+        return np.zeros(n, dtype=np.int64)
+    # second-token position of a digit-started run = the byte after its
+    # leading digit stretch, IFF that byte is still a word byte (then it is
+    # [A-Za-z_], the rest of the run is one token). Everything here is
+    # run-level (#runs arrays), never a full-buffer cumsum.
+    d = _DIGIT_LUT[data]
+    dig_start = rs[d[rs]]  # digit-started runs ([0-9]+ token first)
+    row_off = off.astype(np.int64)
+    counts = (np.searchsorted(rs, row_off[1:])
+              - np.searchsorted(rs, row_off[:-1]))
+    if dig_start.size:
+        # positions where the digit mask CHANGES; the first change after a
+        # digit-start is where its leading digit stretch ends. Row bounds
+        # also end a stretch (the next row's leading digits are a new run).
+        td = np.append(np.flatnonzero(d[1:] != d[:-1]) + 1, hi)
+        rbound = np.append(row_starts, hi)
+        p = np.minimum(
+            td[np.searchsorted(td, dig_start, side="right")],
+            rbound[np.searchsorted(rbound, dig_start, side="right")])
+        p = p[p < hi]
+        # a true second token is a LETTER/underscore that does NOT itself
+        # start a run (a row boundary inside a digit stretch lands p on
+        # the next row's first byte, which is its own run's start)
+        second = p[_LETTER_LUT[data[p]] & ~s[p]] if p.size else p
+        if second.size:
+            counts += (np.searchsorted(second, row_off[1:])
+                       - np.searchsorted(second, row_off[:-1]))
+    return counts
 
 
 def _ascii_byte_count(content: pa.Array, lut: np.ndarray) -> pa.Array:
@@ -153,20 +247,28 @@ def _safe_ratio(count: pa.Array, n_chars: pa.Array) -> pa.Array:
 def compute_features(batch: pa.Table) -> pa.Table:
     """map_batches fn: append rules.FEATURE_COLUMNS to an input_hint batch."""
     content = batch.column("content")
-    n_chars = pc.cast(pc.utf8_length(content), pa.int64())
-    n_lines, max_line, mean_line = _line_stats(content)
-    non_ascii = pc.count_substring_regex(content, rules.NON_ASCII_PATTERN)
-    ctrl = pc.cast(pc.count_substring_regex(content, rules.CTRL_CHAR_PATTERN), pa.int64())
-    # disjoint split of TOKEN_PATTERN: word-run tokens via RE2 (few matches)
+    arr = (content.combine_chunks()
+           if isinstance(content, pa.ChunkedArray) else content)
+    n_chars = pc.cast(pc.utf8_length(arr), pa.int64())
+    n_lines, max_line, mean_line = _line_stats(arr)
+    # ctrl + non-ascii-codepoint counts: second packed-LUT pass (replaces
+    # two RE2 scans — 12.9 → ~8 ms / 4096 rows, bit-identical; non-ascii
+    # codepoints = UTF-8 lead bytes, see _NONASCII_LUT)
+    ctrl, non_ascii = _packed_class_counts(
+        arr, _PACKED_LUT2, [_CTRL_LUT, _NONASCII_LUT])
+    # disjoint split of TOKEN_PATTERN: word-run tokens via run analysis
+    # (_word_token_counts — replaces the stage-dominant RE2 scan)
     # + punctuation codepoints = n_chars − word bytes − space bytes (byte
     # LUTs; ASCII classes are single-byte so byte counts == codepoint counts
     # and every remaining codepoint matches [^\t\n\f\r A-Za-z0-9_]).
     # Identical total to counting TOKEN_PATTERN matches directly.
     # alpha/word/space come from ONE packed-LUT pass (_ascii_class_counts).
-    alpha, word_cp, space_cp = _ascii_class_counts(content)
+    alpha, word_cp, space_cp = _ascii_class_counts(arr)
     punct_cp = pc.subtract(pc.subtract(n_chars, word_cp), space_cp)
-    word_tokens = pc.cast(
-        pc.count_substring_regex(content, rules.WORD_TOKEN_PATTERN), pa.int64())
+    if arr.buffers()[2] is None or len(arr) == 0:
+        word_tokens = _mask_nulls(np.zeros(len(arr), dtype=np.int64), arr)
+    else:
+        word_tokens = _mask_nulls(_word_token_counts(arr), arr)
     tokens = pc.add(word_tokens, punct_cp)
 
     out = batch

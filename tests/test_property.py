@@ -171,3 +171,58 @@ def test_solve_coverage_matches_bruteforce_expansion():
         assert got["coverage"] == float(cum[k - 1]) / total
 
     _check()
+
+
+# ---------------------------------------------------------------------------
+# Run-analysis WORD_TOKEN counter vs the regex oracle (round-4: replaces the
+# stage-dominant RE2 scan in compute_features)
+# ---------------------------------------------------------------------------
+_runish = st.text(alphabet=st.sampled_from(list("ab_09 \t\n.+é⚡")),
+                  min_size=0, max_size=40)
+
+
+@settings(max_examples=400, deadline=None, derandomize=True)
+@given(st.lists(st.one_of(_runish, _text), min_size=1, max_size=6),
+       st.integers(min_value=0, max_value=3))
+def test_word_token_counts_match_re(contents, slice_off):
+    import re
+
+    import numpy as np
+    import pyarrow as pa
+
+    from data_quality_automated_evaluator_ray import rules
+    from data_quality_automated_evaluator_ray.stages.features import (
+        _word_token_counts)
+
+    rx = re.compile(rules.WORD_TOKEN_PATTERN, re.ASCII)
+    arr = pa.array(contents, pa.string())
+    got = _word_token_counts(arr)
+    want = np.array([len(rx.findall(c)) for c in contents], dtype=np.int64)
+    assert got.tolist() == want.tolist(), contents
+    # sliced arrays share the parent buffer (offset > 0, trailing bytes)
+    off = min(slice_off, len(contents) - 1)
+    sl = arr.slice(off, len(contents) - off)
+    assert _word_token_counts(sl).tolist() == want[off:].tolist()
+
+
+def test_word_token_counts_adversarial_shapes():
+    import re
+
+    import pyarrow as pa
+
+    from data_quality_automated_evaluator_ray import rules
+    from data_quality_automated_evaluator_ray.stages.features import (
+        _word_token_counts)
+
+    rx = re.compile(rules.WORD_TOKEN_PATTERN, re.ASCII)
+    cases = ["", "9", "a", "_", "9a", "a9", "99aa99", "a9a9", "9_9", "_9_",
+             "12ab3cd_4", "1a1a", ".9.", "é9é", "x" * 3_000_000,  # > 2^21
+             "9" * 10 + "é" + "a" * 10, "a b", "9 9", "ab\ncd9", "9\n9a"]
+    arr = pa.array(cases, pa.string())
+    got = _word_token_counts(arr).tolist()
+    want = [len(rx.findall(c)) for c in cases]
+    assert got == want
+    # run continuity across adjacent rows in the buffer must NOT merge:
+    # row k ends with word bytes, row k+1 starts with word bytes
+    arr2 = pa.array(["abc", "def", "9", "9", "a9", "9a"], pa.string())
+    assert _word_token_counts(arr2).tolist() == [1, 1, 1, 1, 1, 2]
