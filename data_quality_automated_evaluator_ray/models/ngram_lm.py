@@ -59,6 +59,15 @@ _CP_SPACE = np.zeros(128, dtype=bool)
 for _c in b"\t\n\f\r ":
     _CP_SPACE[_c] = True
 
+# ONE packed class gather replaces three masked bool gathers: bit0=word,
+# bit1=digit, bit2=space; indexed by the RAW codepoint (table spans the whole
+# Unicode range, 1.1 MB uint8 — ASCII rows keep it L1/L2-hot) so no clip /
+# where pass is needed. Non-ASCII ⇒ 0 ⇒ punct, same as the masked path.
+_CP_CLASS = np.zeros(0x110000, dtype=np.uint8)
+_CP_CLASS[:128] = (_CP_WORD.astype(np.uint8)
+                   | (_CP_DIGIT.astype(np.uint8) << 1)
+                   | (_CP_SPACE.astype(np.uint8) << 2))
+
 _HASH_B = np.uint64(1099511628211)  # FNV-prime polynomial base (mod 2^64)
 _POW_B = np.empty(4096, dtype=np.uint64)
 _POW_B[0] = 1
@@ -95,60 +104,80 @@ def _tokenize_spans(texts: list[str]) -> tuple[np.ndarray, np.ndarray,
     trunc = [t[:_MAX_CHARS] for t in texts]
     lens = np.array([len(t) for t in trunc], dtype=np.int64)
     # int32 codepoints (max U+10FFFF < 2^21): halves the memory traffic of
-    # every downstream gather/compare vs int64 — same values everywhere
+    # every downstream gather/compare vs int64 — same values everywhere.
+    # .view (not .astype): the uint32 buffer is reinterpreted zero-copy —
+    # valid because every codepoint < 2^21 < 2^31
     cp = np.frombuffer("".join(trunc).encode("utf-32-le"),
-                       dtype=np.uint32).astype(np.int32)
+                       dtype=np.uint32).view(np.int32)
     n = cp.size
     row_starts = np.zeros(len(trunc), dtype=np.int64)
     np.cumsum(lens[:-1], out=row_starts[1:])
-    ascii_mask = cp < 128
-    cp_clip = np.where(ascii_mask, cp, 0)
-    w = _CP_WORD[cp_clip] & ascii_mask
-    dg = _CP_DIGIT[cp_clip] & ascii_mask
-    sp = _CP_SPACE[cp_clip] & ascii_mask
+    cls = _CP_CLASS[cp]
+    w = (cls & 1) != 0
 
-    is_row_start = np.zeros(n + 1, dtype=bool)
-    is_row_start[row_starts[lens > 0]] = True
-    w_pad = np.zeros(n + 1, dtype=bool)
-    w_pad[:n] = w
-    prev_w = np.zeros(n, dtype=bool)
-    prev_w[1:] = w[:-1]
-    run_start = w & (~prev_w | is_row_start[:n])
-    # run ends where the word class stops OR the next row begins
-    run_end = w & (~w_pad[1:] | is_row_start[1:])
+    if n == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return cp, z, z, z
+    # word-run boundaries: class transitions, then row boundaries patched by
+    # tiny per-row scatters (no n+1 padded arrays, no is_row_start mask)
+    run_start = np.empty(n, dtype=bool)
+    run_start[0] = w[0]
+    np.greater(w[1:], w[:-1], out=run_start[1:])  # w & ~prev_w
+    nz_rows = lens > 0
+    rs_pos = row_starts[nz_rows]
+    run_start[rs_pos] = w[rs_pos]  # a run (re)starts at each row start
+    run_end = np.empty(n, dtype=bool)
+    run_end[-1] = w[-1]
+    np.greater(w[:-1], w[1:], out=run_end[:-1])  # w & ~next_w
+    le_pos = (row_starts + lens)[nz_rows] - 1
+    run_end[le_pos] = w[le_pos]  # …and ends at each row's last char
     rs = np.flatnonzero(run_start)
     re_ = np.flatnonzero(run_end) + 1  # exclusive
 
-    # leading-digit end per run: first word-char that is NOT a digit, global
-    # sorted positions + searchsorted, clipped to the run end
-    nd_idx = np.flatnonzero(w & ~dg)
-    nd_idx = np.append(nd_idx, n)
-    d_end = np.minimum(nd_idx[np.searchsorted(nd_idx, rs)], re_)
+    # leading-digit end per run = first digit→non-digit transition at/after
+    # the run start (+1), clipped to the run end. Transition positions are
+    # FEW (one per number literal) — unlike the old flatnonzero over every
+    # word-non-digit char, which materialized a ~0.6·n int64 index array.
+    dgm = cls & 2
+    d2n = np.flatnonzero(dgm[:-1] > dgm[1:])  # digit at p, non-digit at p+1
+    d2n = np.append(d2n, n)  # text ending in a digit: no transition
+    d_end = np.minimum(d2n[np.searchsorted(d2n, rs)] + 1, re_)
 
-    first_digit = dg[rs] if rs.size else np.zeros(0, dtype=bool)
+    first_digit = ((cls[rs] & 2) != 0) if rs.size else np.zeros(0, dtype=bool)
     two = first_digit & (d_end < re_)
     num_starts, num_ends = rs[first_digit], d_end[first_digit]
     id_starts = np.concatenate([rs[~first_digit], d_end[two]])
     id_ends = np.concatenate([re_[~first_digit], re_[two]])
-    punct_pos = np.flatnonzero(~w & ~sp)
+    punct_pos = np.flatnonzero(cls == 0)  # ~word & ~space
 
-    tok_start = np.concatenate([num_starts, id_starts, punct_pos])
-    tok_end = np.concatenate([num_ends, id_ends, punct_pos + 1])
-    order = np.argsort(tok_start, kind="stable")
-    tok_start, tok_end = tok_start[order], tok_end[order]
+    # token START positions are pairwise distinct (num = digit-led run
+    # starts, id = letter-led run starts ∪ strictly-interior digit→letter
+    # splits, punct = non-word positions), so a position-indexed scatter +
+    # flatnonzero yields exactly the stable sort-by-start order without the
+    # O(T log T) argsort. end_arr doubles as the presence mask (end 0 ⇔ no
+    # token: every real end is ≥ 1); int32 halves the scatter/scan traffic
+    # and every end value < n < 2^31.
+    end_arr = np.zeros(n, dtype=np.int32)
+    end_arr[punct_pos] = punct_pos + 1
+    end_arr[num_starts] = num_ends
+    end_arr[id_starts] = id_ends
+    tok_start = np.flatnonzero(end_arr)
+    tok_end = end_arr[tok_start]  # int32; subtraction below promotes
 
-    # per-row _MAX_TOKENS cap (tokens are in text order per row)
-    tok_row = np.searchsorted(row_starts, tok_start, side="right") - 1
-    if tok_row.size:
-        _, first_idx = np.unique(tok_row, return_index=True)
-        firsts = np.zeros(tok_row.size, dtype=np.int64)
-        firsts[first_idx] = 1
-        seg0 = np.cumsum(firsts) - 1
-        rank = np.arange(tok_row.size, dtype=np.int64) - first_idx[seg0]
-        keep = rank < _MAX_TOKENS
-        tok_start, tok_end, tok_row = (tok_start[keep], tok_end[keep],
-                                       tok_row[keep])
-    return cp, tok_start, tok_end - tok_start, tok_row
+    # per-row _MAX_TOKENS cap. Tokens are in text order, so ONE searchsorted
+    # of the (tiny) row_starts side against tok_start gives each row's first
+    # token index; ranks follow by subtraction — no big-side searchsorted,
+    # no per-token row ids until after the cap.
+    T = tok_start.size
+    row_tok_off = np.searchsorted(tok_start, row_starts, side="left")
+    counts = np.diff(np.append(row_tok_off, T))
+    rank = np.arange(T, dtype=np.int64) - np.repeat(row_tok_off, counts)
+    keep = rank < _MAX_TOKENS
+    tok_start = tok_start[keep]
+    tok_len = (tok_end[keep] - tok_start).astype(np.int64)
+    tok_row = np.repeat(np.arange(len(trunc), dtype=np.int64),
+                        np.minimum(counts, _MAX_TOKENS))
+    return cp, tok_start, tok_len, tok_row
 
 
 class _LangLM:
@@ -223,8 +252,22 @@ class _LangLM:
         hmatched, cand = self.vh_ht.lookup(h)
         cand = np.where(hmatched, cand, 0)  # dummy index where unmatched
         maybe = hmatched & (self.vlen[cand] == tok_len)
-        sel = np.flatnonzero(maybe)
-        if sel.size:
+        if not maybe.any():
+            return ids
+        if nz.all():
+            # hash matches ≈ all tokens here, so verify in FULL token space:
+            # tok_cps is already the concatenated per-token chars in token
+            # order (`a` side needs no gather), and fstart/within are reused.
+            # Rows outside `maybe` compare garbage (clamped indices) and are
+            # masked out afterwards; reduceat is safe because every tok_len
+            # is > 0 (nz.all()), keeping fstart strictly in-bounds.
+            b_idx = np.repeat(self.voff[cand], tok_len) + within
+            np.minimum(b_idx, self.vflat.size - 1, out=b_idx)
+            ok = np.logical_and.reduceat(tok_cps == self.vflat[b_idx], fstart)
+            hit = np.flatnonzero(maybe & ok)
+            ids[hit] = cand[hit]
+        else:  # defensive: zero-length spans present — verify per selection
+            sel = np.flatnonzero(maybe)
             tl = tok_len[sel]
             fs2, within2 = _segmented_arange(tl)
             a = tok_cps[np.repeat(fstart[sel], tl) + within2]
@@ -309,9 +352,14 @@ class NgramLM:
                 if tstart.size == 0:
                     continue
                 ids = m.token_ids(cp, tstart, tlen)
-                urows, lens = np.unique(trow, return_counts=True)
-                keep_rows = [rows[int(r)] for r in urows]
-                lens = lens.astype(np.int64)
+                # trow is non-decreasing: group boundaries via neighbor diff
+                # (np.unique would sort the 10^5-element array again)
+                newrow = np.empty(trow.size, dtype=bool)
+                newrow[0] = True
+                np.not_equal(trow[1:], trow[:-1], out=newrow[1:])
+                fi = np.flatnonzero(newrow)
+                keep_rows = [rows[int(r)] for r in trow[fi]]
+                lens = np.diff(np.append(fi, trow.size)).astype(np.int64)
             else:  # intra-vocab hash collision fallback (never seen; exact)
                 vocab_get = m.vocab.get
                 tok_lists, keep_rows = [], []
