@@ -315,6 +315,22 @@ def test_lm_vectorized_tokenizer_matches_regex():
     for t, g in zip(cases, got):
         assert g == _TOKEN_RE.findall(t[:_MAX_CHARS])[:_MAX_TOKENS], t[:60]
 
+    # round-4 scatter/transition rewrite adversaries: rows ENDING in digits
+    # (no digit→non-digit transition before the row boundary), empty rows
+    # interleaved between token-bearing rows (duplicate row_start values in
+    # the inverted row-cap searchsorted), all-empty batches, digit runs
+    # crossing truncation, and single-char digit/word/punct rows
+    for batch in (["", "", ""], ["9" * 2000, "a" * 2000], ["9"], ["a9"],
+                  ["1", "", "2a", "", ""], ["x2", "3", "", "_9z"],
+                  ["99a99", "", "9"], ["é", "9é9", ""],
+                  ["word9", "9word"], ["\n9", "9\n", "\t"]):
+        bcp, bts, btl, btr = _tokenize_spans(batch)
+        bgot = [[] for _ in batch]
+        for s, l, r in zip(bts, btl, btr):
+            bgot[int(r)].append("".join(chr(c) for c in bcp[s:s + l]))
+        for t, g in zip(batch, bgot):
+            assert g == _TOKEN_RE.findall(t[:_MAX_CHARS])[:_MAX_TOKENS], batch
+
     lm = NgramLM.get()
     m = lm.models[sorted(lm.models)[0]]
     assert m.fast_lookup
