@@ -82,6 +82,8 @@ def run_bench() -> dict:
         evaluated = apply_quality_filter(
             read_corpus(BENCH_CORPUS_DIR),
             batch_size=1024,
+            keep_content=False,  # production shape (runner.py): only
+            # content_scrubbed flows past the fused operator
         )
         evaluated.filter(expr="keep == True").select_columns(
             ["repo", "path", "commit", "lang", "content_scrubbed",

@@ -42,8 +42,10 @@ class QualityFilterBatch:
     every reserved CPU does the full per-record chain.
     """
 
-    def __init__(self, models_ref=None, with_models: bool = True) -> None:
+    def __init__(self, models_ref=None, with_models: bool = True,
+                 keep_content: bool = True) -> None:
         self.with_models = with_models
+        self.keep_content = keep_content
         self.scorer = ModelScorer(models_ref) if with_models else None
 
     def __call__(self, batch: "pa.Table") -> "pa.Table":
@@ -51,7 +53,13 @@ class QualityFilterBatch:
         if self.scorer is not None:
             b = self.scorer(b)
         b = scrub_and_hash(b)
-        return apply_rules(b, heuristics_only=not self.with_models)
+        b = apply_rules(b, heuristics_only=not self.with_models)
+        if not self.keep_content:
+            # production shape: the raw content column dies INSIDE the fused
+            # operator — downstream blocks (object store, filter, write)
+            # carry only content_scrubbed, halving per-row payload bytes
+            b = b.drop_columns(["content"])
+        return b
 
 
 def default_pool_size(total_cpus: int) -> int:
@@ -68,11 +76,14 @@ def apply_quality_filter(
     with_models: bool = True,
     scorer_concurrency: Any = None,
     batch_size: int = 1024,
+    keep_content: bool = True,
 ) -> "ray.data.Dataset":
     """Append features, model scores, scrubbed content + sha256, keep/drop.
 
     ``scorer_concurrency``: actor-pool size; default reserves ~85% of the
     cluster's CPUs, leaving headroom for the read and write/shuffle operators.
+    ``keep_content=False`` drops the raw ``content`` column inside the fused
+    operator (production shape: only ``content_scrubbed`` flows downstream).
     """
     if not with_models:
         # fully stateless: plain task operators, no pool to size
@@ -80,9 +91,12 @@ def apply_quality_filter(
                             batch_size=batch_size, zero_copy_batch=True)
         ds = ds.map_batches(scrub_and_hash, batch_format="pyarrow",
                             batch_size=batch_size, zero_copy_batch=True)
-        return ds.map_batches(
+        ds = ds.map_batches(
             lambda b: apply_rules(b, heuristics_only=True),
             batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True)
+        if not keep_content:
+            ds = ds.drop_columns(["content"])
+        return ds
 
     from ..stages.model_stages import put_models
 
@@ -94,7 +108,8 @@ def apply_quality_filter(
     return ds.map_batches(
         QualityFilterBatch, batch_format="pyarrow", batch_size=batch_size,
         concurrency=scorer_concurrency, num_cpus=1,
-        fn_constructor_kwargs={"models_ref": put_models()})
+        fn_constructor_kwargs={"models_ref": put_models(),
+                               "keep_content": keep_content})
 
 
 def read_corpus(path: str | list[str], **kwargs) -> "ray.data.Dataset":

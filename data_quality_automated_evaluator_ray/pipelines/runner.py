@@ -109,8 +109,12 @@ def run_resumable(
 
         ds = ray.data.read_parquet(
             frag_group, columns=["repo", "path", "commit", "lang", "content"])
+        # keep_content=False: OUTPUT_COLUMNS/metric_cols never include the
+        # raw content column, so it dies inside the fused operator — the
+        # materialized partition holds one content copy, not two
         ds = apply_quality_filter(ds, with_models=with_models,
-                                  scorer_concurrency=scorer_concurrency)
+                                  scorer_concurrency=scorer_concurrency,
+                                  keep_content=False)
 
         tmp_dir = os.path.join(out_dir, f".tmp-part-{idx:05d}")
         tmp_metrics = os.path.join(out_dir, f".tmp-metrics-{idx:05d}")
