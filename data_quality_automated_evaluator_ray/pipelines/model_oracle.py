@@ -33,7 +33,22 @@ import pyarrow.parquet as pq
 
 from .. import rules
 
-MODEL_TABLES_DIR = "/tmp/dqare_model_tables"
+def _model_fingerprint() -> str:
+    """Content hash of every source file the table values are a pure
+    function of — a stale /tmp cache from a previous code revision would
+    otherwise silently desync the SQL oracle from the in-process model."""
+    import hashlib
+
+    pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    h = hashlib.sha256()
+    for rel in ("models/langid.py", "models/ngram_lm.py",
+                "models/natural_text.py", "sources/codegen.py", "rules.py"):
+        with open(os.path.join(pkg, rel), "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:12]
+
+
+MODEL_TABLES_DIR = f"/tmp/dqare_model_tables-{_model_fingerprint()}"
 _CORPUS = "/tmp/dqare_corpus_sf0.01/part-*.parquet"
 
 

@@ -181,9 +181,15 @@ def _attach_median(narrow: "ray.data.Dataset",
 
     med = sk.groupby(KEY + ["feature"]).map_groups(
         _median, batch_format="pandas").to_pandas()
+    # pivot builds a pandas MultiIndex, which (unlike merge) conflates
+    # string keys differing only after an embedded NUL — escape around it
+    from .partitioning import escape_nul_keys, restore_nul_keys
+
+    med, _ch = escape_nul_keys(med, KEY)
     med_wide = med.pivot(index=KEY, columns="feature", values="median")
     med_wide.columns = [f"{c}_median" for c in med_wide.columns]
-    return stats.merge(med_wide.reset_index(), on=KEY, how="left")
+    med_wide = restore_nul_keys(med_wide.reset_index(), _ch)
+    return stats.merge(med_wide, on=KEY, how="left")
 
 
 def _hll_partials(batch: pa.Table) -> pa.Table:

@@ -5,7 +5,7 @@ expressions (reference preprocess.py:201-229); here the per-*record* quality
 features are computed with pyarrow.compute kernels (RE2 counting, list
 arithmetic) — no Python-level row loop anywhere in this stage. Exact parity
 with the scalar oracle (oracle.features_row) is asserted in
-tests/test_features.py.
+tests/test_property.py (hypothesis) and tests/test_stages_unit.py (edges).
 """
 
 from __future__ import annotations
@@ -143,7 +143,7 @@ def _word_token_counts(arr: pa.Array) -> np.ndarray:
     (``[A-Za-z_][A-Za-z0-9_]*|[0-9]+``) by run analysis over the raw byte
     buffer — replaces the dominant RE2 scan of the features stage
     (measured 62.7 → ~8 ms / 4096 rows, bit-identical; differential-tested
-    vs Python ``re`` in tests/test_features.py).
+    vs Python ``re`` in tests/test_property.py and test_stages_unit.py).
 
     Left-to-right regex scanning makes every maximal [A-Za-z0-9_] run
     yield at most two tokens: an optional leading digit token, then —

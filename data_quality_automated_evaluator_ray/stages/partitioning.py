@@ -265,7 +265,12 @@ def sorted_group_offsets(sorted_keys: pd.Series,
     if not len(v):
         return v
     csum = np.cumsum(v)
+    # NaN != NaN under .ne, which would make every NaN-key row its own
+    # group; null keys are ONE group (SQL GROUP BY semantics, and they're
+    # contiguous after the sort), so mask adjacent-null boundaries off
+    na = sorted_keys.isna().to_numpy()
     new_grp = sorted_keys.ne(sorted_keys.shift()).to_numpy()
+    new_grp[1:] &= ~(na[1:] & na[:-1])
     new_grp[0] = True
     excl_global = csum - v
     grp_id = np.cumsum(new_grp) - 1

@@ -97,3 +97,20 @@ def test_pack_sequences_nul_part_keys(ray_session):
     assert (by_id.loc[2, "seq_id"], by_id.loc[2, "seq_offset"]) == (0, 6)
     assert (by_id.loc[4, "seq_id"], by_id.loc[4, "seq_offset"]) == (0, 6)
     assert set(out["lang"]) == {K1, K2}
+
+
+def test_attach_median_pivot_nul_keys(ray_session):
+    """End-to-end partition_metrics_scalable with approx_median: the pivot
+    in _attach_median must not conflate (or crash on) NUL-differing keys."""
+    from data_quality_automated_evaluator_ray.stages.aggregate import (
+        partition_metrics_scalable)
+
+    df = pd.DataFrame({
+        "repo": [K1, K1, K2], "lang": ["py", "py", "py"],
+        "content_sha256": ["s1", "s2", "s3"], "keep": [True, True, True],
+        "n_chars": [1.0, 3.0, 30.0]})
+    out = partition_metrics_scalable(
+        rd.from_pandas(df), approx_median=True).to_pandas()
+    assert set(out["repo"]) == {K1, K2}
+    m = out.set_index("repo")["n_chars_median"]
+    assert m.loc[K1] == 2.0 and m.loc[K2] == 30.0

@@ -132,3 +132,25 @@ def test_doc_term_counts_nul_terms(ray_session):
     got = {(r["doc_id"], r["term"]): r["c"] for _, r in out.iterrows()}
     assert got == {(1, "x\x00a"): 2, (1, "x\x00b"): 1,
                    (2, "x\x00a"): 1, (2, "plain"): 1}
+
+
+def test_sorted_group_offsets_nan_keys_one_group():
+    """NaN keys form ONE group (SQL GROUP BY semantics), not one group per
+    row: .ne's NaN != NaN must not split adjacent nulls."""
+    import numpy as np
+    import pandas as pd
+
+    from data_quality_automated_evaluator_ray.stages.partitioning import (
+        sorted_group_offsets)
+
+    keys = pd.Series(["a", "a", "b", np.nan, np.nan])
+    vals = np.array([1, 2, 3, 4, 5])
+    got = sorted_group_offsets(keys, vals).tolist()
+    grouped = (pd.DataFrame({"k": keys, "v": vals})
+               .groupby("k", dropna=False, sort=False)["v"]
+               .cumsum() - vals)
+    assert got == grouped.tolist() == [0, 1, 0, 0, 4]
+    # None-typed nulls (object path) agree with the NaN form
+    keys2 = pd.Series(["a", None, None], dtype=object)
+    assert sorted_group_offsets(keys2, np.array([7, 1, 2])).tolist() \
+        == [0, 0, 1]
