@@ -41,8 +41,9 @@ def load_config(path: str) -> dict[str, Any]:
         raise FileNotFoundError(f"config file not found: {path}")
     with open(path) as fh:
         cfg = json.load(fh)
-    if "source" not in cfg or "path" not in cfg.get("source", {}):
-        raise ValueError("config must define source.path")
+    if not isinstance(cfg.get("source"), dict) or "path" not in cfg["source"]:
+        raise ValueError("config must define source.path (source must be an "
+                         "object, e.g. {\"source\": {\"path\": ...}})")
     cfg.setdefault("pipeline", "quality_filter")
     if cfg["pipeline"] not in ("quality_filter", "temporal_report", "dedup",
                                "validate"):
@@ -140,10 +141,17 @@ def _run_dedup(cfg: dict[str, Any], out_dir: str) -> dict[str, Any]:
     else:
         raise ValueError(f"unknown dedup method {method!r}")
     from .sources.sinks import write_output
+    from .state.lineage import atomic_publish
 
+    # write to a tmp dir and publish by rename: ray.data sinks APPEND
+    # uuid-named files next to any previous run's, so a rerun into the same
+    # dir would otherwise keep the stale rows AND double-count rows_out
     out_spec = dict(cfg.get("output", {}))
-    out_spec["dir"] = out_dir
+    tmp_dir = f"{out_dir.rstrip('/')}.tmp-{os.getpid()}"
+    out_spec["dir"] = tmp_dir
     write_output(kept, out_spec)
+    os.makedirs(tmp_dir, exist_ok=True)  # zero-row writes create no dir
+    atomic_publish(tmp_dir, out_dir)
     import ray.data
 
     # count from the WRITTEN files — kept.count() would re-execute the
@@ -151,7 +159,7 @@ def _run_dedup(cfg: dict[str, Any], out_dir: str) -> dict[str, Any]:
     fmt = out_spec.get("format", "parquet")
     reader = {"parquet": ray.data.read_parquet, "csv": ray.data.read_csv,
               "jsonl": ray.data.read_json}[fmt]
-    rows_out = reader(out_dir).count()
+    rows_out = reader(out_dir).count() if os.listdir(out_dir) else 0
     return {"pipeline": "dedup", "method": method,
             "rows_in": rows_in, "rows_out": rows_out,
             "dup_rate": round(1 - rows_out / rows_in, 6) if rows_in else 0.0,
@@ -238,13 +246,12 @@ def run_config(cfg: dict[str, Any]) -> dict[str, Any]:
     from .state import lineage
     from .stages.aggregate import partition_metrics
 
+    from .pipelines.runner import expand_fragments
+
     src = dict(cfg["source"])
-    paths = src["path"]
-    if isinstance(paths, str) and os.path.isdir(paths):
-        paths = sorted(os.path.join(paths, f) for f in os.listdir(paths)
-                       if f.endswith(".parquet"))
-    if not isinstance(paths, list):
-        paths = [paths]
+    # recursive + glob-aware, raises on an empty expansion — an empty plan
+    # must never reach run_resumable's stale-partition prune
+    paths = expand_fragments(src["path"])
 
     summary = run_resumable(
         paths, out_dir,
@@ -257,8 +264,17 @@ def run_config(cfg: dict[str, Any]) -> dict[str, Any]:
         # per-row metric columns the runner committed per partition
         # (out_dir/metrics/part-*) — model inference is never re-run, and
         # the report reflects exactly the committed data even after a resume.
+        import glob as _glob
+
         import ray.data
 
+        if not _glob.glob(os.path.join(summary["metrics_dir"], "part-*", "*")):
+            # every partition committed zero rows: the metrics dirs exist but
+            # hold no parquet — a successful (if vacuous) run, not an error
+            summary["report"] = None
+            summary["report_note"] = ("no metric rows committed (all "
+                                      "partitions empty); report skipped")
+            return summary
         metric_ds = ray.data.read_parquet(summary["metrics_dir"])
         metrics = partition_metrics(metric_ds).to_pandas()
         manifests = lineage.load_manifests(os.path.join(out_dir, "lineage"))

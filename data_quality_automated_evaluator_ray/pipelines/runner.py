@@ -34,6 +34,35 @@ def plan_partitions(fragments: list[str], partition_size: int) -> list[list[str]
     return [frags[i:i + partition_size] for i in range(0, len(frags), partition_size)]
 
 
+def expand_fragments(path: "str | list[str]") -> list[str]:
+    """Expand a source path spec into the sorted parquet fragment list the
+    partition planner needs: a glob pattern, a directory (RECURSIVE — hive
+    layouts keep their parquet in subdirectories), a single file, or a list
+    of any of these. Raises on an empty expansion rather than letting an
+    empty plan reach the stale-partition prune."""
+    import glob as _glob
+
+    frags: list[str] = []
+    stack = list(path) if isinstance(path, list) else [path]
+    while stack:
+        s = stack.pop()
+        if isinstance(s, str) and any(ch in s for ch in "*?["):
+            m = sorted(_glob.glob(s))
+            if not m:
+                raise ValueError(f"glob matched no files: {s!r}")
+            stack.extend(m)
+        elif os.path.isdir(s):
+            for root, _dirs, files in os.walk(s):
+                frags.extend(os.path.join(root, f) for f in files
+                             if f.endswith((".parquet", ".pq")))
+        else:
+            frags.append(s)
+    if not frags:
+        raise ValueError(f"source path expanded to no parquet fragments: "
+                         f"{path!r}")
+    return sorted(frags)
+
+
 def _prune_stale_partitions(out_dir: str, metrics_root: str,
                             lineage_dir: str, n_parts: int) -> None:
     """Remove part-* dirs (output + metrics) and lineage manifests whose
@@ -44,15 +73,18 @@ def _prune_stale_partitions(out_dir: str, metrics_root: str,
     import shutil
 
     # \d{5,}: indices >= 100000 widen past the :05d padding — the stale
-    # tail must still prune at that scale; .tmp- leftovers of a crashed
-    # larger plan are equally stale (in-plan tmps are recreated per run)
-    pat = re.compile(r"^(?:\.tmp-)?(?:part|metrics)-(\d{5,})(\.json)?$")
+    # tail must still prune at that scale. ALL .tmp-* artifacts (and
+    # lineage *.json.tmp) are stale at run start regardless of index: a
+    # crashed run's tmp for a partition the new plan SKIPS would otherwise
+    # survive forever (in-plan tmps are only cleared on the re-process path)
+    pat = re.compile(r"^(?:part|metrics)-(\d{5,})(\.json)?$")
+    stale = re.compile(r"^\.tmp-|\.json\.tmp$")
     for root in (out_dir, metrics_root, lineage_dir):
         if not os.path.isdir(root):
             continue
         for name in os.listdir(root):
             m = pat.match(name)
-            if m and int(m.group(1)) >= n_parts:
+            if (m and int(m.group(1)) >= n_parts) or stale.search(name):
                 p = os.path.join(root, name)
                 shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
 
@@ -75,14 +107,24 @@ def run_resumable(
     from ..rules import rules_fingerprint
     from .quality_filter import METRIC_COLUMNS
 
+    # an empty plan would make the stale-partition prune below delete EVERY
+    # previously committed artifact and then "succeed" with 0 partitions —
+    # a misconfigured source (e.g. a dir whose parquet lives in
+    # subdirectories) must fail loudly instead of destroying prior output
+    if not fragments:
+        raise ValueError("run_resumable: empty fragment list — refusing to "
+                         "prune/overwrite existing output with an empty plan")
+    if partition_size < 1:
+        raise ValueError(f"partition_size must be >= 1, got {partition_size}")
     parts = plan_partitions(fragments, partition_size)
-    # checkpoint token covers fragments + partition size + user config + the
-    # rule constants: a threshold/pattern/partitioning change must invalidate
-    # old manifests (is_committed additionally compares the fragment group)
+    # checkpoint token covers fragments + partition size + user config +
+    # model on/off + the rule constants: a threshold/pattern/partitioning/
+    # with_models change must invalidate old manifests (is_committed
+    # additionally compares the fragment group)
     token = lineage.checkpoint_token(
         fragments,
         f"{config_fingerprint}:partition_size={partition_size}:"
-        + rules_fingerprint())
+        f"with_models={with_models}:" + rules_fingerprint())
     lineage_dir = os.path.join(out_dir, "lineage")
     metrics_root = os.path.join(out_dir, "metrics")
     os.makedirs(metrics_root, exist_ok=True)
@@ -106,6 +148,12 @@ def run_resumable(
             continue
         if fail_after is not None and run >= fail_after:
             raise RuntimeError(f"injected failure before partition {idx}")
+
+        # a manifest from a DIFFERENT token may still exist (config changed
+        # back and forth): drop it before touching the part dirs, or a crash
+        # mid re-process would leave old-token attestation over new/partial
+        # data and a later run under the old token would wrongly skip it
+        lineage.invalidate(lineage_dir, idx)
 
         ds = ray.data.read_parquet(
             frag_group, columns=["repo", "path", "commit", "lang", "content"])

@@ -61,6 +61,16 @@ def is_committed(lineage_dir: str, part_idx: int, token: str,
         return False
 
 
+def invalidate(lineage_dir: str, part_idx: int) -> None:
+    """Remove a partition's manifest (if any) BEFORE re-processing it: the
+    old attestation must not survive a crash that happens after the part
+    dirs start mutating, or a later resume under the old token would skip a
+    partition whose data is no longer what the manifest describes."""
+    p = manifest_path(lineage_dir, part_idx)
+    if os.path.exists(p):
+        os.remove(p)
+
+
 def commit(lineage_dir: str, part_idx: int, *, fragments: list[str], token: str,
            rows_in: int, rows_kept: int, drop_tallies: dict[str, int]) -> dict:
     os.makedirs(lineage_dir, exist_ok=True)

@@ -162,3 +162,106 @@ def test_empty_fragment_partition_commits(ray_session, small_corpus,
     assert sorted(m["rows_in"] for m in manifests) == [0, 200]
     s2 = run_resumable(frags, out, partition_size=1, with_models=False)
     assert s2["partitions_skipped"] == 2 and s2["partitions_run"] == 0
+
+
+def test_empty_plan_refuses_to_destroy_output(ray_session, small_corpus,
+                                              tmp_path):
+    """An empty fragment list / bad partition_size must raise BEFORE the
+    stale-partition prune — never silently delete prior committed output."""
+    d, paths = small_corpus
+    out = str(tmp_path / "out")
+    run_resumable(paths, out, partition_size=2, with_models=False)
+    committed = sorted(glob.glob(os.path.join(out, "part-*")))
+    assert committed
+    with pytest.raises(ValueError, match="empty fragment list"):
+        run_resumable([], out, with_models=False)
+    with pytest.raises(ValueError, match="partition_size"):
+        run_resumable(paths, out, partition_size=0, with_models=False)
+    with pytest.raises(ValueError, match="partition_size"):
+        run_resumable(paths, out, partition_size=-1, with_models=False)
+    assert sorted(glob.glob(os.path.join(out, "part-*"))) == committed
+    assert lineage.load_manifests(os.path.join(out, "lineage"))
+
+
+def test_reprocess_invalidates_old_manifest_before_mutation(
+        ray_session, small_corpus, tmp_path, monkeypatch):
+    """Config A commits; config B crashes mid-reprocess of partition 0. The
+    token-A manifest must already be gone, so a later token-A run re-does
+    the partition instead of attesting whatever half-state B left behind."""
+    d, paths = small_corpus
+    out = str(tmp_path / "out")
+    run_resumable(paths, out, partition_size=2, with_models=False,
+                  config_fingerprint="A")
+    ldir = os.path.join(out, "lineage")
+    n_manifests = len(lineage.load_manifests(ldir))
+
+    import data_quality_automated_evaluator_ray.pipelines.runner as runner_mod
+
+    def _boom(*a, **k):
+        raise RuntimeError("crash mid-reprocess")
+
+    monkeypatch.setattr(runner_mod, "apply_quality_filter", _boom)
+    with pytest.raises(RuntimeError, match="crash mid-reprocess"):
+        run_resumable(paths, out, partition_size=2, with_models=False,
+                      config_fingerprint="B")
+    monkeypatch.undo()
+    # partition 0's old manifest is gone; the others (never reached) remain
+    assert not os.path.exists(lineage.manifest_path(ldir, 0))
+    assert len(lineage.load_manifests(ldir)) == n_manifests - 1
+    # a resume back under token A must RE-RUN partition 0, not skip it
+    s = run_resumable(paths, out, partition_size=2, with_models=False,
+                      config_fingerprint="A")
+    assert s["partitions_run"] >= 1
+
+
+def test_expand_fragments_recursive_glob_and_empty():
+    from data_quality_automated_evaluator_ray.pipelines.runner import (
+        expand_fragments)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        os.makedirs(os.path.join(d, "lang=py"))
+        for p in ("top.parquet", "lang=py/nested.parquet", "lang=py/x.pq",
+                  "skip.txt"):
+            open(os.path.join(d, p), "w").close()
+        got = expand_fragments(d)
+        assert sorted(os.path.basename(p) for p in got) \
+            == sorted(["top.parquet", "nested.parquet", "x.pq"])
+        assert expand_fragments(os.path.join(d, "*.parquet")) \
+            == [os.path.join(d, "top.parquet")]
+        assert expand_fragments([os.path.join(d, "top.parquet")]) \
+            == [os.path.join(d, "top.parquet")]
+        with pytest.raises(ValueError, match="no files"):
+            expand_fragments(os.path.join(d, "nope-*.parquet"))
+        os.makedirs(os.path.join(d, "empty"))
+        with pytest.raises(ValueError, match="no parquet fragments"):
+            expand_fragments(os.path.join(d, "empty"))
+
+
+def test_with_models_flip_invalidates_checkpoint(ray_session, small_corpus,
+                                                 tmp_path):
+    d, paths = small_corpus
+    out = str(tmp_path / "out")
+    run_resumable(paths, out, partition_size=2, with_models=False)
+    # same fingerprint, models flipped on: every partition must RE-RUN
+    s = run_resumable(paths, out, partition_size=2, with_models=True,
+                      scorer_concurrency=(1, 2))
+    assert s["partitions_skipped"] == 0
+    # and the output now uniformly carries the model columns
+    df = _read_all(out)
+    assert "perplexity" in df.columns
+
+
+def test_stale_tmp_dirs_pruned_for_skipped_partitions(
+        ray_session, small_corpus, tmp_path):
+    d, paths = small_corpus
+    out = str(tmp_path / "out")
+    run_resumable(paths, out, partition_size=2, with_models=False)
+    # orphans from a hypothetical crashed run: in-plan tmp + lineage tmp
+    os.makedirs(os.path.join(out, ".tmp-part-00000"))
+    open(os.path.join(out, "lineage", "part-00000.json.tmp"), "w").close()
+    s = run_resumable(paths, out, partition_size=2, with_models=False)
+    assert s["partitions_run"] == 0  # everything still committed/skipped
+    assert not os.path.exists(os.path.join(out, ".tmp-part-00000"))
+    assert not os.path.exists(
+        os.path.join(out, "lineage", "part-00000.json.tmp"))

@@ -265,3 +265,31 @@ def test_two_level_scan_operators_empty_input(ray_session):
     for ds, want_cols in cases:
         assert ds.count() == 0
         assert set(ds.schema().names) == want_cols
+
+
+def test_config_dedup_rerun_same_dir_stable(ray_session, tmp_path):
+    """Reruns into the same output dir must replace, not append: ray.data
+    sinks write uuid-named files, so appending would double rows_out."""
+    from data_quality_automated_evaluator_ray.config import run_config
+
+    src = f"{SF}/documents.parquet"
+    out = str(tmp_path / "dedup")
+    cfg = {"source": {"path": src}, "pipeline": "dedup",
+           "dedup": {"method": "exact"}, "output": {"dir": out}}
+    s1 = run_config(cfg)
+    s2 = run_config(cfg)
+    assert s2["rows_out"] == s1["rows_out"]
+    assert pd.read_parquet(out).shape[0] == s1["rows_out"]
+
+
+def test_load_config_rejects_string_source(tmp_path):
+    import json
+
+    import pytest
+
+    from data_quality_automated_evaluator_ray.config import load_config
+
+    p = tmp_path / "cfg.json"
+    p.write_text(json.dumps({"source": "my/path.parquet"}))
+    with pytest.raises(ValueError, match="source.path"):
+        load_config(str(p))
