@@ -33,18 +33,40 @@ _OVERRIDE_TYPES = {
 
 
 def substitute_env(options: dict[str, Any]) -> dict[str, Any]:
-    """Replace ``$NAME`` values with the environment variable's value
-    (reference handle_data.py:177-222). Missing variables raise KeyError."""
+    """Replace ``$NAME`` / ``${NAME}`` values with the environment
+    variable's value (reference handle_data.py:177-222); ``$$literal``
+    escapes a leading dollar (a password that happens to start with '$'
+    must not be silently swapped for an unrelated env var). Missing
+    variables raise KeyError."""
     out = {}
     for k, v in options.items():
-        if isinstance(v, str) and v.startswith("$"):
-            name = v[1:]
+        if isinstance(v, str) and v.startswith("$$"):
+            out[k] = v[1:]
+        elif isinstance(v, str) and v.startswith("$"):
+            name = (v[2:-1] if v.startswith("${") and v.endswith("}")
+                    else v[1:])
             if name not in os.environ:
                 raise KeyError(f"environment variable {name} (for option {k!r}) is not set")
             out[k] = os.environ[name]
         else:
             out[k] = v
     return out
+
+
+def _as_bool(v: Any, key: str) -> bool:
+    """Strict bool coercion for auth-mode flags: $ENV substitution always
+    yields STRINGS, and pyarrow coerces any non-empty string (including
+    'false') truthy — which would silently switch to anonymous access."""
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, str):
+        low = v.strip().lower()
+        if low in ("true", "1", "yes", "on"):
+            return True
+        if low in ("false", "0", "no", "off", ""):
+            return False
+    raise ValueError(f"storage_options[{key!r}] must be a boolean "
+                     f"(or 'true'/'false'), got {v!r}")
 
 
 _S3_OPTION_MAP = {
@@ -116,6 +138,8 @@ def filesystem_for(path: str | list[str] | None,
         src_of: dict[str, str] = {}
         for k, v in storage_options.items():
             tgt = _S3_OPTION_MAP[k]
+            if tgt == "anonymous":
+                v = _as_bool(v, k)
             if tgt in kw and kw[tgt] != v:
                 # two aliases of one constructor kwarg with different
                 # values — last-one-wins would silently drop a credential
@@ -131,7 +155,9 @@ def filesystem_for(path: str | list[str] | None,
         _check_keys({"anon", "anonymous"}, "gcs")
         from pyarrow.fs import GcsFileSystem
 
-        if storage_options.get("anon") or storage_options.get("anonymous"):
+        anon = any(_as_bool(storage_options[k], k)
+                   for k in ("anon", "anonymous") if k in storage_options)
+        if anon:
             return GcsFileSystem(anonymous=True), stripped
         return GcsFileSystem(), stripped
     if scheme == "hf":
@@ -185,9 +211,14 @@ def _cast_overrides(overrides: dict[str, str]):
                                f"(have {batch.column_names})")
             idx = batch.column_names.index(col)
             src = batch.column(col)
-            if pa.types.is_string(src.type) and pa.types.is_date(typ):
+            # large_string must take the same strptime path as string, or
+            # identical data parses differently depending on which string
+            # width the upstream reader happened to emit
+            is_str = (pa.types.is_string(src.type)
+                      or pa.types.is_large_string(src.type))
+            if is_str and pa.types.is_date(typ):
                 new = pc.cast(pc.strptime(src, format="%Y-%m-%d", unit="s"), typ)
-            elif pa.types.is_string(src.type) and pa.types.is_timestamp(typ):
+            elif is_str and pa.types.is_timestamp(typ):
                 new = pc.strptime(src, format="%Y-%m-%d %H:%M:%S", unit="us")
             else:
                 new = pc.cast(src, typ)
@@ -286,6 +317,7 @@ def read_source(source: dict[str, Any]) -> "ray.data.Dataset":
     "columns"?: [...], "storage_options"?: {...}}"""
     path = source.get("path")
     fmt = source.get("format")
+    inferred = fmt is None
     if fmt is None:
         if path is None:
             raise ValueError(
@@ -305,9 +337,18 @@ def read_source(source: dict[str, Any]) -> "ray.data.Dataset":
     if fmt in ("parquet", "pq"):
         ds = ray.data.read_parquet(fs_path, columns=columns, filesystem=fs)
     elif fmt == "csv":
-        ds = ray.data.read_csv(fs_path, filesystem=fs)
         if columns:
-            ds = ds.select_columns(columns)
+            # projection pushed into the Arrow CSV reader: unused columns
+            # are never converted (a post-read select_columns pays
+            # full-width conversion in every read task)
+            from pyarrow import csv as _pacsv
+
+            ds = ray.data.read_csv(
+                fs_path, filesystem=fs,
+                convert_options=_pacsv.ConvertOptions(
+                    include_columns=list(columns)))
+        else:
+            ds = ray.data.read_csv(fs_path, filesystem=fs)
     elif fmt in ("json", "jsonl", "ndjson"):
         ds = ray.data.read_json(fs_path, filesystem=fs)
         if columns:
@@ -319,8 +360,14 @@ def read_source(source: dict[str, Any]) -> "ray.data.Dataset":
         # splittable reader exists).
         ds = _read_xlsx(path, columns, sheet=source.get("sheet"))
     elif fmt in ("sql", "postgresql", "sqlite"):
-        if fmt == "sqlite" and "driver" not in source:
-            source = {**source, "driver": "sqlite3"}
+        if fmt == "sqlite":
+            if "driver" not in source:
+                source = {**source, "driver": "sqlite3"}
+            # the path that selected this branch IS the database — the
+            # natural {"path": "db.sqlite", "table": ...} config must work
+            if ("connection_factory" not in source
+                    and "connect_args" not in source and path):
+                source = {**source, "connect_args": {"database": path}}
         ds = _read_sql(source, columns)
     elif fmt == "iceberg":
         # reference handle_data.py:104-127 reads Iceberg via pyiceberg;
@@ -341,7 +388,10 @@ def read_source(source: dict[str, Any]) -> "ray.data.Dataset":
                           snapshot_id=source.get("snapshot_id"),
                           filter=tuple(f) if f else None, **ice_kw)
     else:
-        raise ValueError(f"cannot infer a reader for source format {fmt!r}")
+        hint = (f" (inferred from the extension of path {path!r}; a dotted "
+                f"directory name is not a format — set source.format "
+                f"explicitly)" if inferred else "")
+        raise ValueError(f"no reader for source format {fmt!r}{hint}")
 
     overrides = source.get("schema_overrides")
     if overrides:

@@ -20,22 +20,41 @@ from typing import Any
 import ray.data
 
 _FORMATS = ("parquet", "csv", "jsonl")
+_SPEC_KEYS = {"dir", "format", "partition_by", "compression",
+              "storage_options"}
 
 
 def write_output(ds: "ray.data.Dataset", spec: dict[str, Any]) -> str:
     """Write ``ds`` per the output spec; returns the output directory."""
+    # a typo'd knob ('compresion', 'partition_cols') must not silently
+    # write uncompressed/unpartitioned output — same fail-loud policy as
+    # readers.filesystem_for on unknown storage_options keys
+    unknown = sorted(set(spec) - _SPEC_KEYS)
+    if unknown:
+        raise ValueError(f"unknown output spec keys {unknown}; "
+                         f"supported: {sorted(_SPEC_KEYS)}")
     out_dir = spec["dir"]
     fmt = spec.get("format", "parquet")
     if fmt not in _FORMATS:
         raise ValueError(f"unknown output format {fmt!r}; "
                          f"expected one of {_FORMATS}")
+    # sink credentials resolve exactly like the reader's: $ENV substitution
+    # then a concrete pyarrow.fs handed to the datasink — otherwise an
+    # s3:// dir with a custom endpoint would silently write to real AWS
+    from .readers import filesystem_for, substitute_env
+
+    opts = substitute_env(spec.get("storage_options", {}))
+    fs, out_path = filesystem_for(out_dir, opts)
+    fs_kw = {"filesystem": fs} if fs is not None else {}
+    if fs is None:
+        out_path = out_dir
     if fmt == "parquet":
-        kwargs: dict[str, Any] = {}
+        kwargs: dict[str, Any] = dict(fs_kw)
         if spec.get("partition_by"):
             kwargs["partition_cols"] = list(spec["partition_by"])
         if spec.get("compression"):
             kwargs["compression"] = spec["compression"]
-        ds.write_parquet(out_dir, **kwargs)
+        ds.write_parquet(out_path, **kwargs)
     else:
         # fail fast on knobs these sinks cannot honor — silently writing
         # uncompressed/unpartitioned output is worse than an error
@@ -44,7 +63,7 @@ def write_output(ds: "ray.data.Dataset", spec: dict[str, Any]) -> str:
         if spec.get("compression"):
             raise ValueError("compression is parquet-only")
         if fmt == "csv":
-            ds.write_csv(out_dir)
+            ds.write_csv(out_path, **fs_kw)
         else:  # jsonl — Ray's JSON datasink emits one JSON object per line
-            ds.write_json(out_dir)
+            ds.write_json(out_path, **fs_kw)
     return out_dir

@@ -276,3 +276,103 @@ def test_read_source_hf_local_mirror(ray_session, tmp_path):
         assert stripped == "datasets/Org/name/x.csv"
     with pytest.raises(ValueError, match="unsupported hf storage_options"):
         filesystem_for("hf://datasets/Org/name/x.csv", {"anon": True})
+
+
+def test_substitute_env_braces_and_escape(monkeypatch):
+    from data_quality_automated_evaluator_ray.sources.readers import (
+        substitute_env)
+
+    monkeypatch.setenv("TEST_PW", "hunter2")
+    monkeypatch.setenv("ecret1", "WRONG")
+    got = substitute_env({"a": "${TEST_PW}", "b": "$TEST_PW",
+                          "c": "$$ecret1", "d": "plain"})
+    # $$ escapes a literal leading dollar: the real value must NOT be
+    # swapped for the unrelated 'ecret1' env var
+    assert got == {"a": "hunter2", "b": "hunter2", "c": "$ecret1",
+                   "d": "plain"}
+
+
+def test_filesystem_for_string_false_anon_not_anonymous():
+    """$ENV substitution yields strings; 'false' must mean False, not the
+    pyarrow truthy-string coercion to anonymous access."""
+    import pytest
+
+    from data_quality_automated_evaluator_ray.sources.readers import (
+        _as_bool, filesystem_for)
+
+    assert _as_bool("false", "anon") is False
+    assert _as_bool("0", "anon") is False
+    assert _as_bool("True", "anon") is True
+    assert _as_bool(True, "anon") is True
+    with pytest.raises(ValueError, match="anon"):
+        _as_bool("maybe", "anon")
+    # construction succeeds with the coerced bool (anonymous S3 needs no
+    # credential chain, so this stays offline-safe)
+    fs, _ = filesystem_for("s3://b/k.parquet", {"anon": "true",
+                                                "region": "us-east-1"})
+    import pyarrow.fs as pafs
+
+    assert isinstance(fs, pafs.S3FileSystem)
+
+
+def test_read_source_sqlite_path_shorthand(ray_session, tmp_path):
+    """The natural {'path': 'db.sqlite', 'table': ...} shape must work —
+    the path that selects the branch is the database."""
+    import sqlite3
+
+    from data_quality_automated_evaluator_ray.sources.readers import (
+        read_source)
+
+    db = str(tmp_path / "t.sqlite")
+    con = sqlite3.connect(db)
+    con.execute("create table docs (id integer, txt text)")
+    con.executemany("insert into docs values (?, ?)",
+                    [(1, "a"), (2, "b")])
+    con.commit()
+    con.close()
+    df = read_source({"path": db, "table": "docs"}).to_pandas()
+    assert sorted(df["txt"]) == ["a", "b"]
+
+
+def test_write_output_rejects_typo_keys(ray_session, tmp_path):
+    import pytest
+    import ray.data as rd
+
+    from data_quality_automated_evaluator_ray.sources.sinks import (
+        write_output)
+
+    ds = rd.from_items([{"a": 1}])
+    with pytest.raises(ValueError, match="compresion"):
+        write_output(ds, {"dir": str(tmp_path / "o"),
+                          "compresion": "zstd"})
+
+
+def test_schema_override_large_string_datetime(ray_session):
+    import pyarrow as pa
+
+    from data_quality_automated_evaluator_ray.sources.readers import (
+        _cast_overrides)
+
+    fn = _cast_overrides({"ts": "Datetime", "d": "Date"})
+    small = pa.table({"ts": pa.array(["2024-01-02 03:04:05"], pa.string()),
+                      "d": pa.array(["2024-01-02"], pa.string())})
+    large = pa.table({"ts": pa.array(["2024-01-02 03:04:05"],
+                                     pa.large_string()),
+                      "d": pa.array(["2024-01-02"], pa.large_string())})
+    a, b = fn(small), fn(large)
+    assert a.column("ts").to_pylist() == b.column("ts").to_pylist()
+    assert a.column("d").to_pylist() == b.column("d").to_pylist()
+    assert b.column("ts").type == pa.timestamp("us")
+
+
+def test_read_csv_projection_pushdown(ray_session, tmp_path):
+    import ray.data as rd
+
+    p = tmp_path / "w.csv"
+    p.write_text("a,b,c\n1,x,9\n2,y,8\n")
+    from data_quality_automated_evaluator_ray.sources.readers import (
+        read_source)
+
+    df = read_source({"path": str(p), "columns": ["c", "a"]}).to_pandas()
+    assert list(df.columns) == ["c", "a"]
+    assert df["c"].tolist() == [9, 8]
