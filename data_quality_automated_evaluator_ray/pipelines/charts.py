@@ -20,15 +20,40 @@ from ..functions.outliers import criterion_bounds
 _W, _H, _PAD = 480, 120, 8
 
 
+def finite_runs(valid: "np.ndarray") -> list[list[int]]:
+    """Indices of consecutive-valid runs: a NaN/inf gap must BREAK the
+    polyline (Plotly leaves gaps), not be bridged with a fabricated trend
+    segment; a single-point run gets a marker instead of an invisible
+    zero-length stroke."""
+    runs: list[list[int]] = []
+    cur: list[int] = []
+    for i, ok in enumerate(valid):
+        if ok:
+            cur.append(i)
+        elif cur:
+            runs.append(cur)
+            cur = []
+    if cur:
+        runs.append(cur)
+    return runs
+
+
+def _xml_escape(s: str) -> str:
+    return (str(s).replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;"))
+
+
 def sparkline_svg(values, lower: float | None = None,
                   upper: float | None = None, title: str = "") -> str:
     x = np.asarray(values, dtype=np.float64)
-    valid = ~np.isnan(x)
+    # inf is as unplottable as NaN: an infinite axis span squashes every
+    # finite point flat and emits literal 'nan' coordinates
+    valid = np.isfinite(x)
     if valid.sum() == 0:
         return f'<svg xmlns="http://www.w3.org/2000/svg" width="{_W}" height="{_H}"/>'
     guides = [v for v in (lower, upper) if v is not None and np.isfinite(v)]
-    lo = min(float(np.nanmin(x)), *(guides or [float(np.nanmin(x))]))
-    hi = max(float(np.nanmax(x)), *(guides or [float(np.nanmax(x))]))
+    lo = min(float(x[valid].min()), *(guides or [float(x[valid].min())]))
+    hi = max(float(x[valid].max()), *(guides or [float(x[valid].max())]))
     span = (hi - lo) or 1.0
 
     def sx(i: int) -> float:
@@ -37,11 +62,9 @@ def sparkline_svg(values, lower: float | None = None,
     def sy(v: float) -> float:
         return _H - _PAD - (_H - 2 * _PAD) * ((v - lo) / span)
 
-    pts = " ".join(f"{sx(i):.1f},{sy(v):.1f}"
-                   for i, v in enumerate(x) if not np.isnan(v))
     parts = [f'<svg xmlns="http://www.w3.org/2000/svg" width="{_W}" height="{_H}" '
              f'viewBox="0 0 {_W} {_H}">',
-             f'<title>{title}</title>',
+             f'<title>{_xml_escape(title)}</title>',
              f'<rect width="{_W}" height="{_H}" fill="white"/>']
     for g, color in zip((lower, upper), ("#cc3333", "#cc3333")):
         if g is not None and np.isfinite(g):
@@ -49,12 +72,19 @@ def sparkline_svg(values, lower: float | None = None,
             parts.append(f'<line x1="{_PAD}" y1="{y:.1f}" x2="{_W - _PAD}" '
                          f'y2="{y:.1f}" stroke="{color}" stroke-width="1" '
                          f'stroke-dasharray="4 3"/>')
-    parts.append(f'<polyline points="{pts}" fill="none" stroke="#2b6cb0" '
-                 f'stroke-width="1.5"/>')
+    for run in finite_runs(valid):
+        if len(run) == 1:
+            i = run[0]
+            parts.append(f'<circle cx="{sx(i):.1f}" cy="{sy(x[i]):.1f}" '
+                         f'r="2" fill="#2b6cb0"/>')
+        else:
+            pts = " ".join(f"{sx(i):.1f},{sy(x[i]):.1f}" for i in run)
+            parts.append(f'<polyline points="{pts}" fill="none" '
+                         f'stroke="#2b6cb0" stroke-width="1.5"/>')
     # mark outliers beyond the guides
     if lower is not None and upper is not None:
         for i, v in enumerate(x):
-            if not np.isnan(v) and (v < lower or v > upper):
+            if valid[i] and (v < lower or v > upper):
                 parts.append(f'<circle cx="{sx(i):.1f}" cy="{sy(v):.1f}" r="3" '
                              f'fill="#cc3333"/>')
     parts.append("</svg>")
@@ -73,9 +103,9 @@ def write_charts(metrics: pd.DataFrame, out_dir: str,
         if c in key_cols or not pd.api.types.is_numeric_dtype(metrics[c]):
             continue
         x = metrics[c].to_numpy(dtype=np.float64)
-        if np.isnan(x).all():
+        if not np.isfinite(x).any():
             continue
-        lo, hi = criterion_bounds(x[~np.isnan(x)], criterion)
+        lo, hi = criterion_bounds(x[np.isfinite(x)], criterion)
         svg = sparkline_svg(x, lo, hi, title=c)
         path = os.path.join(charts_dir, f"{c}.svg")
         with open(path, "w") as fh:

@@ -88,15 +88,19 @@ def sparkline_png(values, lower: float | None = None,
                   upper: float | None = None) -> bytes:
     """Raster twin of charts.sparkline_svg: series polyline, dashed outlier
     bound guides, square markers on points beyond the bounds."""
+    from .charts import finite_runs
+
     x = np.asarray(values, dtype=np.float64)
     img = np.empty((_H, _W, 3), dtype=np.uint8)
     img[:] = _BG
-    valid = ~np.isnan(x)
+    # inf is as unplottable as NaN: an infinite span makes sy() NaN and
+    # int(round(nan)) raises — and a gap must break the line, not bridge it
+    valid = np.isfinite(x)
     if valid.sum() == 0:
         return encode_png(img)
     guides = [v for v in (lower, upper) if v is not None and np.isfinite(v)]
-    lo = min(float(np.nanmin(x)), *(guides or [float(np.nanmin(x))]))
-    hi = max(float(np.nanmax(x)), *(guides or [float(np.nanmax(x))]))
+    lo = min(float(x[valid].min()), *(guides or [float(x[valid].min())]))
+    hi = max(float(x[valid].max()), *(guides or [float(x[valid].max())]))
     span = (hi - lo) or 1.0
 
     def sx(i: int) -> int:
@@ -108,11 +112,14 @@ def sparkline_png(values, lower: float | None = None,
     for g in (lower, upper):
         if g is not None and np.isfinite(g):
             _draw_hline(img, sy(float(g)), _GUIDE, dash=4)
-    pts = [(sx(i), sy(v)) for i, v in enumerate(x) if not np.isnan(v)]
-    _draw_polyline(img, pts, _SERIES)
+    for run in finite_runs(valid):
+        if len(run) == 1:
+            _draw_square(img, sx(run[0]), sy(x[run[0]]), _SERIES, r=1)
+        else:
+            _draw_polyline(img, [(sx(i), sy(x[i])) for i in run], _SERIES)
     if lower is not None and upper is not None:
         for i, v in enumerate(x):
-            if not np.isnan(v) and (v < lower or v > upper):
+            if valid[i] and (v < lower or v > upper):
                 _draw_square(img, sx(i), sy(v), _MARK)
     return encode_png(img)
 
@@ -129,9 +136,9 @@ def write_charts_png(metrics: pd.DataFrame, out_dir: str,
         if c in key_cols or not pd.api.types.is_numeric_dtype(metrics[c]):
             continue
         x = metrics[c].to_numpy(dtype=np.float64)
-        if np.isnan(x).all():
+        if not np.isfinite(x).any():
             continue
-        lo, hi = criterion_bounds(x[~np.isnan(x)], criterion)
+        lo, hi = criterion_bounds(x[np.isfinite(x)], criterion)
         path = os.path.join(charts_dir, f"{c}.png")
         with open(path, "wb") as fh:
             fh.write(sparkline_png(x, lo, hi))

@@ -24,8 +24,16 @@ from ..functions.formatting import format_number
 from ..functions.outliers import describe_series, drift_flags, outlier_percentage, iqr_outliers, z_score_outliers
 
 
+def _md_cell(v) -> str:
+    """Escape a value for a markdown table cell: a '|' in a partition key
+    (repo='vendor|mirror') would shift every later cell one column right;
+    newlines end the row entirely."""
+    return (str(v).replace("|", "\\|")
+            .replace("\n", " ").replace("\r", " "))
+
+
 def _stats_table(metrics: pd.DataFrame, cols: list[str], criterion: str) -> str:
-    header = "| statistic | " + " | ".join(cols) + " |"
+    header = "| statistic | " + " | ".join(_md_cell(c) for c in cols) + " |"
     sep = "|---" * (len(cols) + 1) + "|"
     records = {c: describe_series(metrics[c].to_numpy(dtype=np.float64)) for c in cols}
     stat_keys = ["n", "mean", "std", "min", "q1", "q3", "max", "range", "iqr"]
@@ -74,7 +82,9 @@ def make_report(
     parts.append("## Contents")
     parts.append("- [Run overview](#run-overview)")
     for fam in families:
-        parts.append(f"- [{fam}](#{fam.replace('_', '-')})")
+        # GitHub slugifies headings to lowercase — '#Fog' would be dead
+        parts.append(f"- [{fam}](#{fam.lower().replace('_', '-')})")
+    parts.append("- [Drift flags](#drift-flags)")
     parts.append("")
 
     parts.append("## Run overview")
@@ -102,13 +112,16 @@ def make_report(
     if len(flags):
         parts.append(f"{format_number(len(flags))} (partition, metric) outliers by {criterion}:")
         parts.append("")
-        parts.append("| " + " | ".join(flags.columns) + " |")
+        parts.append("| " + " | ".join(_md_cell(c) for c in flags.columns) + " |")
         parts.append("|---" * len(flags.columns) + "|")
         for _, row in flags.head(50).iterrows():
             parts.append("| " + " | ".join(
-                format_number(v) if isinstance(v, float) else str(v) for v in row) + " |")
+                format_number(v) if isinstance(v, float) else _md_cell(v)
+                for v in row) + " |")
         if len(flags) > 50:
-            parts.append(f"| … {format_number(len(flags) - 50)} more | | | | | |")
+            # cell count must match the header (len(key_cols) varies)
+            parts.append(f"| … {format_number(len(flags) - 50)} more "
+                         + "| " * (len(flags.columns) - 1) + "|")
     else:
         parts.append("No drift flags.")
     parts.append("")

@@ -70,3 +70,77 @@ def test_svg_charts(tmp_path):
     # degenerate: constant + all-nan series don't crash
     assert "<svg" in sparkline_svg([5.0] * 4, None, None)
     assert "<svg" in sparkline_svg([float("nan")] * 3)
+
+
+def test_sparkline_inf_and_gaps_and_escaping():
+    import numpy as np
+
+    from data_quality_automated_evaluator_ray.pipelines.charts import (
+        sparkline_svg)
+
+    # inf must not blow up the axis (finite points keep their shape) nor
+    # emit 'nan' coordinates
+    svg = sparkline_svg([1.0, 2.0, float("inf"), 3.0], 0.0, 10.0)
+    assert "nan" not in svg
+    # NaN gap breaks the line into two polylines instead of bridging it
+    svg2 = sparkline_svg([1.0, 2.0, float("nan"), 3.0, 4.0])
+    assert svg2.count("<polyline") == 2
+    # single-point series renders a visible marker, not a zero-length line
+    svg3 = sparkline_svg([5.0])
+    assert "<circle" in svg3 and "<polyline" not in svg3
+    # XML-escape the title
+    svg4 = sparkline_svg([1.0, 2.0], title="tokens<128 & p&l")
+    assert "tokens&lt;128 &amp; p&amp;l" in svg4
+    # all-inf behaves like all-NaN: a blank chart, no crash
+    assert "<svg" in sparkline_svg([float("inf"), float("-inf")])
+
+
+def test_sparkline_png_inf_and_single_point():
+    import numpy as np
+
+    from data_quality_automated_evaluator_ray.pipelines.raster import (
+        sparkline_png)
+
+    # previously raised ValueError (int(round(nan)))
+    out = sparkline_png([1.0, float("inf"), 2.0], lower=0.0, upper=5.0)
+    assert out[:8] == b"\x89PNG\r\n\x1a\n"
+    out2 = sparkline_png([7.5])
+    assert out2[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_report_md_escaping_and_toc(tmp_path):
+    import pandas as pd
+
+    from data_quality_automated_evaluator_ray.pipelines.report import (
+        make_report)
+
+    m = pd.DataFrame({
+        "repo": ["vendor|mirror", "r2", "r3", "r4", "r5"],
+        "lang": ["py"] * 5,
+        "Fog_mean": [99.0, 1.1, 0.9, 1.05, 1.0]})
+    md = make_report(m)
+    # pipe in a key cell is escaped, not a phantom column
+    assert "vendor\\|mirror" in md
+    # TOC anchors are lowercase and Drift flags is listed
+    assert "- [Fog](#fog)" in md
+    assert "- [Drift flags](#drift-flags)" in md
+
+
+def test_report_flag_overflow_row_width():
+    import numpy as np
+    import pandas as pd
+
+    from data_quality_automated_evaluator_ray.pipelines.report import (
+        make_report)
+
+    rng = np.random.default_rng(0)
+    n = 300
+    vals = rng.normal(size=n)
+    vals[::4] = 50.0  # ~75 outliers > 50 flags
+    m = pd.DataFrame({"repo": [f"r{i}" for i in range(n)],
+                      "lang": ["py"] * n, "x_mean": vals})
+    md = make_report(m)
+    lines = md.splitlines()
+    hdr = next(l for l in lines if l.startswith("| repo |"))
+    more = next(l for l in lines if "more" in l and l.startswith("|"))
+    assert hdr.count("|") == more.count("|")
