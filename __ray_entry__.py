@@ -54,19 +54,25 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from data_quality_automated_evaluator_ray.pipelines.queries import SQL_QUERIES
+    from data_quality_automated_evaluator_ray.pipelines.queries import (
+        SQL_QUERIES, staleness_ordered_names)
 
-    return {name: fn for name, (fn, _sql) in SQL_QUERIES.items()}
+    # The driver hash-checks only the first 50 entries each round; emit in
+    # stalest-driver-evidence-first order (recomputed from the
+    # CORRECTNESS_r*.json files the driver itself writes) so every entry is
+    # re-proven within 2 rounds without hand-rotating the registry.
+    return {name: SQL_QUERIES[name][0] for name in staleness_ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
     from data_quality_automated_evaluator_ray.pipelines.model_oracle import (
         materialize_model_tables)
     from data_quality_automated_evaluator_ray.pipelines.queries import (
-        SQL_QUERIES, code_corpus_dir)
+        SQL_QUERIES, code_corpus_dir, staleness_ordered_names)
 
     # the code-corpus + model-table oracles read deterministic /tmp parquet:
     # make sure both exist even if the SQL runs before the Ray query does
     code_corpus_dir("sf0.01")
     materialize_model_tables()
-    return {name: sql for name, (_fn, sql) in SQL_QUERIES.items()}
+    # same order as queries() — the driver zips the two dicts positionally
+    return {name: SQL_QUERIES[name][1] for name in staleness_ordered_names()}

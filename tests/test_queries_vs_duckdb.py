@@ -128,3 +128,46 @@ def test_rows_only_queries_run(ray_session):
     assert {"qf_code_corpus", "partition_metrics_code_corpus",
             "skewed_events_by_type", "decontaminate_documents",
             "text_quality_documents", "embedding_neardup"} <= window
+
+
+def test_staleness_ordered_names():
+    """The driver-window rotation is computed, not hand-maintained: keys are
+    ordered by the most recent round whose CORRECTNESS_r*.json recorded
+    hash_match, never-green first, static registry order as tiebreak."""
+    import json
+
+    from data_quality_automated_evaluator_ray.pipelines.queries import (
+        SQL_QUERIES, staleness_ordered_names)
+
+    static = list(SQL_QUERIES)
+
+    # no CORRECTNESS files at all -> static order, fail-soft
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        assert staleness_ordered_names(d) == static
+
+        # synthetic history: entry A green in r1+r2, entry B green only in
+        # r1, entry C never green, plus an obsolete key that must be ignored
+        a, b, c = static[10], static[3], static[20]
+        (lambda p, obj: open(p, "w").write(json.dumps(obj)))(
+            f"{d}/CORRECTNESS_r01.json",
+            {a: {"hash_match": True}, b: {"hash_match": True},
+             "renamed_away_query": {"hash_match": True}})
+        open(f"{d}/CORRECTNESS_r02.json", "w").write(json.dumps(
+            {a: {"hash_match": True}, c: {"hash_match": False, "err": "x"}}))
+        got = staleness_ordered_names(d)
+        assert sorted(got) == sorted(static)  # always a permutation
+        # never-green block keeps static relative order and precedes B < A
+        assert got.index(c) < got.index(b) < got.index(a)
+        assert got[-1] == a  # only r2-green entry sorts last
+        never_green = [k for k in static if k not in (a, b)]
+        assert got[:len(never_green)] == never_green
+
+        # unreadable file fails soft (ordering still computed from the rest)
+        open(f"{d}/CORRECTNESS_r03.json", "w").write("{not json")
+        assert staleness_ordered_names(d) == got
+
+    # the real repo root: current ordering must agree between queries() and
+    # oracle_sql() (the driver zips them positionally)
+    import __ray_entry__ as e
+    assert list(e.queries()) == staleness_ordered_names()
