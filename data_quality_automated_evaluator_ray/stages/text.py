@@ -690,3 +690,249 @@ def chunk_documents(ds: "ray.data.Dataset", *, text_col: str = "text",
 
     return ds.select_columns([id_col, text_col]) \
         .map_batches(_chunks, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Web-scale quality-filter rule sets: Gopher (Rae et al. 2021, §A1.1) and
+# C4 (Raffel et al. 2020, §2.2) — the two canonical published heuristic
+# filters for LLM pretraining corpora, as first-class vectorized operators.
+# Both are pure per-document batch transforms (no shuffle, no state): at
+# 100 TB they run inside the same fused map_batches pass as every other
+# per-row signal and only the narrow metric columns leave the stage.
+# ---------------------------------------------------------------------------
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+_GOPHER_STOP_PATTERN = r"\b(?:" + "|".join(GOPHER_STOPWORDS) + r")\b"
+
+
+def _split_with_parents(col: pa.Array, pattern: str, *, regex: bool):
+    """split → (list array, flat values, int64 parent row index per value).
+
+    Null rows contribute no flat values (their parent index never appears);
+    callers recover per-row counts with ``pc.list_value_length`` (null for
+    null rows) or ``np.bincount(parents, minlength=n)``."""
+    s = pc.cast(col, pa.string())
+    s = s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
+    lst = (pc.split_pattern_regex(s, pattern=pattern) if regex
+           else pc.split_pattern(s, pattern))
+    lst = lst.combine_chunks() if isinstance(lst, pa.ChunkedArray) else lst
+    flat = pc.list_flatten(lst)
+    par = pc.list_parent_indices(lst).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    return lst, flat, par
+
+
+def gopher_rules(batch: pa.Table, text_col: str = "text", *,
+                 min_words: int = 50, max_words: int = 100_000,
+                 min_mean_word_len: float = 3.0,
+                 max_mean_word_len: float = 10.0,
+                 max_symbol_word_ratio: float = 0.1,
+                 max_bullet_line_frac: float = 0.9,
+                 max_ellipsis_line_frac: float = 0.3,
+                 min_alpha_word_frac: float = 0.8,
+                 min_stopwords: int = 2,
+                 max_dup_line_frac: float = 0.3,
+                 max_dup_line_char_frac: float = 0.2,
+                 max_top2gram_char_frac: float = 0.2) -> pa.Table:
+    """Gopher quality signals + keep decision per document (defaults are the
+    published thresholds). Appended columns:
+
+    word_count, mean_word_len, symbol_word_ratio ('#' + non-overlapping
+    '...' + '…' per word), bullet_line_frac (lines starting '- '/'* '/'• '),
+    ellipsis_line_frac (lines ending '...' or '…'), alpha_word_frac (words
+    containing [A-Za-z]), stopword_count (the 8 Gopher stopwords),
+    dup_line_frac (line occurrences past each value's first / lines),
+    dup_line_char_frac (chars in those repeat occurrences / chars in all
+    lines), top2gram_char_frac (occurrences×chars of the most frequent word
+    bigram / total chars; ties break to the lexicographically smallest
+    bigram), gopher_keep (all thresholds pass; false for null text, whose
+    metric columns are null).
+
+    Words are ASCII-whitespace tokens (the exact class the SQL oracles use,
+    see ascii_tokens); every signal is computed with Arrow kernels +
+    np.bincount over flattened (value, parent-row) arrays — no Python loop
+    over rows, lines, or tokens. Duplicate-line detection groups Arrow
+    dictionary CODES, so lines differing only after an embedded NUL stay
+    distinct (the pandas all-string groupby would conflate them)."""
+    n = batch.num_rows
+    col = batch.column(text_col)
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    null_mask = pc.is_null(col).to_numpy(zero_copy_only=False)
+    null_mask = np.asarray(null_mask, dtype=bool)
+
+    # --- word-level signals ---
+    _, wflat, wpar = _split_with_parents(col, "[ \t\n\r]+", regex=True)
+    ne = np.asarray(pc.not_equal(wflat, "").to_numpy(zero_copy_only=False),
+                    dtype=bool)
+    wpar_ne = wpar[ne]
+    wc = np.bincount(wpar_ne, minlength=n).astype(np.int64)
+    wc_safe = np.maximum(wc, 1).astype(np.float64)
+    wlen = pc.utf8_length(wflat).to_numpy(zero_copy_only=False) \
+        .astype(np.float64)
+    mean_word_len = np.bincount(wpar_ne, weights=wlen[ne], minlength=n) \
+        / wc_safe
+    alpha_w = np.asarray(
+        pc.match_substring_regex(wflat, "[A-Za-z]")
+        .to_numpy(zero_copy_only=False), dtype=np.float64)
+    alpha_word_frac = np.bincount(wpar_ne, weights=alpha_w[ne],
+                                  minlength=n) / wc_safe
+
+    def _cnt(arr) -> np.ndarray:
+        return pc.fill_null(arr, 0).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+
+    symbols = (_cnt(pc.count_substring(col, "#"))
+               + _cnt(pc.count_substring(col, "..."))
+               + _cnt(pc.count_substring(col, "…")))
+    symbol_word_ratio = symbols / wc_safe
+    stopword_count = _cnt(
+        pc.count_substring_regex(col, _GOPHER_STOP_PATTERN)).astype(np.int64)
+
+    # --- line-level signals ---
+    lst_l, lflat, lpar = _split_with_parents(col, "\n", regex=False)
+    nl = pc.fill_null(pc.list_value_length(lst_l), 0) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    nl_safe = np.maximum(nl, 1).astype(np.float64)
+    bullets = np.asarray(
+        pc.match_substring_regex(lflat, "^[-*•] ")
+        .to_numpy(zero_copy_only=False), dtype=np.float64)
+    ells = np.asarray(
+        pc.match_substring_regex(lflat, r"(?:\.\.\.|…)$")
+        .to_numpy(zero_copy_only=False), dtype=np.float64)
+    bullet_line_frac = np.bincount(lpar, weights=bullets, minlength=n) \
+        / nl_safe
+    ellipsis_line_frac = np.bincount(lpar, weights=ells, minlength=n) \
+        / nl_safe
+
+    lenc = lflat.dictionary_encode()
+    lcodes = lenc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((lcodes, lpar))
+    lp_s, cd_s = lpar[order], lcodes[order]
+    dup_s = np.zeros(len(order), dtype=bool)
+    if len(order) > 1:
+        dup_s[1:] = (lp_s[1:] == lp_s[:-1]) & (cd_s[1:] == cd_s[:-1])
+    llen = pc.utf8_length(lflat).to_numpy(zero_copy_only=False) \
+        .astype(np.float64)
+    dup_line_frac = np.bincount(lp_s[dup_s], minlength=n) / nl_safe
+    lchars = np.bincount(lpar, weights=llen, minlength=n)
+    dup_line_char_frac = np.bincount(lp_s[dup_s], weights=llen[order][dup_s],
+                                     minlength=n) / np.maximum(lchars, 1.0)
+
+    # --- most frequent word bigram (char fraction of the whole text) ---
+    top2 = np.zeros(n, dtype=np.float64)
+    wenc = wflat.dictionary_encode()
+    wcodes = wenc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    cw_ne = wcodes[ne]
+    if cw_ne.size > 1:
+        adj = wpar_ne[1:] == wpar_ne[:-1]
+        bdoc, b1, b2 = wpar_ne[:-1][adj], cw_ne[:-1][adj], cw_ne[1:][adj]
+        if bdoc.size:
+            o2 = np.lexsort((b2, b1, bdoc))
+            bd, x1, x2 = bdoc[o2], b1[o2], b2[o2]
+            starts = np.flatnonzero(
+                np.r_[True, (bd[1:] != bd[:-1]) | (x1[1:] != x1[:-1])
+                      | (x2[1:] != x2[:-1])])
+            cnts = np.diff(np.r_[starts, len(bd)])
+            dw = np.asarray(wenc.dictionary.to_pylist(), dtype=object)
+            pair_str = dw[x1[starts]] + " " + dw[x2[starts]]
+            t = pd.DataFrame({"d": bd[starts], "c": cnts, "s": pair_str})
+            # ties: highest count, then lexicographically smallest bigram
+            # (python/pandas str order == DuckDB binary UTF-8 order)
+            t = t.sort_values(["d", "c", "s"],
+                              ascending=[True, False, True]) \
+                .drop_duplicates("d")
+            top2[t["d"].to_numpy()] = (
+                t["c"].to_numpy(dtype=np.float64)
+                * t["s"].str.len().to_numpy(dtype=np.float64))
+    tchars = _cnt(pc.utf8_length(col))
+    top2gram_char_frac = top2 / np.maximum(tchars, 1.0)
+
+    gopher_keep = (
+        (~null_mask)
+        & (wc >= min_words) & (wc <= max_words)
+        & (mean_word_len >= min_mean_word_len)
+        & (mean_word_len <= max_mean_word_len)
+        & (symbol_word_ratio <= max_symbol_word_ratio)
+        & (bullet_line_frac <= max_bullet_line_frac)
+        & (ellipsis_line_frac <= max_ellipsis_line_frac)
+        & (alpha_word_frac >= min_alpha_word_frac)
+        & (stopword_count >= min_stopwords)
+        & (dup_line_frac <= max_dup_line_frac)
+        & (dup_line_char_frac <= max_dup_line_char_frac)
+        & (top2gram_char_frac <= max_top2gram_char_frac))
+
+    def _m(vals, typ):
+        return pa.array(vals, type=typ, mask=null_mask)
+
+    return (batch
+            .append_column("word_count", _m(wc, pa.int64()))
+            .append_column("mean_word_len", _m(mean_word_len, pa.float64()))
+            .append_column("symbol_word_ratio",
+                           _m(symbol_word_ratio, pa.float64()))
+            .append_column("bullet_line_frac",
+                           _m(bullet_line_frac, pa.float64()))
+            .append_column("ellipsis_line_frac",
+                           _m(ellipsis_line_frac, pa.float64()))
+            .append_column("alpha_word_frac",
+                           _m(alpha_word_frac, pa.float64()))
+            .append_column("stopword_count", _m(stopword_count, pa.int64()))
+            .append_column("dup_line_frac", _m(dup_line_frac, pa.float64()))
+            .append_column("dup_line_char_frac",
+                           _m(dup_line_char_frac, pa.float64()))
+            .append_column("top2gram_char_frac",
+                           _m(top2gram_char_frac, pa.float64()))
+            .append_column("gopher_keep", pa.array(gopher_keep, pa.bool_())))
+
+
+def c4_clean(batch: pa.Table, text_col: str = "text", *,
+             min_words_per_line: int = 5,
+             min_lines_kept: int = 3) -> pa.Table:
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2). A line is KEPT iff
+    it ends in terminal punctuation (. ! ? \"), has ≥ min_words_per_line
+    ASCII-whitespace words, and does not contain \"javascript\" (any case).
+    The document is KEPT iff ≥ min_lines_kept lines survive AND the raw
+    text contains neither \"lorem ipsum\" (any case) nor '{'.
+
+    Appends: text_clean (kept lines joined by newline, '' when none, null
+    for null input), n_lines_kept (int64, 0 for null input), c4_kept (bool,
+    false for null input). Fully vectorized: line predicates are Arrow
+    kernels over the flattened lines; the cleaned text is rebuilt with one
+    ListArray + binary_join, never a per-document Python join."""
+    n = batch.num_rows
+    col = batch.column(text_col)
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    null_mask = np.asarray(pc.is_null(col).to_numpy(zero_copy_only=False),
+                           dtype=bool)
+
+    _, lflat, lpar = _split_with_parents(col, "\n", regex=False)
+    terminal = np.asarray(
+        pc.match_substring_regex(lflat, '[.!?"]$')
+        .to_numpy(zero_copy_only=False), dtype=bool)
+    js = np.asarray(
+        pc.match_substring(lflat, "javascript", ignore_case=True)
+        .to_numpy(zero_copy_only=False), dtype=bool)
+    _, w2flat, w2par = _split_with_parents(lflat, "[ \t\n\r]+", regex=True)
+    ne2 = np.asarray(pc.not_equal(w2flat, "")
+                     .to_numpy(zero_copy_only=False), dtype=bool)
+    line_wc = np.bincount(w2par[ne2], minlength=len(lflat))
+    keep_line = terminal & (line_wc >= min_words_per_line) & ~js
+
+    n_kept = np.bincount(lpar[keep_line], minlength=n).astype(np.int64)
+    kept_vals = pc.filter(lflat, pa.array(keep_line))
+    offsets = np.searchsorted(lpar[keep_line], np.arange(n + 1)) \
+        .astype(np.int32)
+    joined = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), kept_vals),
+        "\n")
+    text_clean = pc.if_else(pa.array(null_mask), pa.nulls(n, pa.string()),
+                            joined)
+
+    def _has(sub: str, **kw) -> np.ndarray:
+        got = pc.fill_null(pc.match_substring(col, sub, **kw), False)
+        return np.asarray(got.to_numpy(zero_copy_only=False), dtype=bool)
+
+    c4_kept = ((~null_mask) & (n_kept >= min_lines_kept)
+               & ~_has("lorem ipsum", ignore_case=True) & ~_has("{"))
+    return (batch
+            .append_column("text_clean", text_clean)
+            .append_column("n_lines_kept", pa.array(n_kept, pa.int64()))
+            .append_column("c4_kept", pa.array(c4_kept, pa.bool_())))

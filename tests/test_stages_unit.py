@@ -581,3 +581,94 @@ def test_two_level_scan_derived_schemaless_empty(ray_session):
         "x": pd.Series(dtype=str)}))
     z = similarity.standardize_embeddings(emb.drop_columns(["x"]))
     assert z.count() == 0 and "z_emb" in z.schema().names
+
+
+# ---------------------------------------------------------------------------
+# Gopher / C4 rule sets (stages/text.py) — line-level paths the synthetic
+# documents table never exercises (it is single-line word soup)
+# ---------------------------------------------------------------------------
+def _gopher(texts, **kw):
+    from data_quality_automated_evaluator_ray.stages.text import gopher_rules
+
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    return gopher_rules(t, **kw).to_pandas()
+
+
+def test_gopher_line_signals():
+    df = _gopher([
+        # 3 lines, one exact duplicate pair: dup_line_frac = 1/3; chars in
+        # the repeat occurrence = 5 of 5+5+7=17
+        "aaa b\naaa b\nccc dd!",
+        # bullets: 2 of 4 lines start '- ' / '* '; 1 of 4 ends '...'
+        "- one two\n* three four\nplain line\ntrails off...",
+    ])
+    assert df.loc[0, "dup_line_frac"] == pytest.approx(1 / 3)
+    assert df.loc[0, "dup_line_char_frac"] == pytest.approx(5 / 17)
+    assert df.loc[1, "bullet_line_frac"] == pytest.approx(0.5)
+    assert df.loc[1, "ellipsis_line_frac"] == pytest.approx(0.25)
+
+
+def test_gopher_nul_lines_stay_distinct():
+    # pandas' all-string groupby would conflate these two lines; the
+    # dictionary-code path must not
+    df = _gopher(["a\x00b\na\x00c", "a\x00b\na\x00b"])
+    assert df.loc[0, "dup_line_frac"] == 0.0
+    assert df.loc[1, "dup_line_frac"] == pytest.approx(0.5)
+
+
+def test_gopher_top_bigram_tiebreak_and_symbols():
+    df = _gopher([
+        # "b c" and "c b" both occur twice → lexicographically smaller "b c"
+        # wins: 2 occurrences × 3 chars / 11 chars
+        "b c b c b x",
+        # symbols: two '#' + one non-overlapping '...' in '....' = 3 of 2
+        # words; stopwords counted case-sensitively
+        "## x....\nthe the be",
+    ])
+    assert df.loc[0, "top2gram_char_frac"] == pytest.approx(2 * 3 / 11)
+    assert df.loc[1, "symbol_word_ratio"] == pytest.approx(3 / 5)
+    assert df.loc[1, "stopword_count"] == 3
+
+
+def test_gopher_null_and_empty():
+    df = _gopher([None, "", "the quick brown fox of and that have with go"],
+                 min_words=5, min_stopwords=2)
+    assert df.loc[0, "word_count"] is None or np.isnan(df.loc[0, "word_count"])
+    assert not df.loc[0, "gopher_keep"] and not df.loc[1, "gopher_keep"]
+    assert df.loc[1, "word_count"] == 0
+    assert df.loc[2, "gopher_keep"]
+
+
+def _c4(texts, **kw):
+    from data_quality_automated_evaluator_ray.stages.text import c4_clean
+
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    return c4_clean(t, **kw).to_pandas()
+
+
+def test_c4_line_rules_and_join_order():
+    df = _c4([
+        'First good line here.\nno punct line\ntiny.\n'
+        'Second good line stays!\nhas JavaScript inside, dropped.',
+        None,
+        "",
+    ], min_words_per_line=3, min_lines_kept=2)
+    assert df.loc[0, "text_clean"] == \
+        "First good line here.\nSecond good line stays!"
+    assert df.loc[0, "n_lines_kept"] == 2 and df.loc[0, "c4_kept"]
+    assert df.loc[1, "text_clean"] is None and not df.loc[1, "c4_kept"]
+    assert df.loc[1, "n_lines_kept"] == 0
+    assert df.loc[2, "text_clean"] == "" and not df.loc[2, "c4_kept"]
+
+
+def test_c4_page_rules():
+    good = "One fine line here.\nAnother fine line there."
+    df = _c4([good,
+              good + "\nLorem Ipsum filler text.",
+              good + "\nint f() {",
+              'Quoted line ends well "\nAnd a question stays?'],
+             min_words_per_line=3, min_lines_kept=2)
+    assert df.loc[0, "c4_kept"]
+    assert not df.loc[1, "c4_kept"]  # lorem ipsum, any case
+    assert not df.loc[2, "c4_kept"]  # curly brace
+    assert df.loc[3, "c4_kept"] and df.loc[3, "n_lines_kept"] == 2
