@@ -721,6 +721,36 @@ def _split_with_parents(col: pa.Array, pattern: str, *, regex: bool):
     return lst, flat, par
 
 
+def _dup_seg_fracs(lst: pa.Array, flat: pa.Array, par: np.ndarray,
+                   n: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-row (dup_frac, dup_char_frac, count_safe) over split segments
+    (lines or paragraphs): occurrences past each distinct value's first,
+    as a fraction of segments / of segment chars. Groups Arrow dictionary
+    CODES, so segments differing only after an embedded NUL stay distinct
+    (the pandas all-string groupby would conflate them)."""
+    nseg = pc.fill_null(pc.list_value_length(lst), 0) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    nseg_safe = np.maximum(nseg, 1).astype(np.float64)
+    enc = flat.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((codes, par))
+    p_s, c_s = par[order], codes[order]
+    dup_s = np.zeros(len(order), dtype=bool)
+    if len(order) > 1:
+        dup_s[1:] = (p_s[1:] == p_s[:-1]) & (c_s[1:] == c_s[:-1])
+    slen = pc.utf8_length(flat).to_numpy(zero_copy_only=False) \
+        .astype(np.float64)
+    dup_frac = np.bincount(p_s[dup_s], minlength=n) / nseg_safe
+    schars = np.bincount(par, weights=slen, minlength=n)
+    dup_char_frac = np.bincount(p_s[dup_s], weights=slen[order][dup_s],
+                                minlength=n) / np.maximum(schars, 1.0)
+    return dup_frac, dup_char_frac, nseg_safe
+
+
+# duplicated-n-gram coverage thresholds for n = 5..10 (Rae et al. Table A1)
+GOPHER_DUP_NGRAM_DEFAULTS = (0.15, 0.14, 0.13, 0.12, 0.11, 0.10)
+
+
 def gopher_rules(batch: pa.Table, text_col: str = "text", *,
                  min_words: int = 50, max_words: int = 100_000,
                  min_mean_word_len: float = 3.0,
@@ -732,27 +762,39 @@ def gopher_rules(batch: pa.Table, text_col: str = "text", *,
                  min_stopwords: int = 2,
                  max_dup_line_frac: float = 0.3,
                  max_dup_line_char_frac: float = 0.2,
-                 max_top2gram_char_frac: float = 0.2) -> pa.Table:
-    """Gopher quality signals + keep decision per document (defaults are the
-    published thresholds). Appended columns:
+                 max_dup_para_frac: float = 0.3,
+                 max_dup_para_char_frac: float = 0.2,
+                 max_top2gram_char_frac: float = 0.2,
+                 max_top3gram_char_frac: float = 0.18,
+                 max_top4gram_char_frac: float = 0.16,
+                 max_dup_ngram_char_frac: tuple = GOPHER_DUP_NGRAM_DEFAULTS,
+                 ) -> pa.Table:
+    """Gopher quality signals + keep decision per document — the COMPLETE
+    published rule set (Rae et al. 2021 §A1.1 + Table A1 repetition
+    signals; defaults are the published thresholds). Appended columns:
 
     word_count, mean_word_len, symbol_word_ratio ('#' + non-overlapping
     '...' + '…' per word), bullet_line_frac (lines starting '- '/'* '/'• '),
     ellipsis_line_frac (lines ending '...' or '…'), alpha_word_frac (words
     containing [A-Za-z]), stopword_count (the 8 Gopher stopwords),
-    dup_line_frac (line occurrences past each value's first / lines),
-    dup_line_char_frac (chars in those repeat occurrences / chars in all
-    lines), top2gram_char_frac (occurrences×chars of the most frequent word
-    bigram / total chars; ties break to the lexicographically smallest
-    bigram), gopher_keep (all thresholds pass; false for null text, whose
-    metric columns are null).
+    dup_line_frac / dup_line_char_frac and dup_para_frac /
+    dup_para_char_frac (occurrences past each distinct line/paragraph's
+    first, as a fraction of segments / segment chars; paragraphs split on
+    blank lines), top{2,3,4}gram_char_frac (occurrences × chars of the most
+    frequent word n-gram / total chars; count ties break to the LONGEST
+    n-gram, which makes the value deterministic without materializing
+    n-gram strings), dup{5..10}gram_char_frac (chars of words covered by
+    any n-gram occurring more than once / total chars — overlapping
+    coverage counted once), gopher_keep (all thresholds pass; false for
+    null text, whose metric columns are null).
 
     Words are ASCII-whitespace tokens (the exact class the SQL oracles use,
     see ascii_tokens); every signal is computed with Arrow kernels +
     np.bincount over flattened (value, parent-row) arrays — no Python loop
-    over rows, lines, or tokens. Duplicate-line detection groups Arrow
-    dictionary CODES, so lines differing only after an embedded NUL stay
-    distinct (the pandas all-string groupby would conflate them)."""
+    over rows, lines, or tokens. Exact n-gram identity comes from iterative
+    pd.factorize refinement over dictionary codes (g_n = factorize(g_{n-1}
+    ∥ next code) — one hash pass per n, no string concatenation; products
+    stay < W·C ≪ 2^63 for any realistic batch)."""
     n = batch.num_rows
     col = batch.column(text_col)
     col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
@@ -787,11 +829,10 @@ def gopher_rules(batch: pa.Table, text_col: str = "text", *,
     stopword_count = _cnt(
         pc.count_substring_regex(col, _GOPHER_STOP_PATTERN)).astype(np.int64)
 
-    # --- line-level signals ---
+    # --- line- and paragraph-level signals ---
     lst_l, lflat, lpar = _split_with_parents(col, "\n", regex=False)
-    nl = pc.fill_null(pc.list_value_length(lst_l), 0) \
-        .to_numpy(zero_copy_only=False).astype(np.int64)
-    nl_safe = np.maximum(nl, 1).astype(np.float64)
+    dup_line_frac, dup_line_char_frac, nl_safe = \
+        _dup_seg_fracs(lst_l, lflat, lpar, n)
     bullets = np.asarray(
         pc.match_substring_regex(lflat, "^[-*•] ")
         .to_numpy(zero_copy_only=False), dtype=np.float64)
@@ -802,50 +843,63 @@ def gopher_rules(batch: pa.Table, text_col: str = "text", *,
         / nl_safe
     ellipsis_line_frac = np.bincount(lpar, weights=ells, minlength=n) \
         / nl_safe
+    lst_p, pflat, ppar = _split_with_parents(col, "\n\n", regex=False)
+    dup_para_frac, dup_para_char_frac, _ = \
+        _dup_seg_fracs(lst_p, pflat, ppar, n)
 
-    lenc = lflat.dictionary_encode()
-    lcodes = lenc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.lexsort((lcodes, lpar))
-    lp_s, cd_s = lpar[order], lcodes[order]
-    dup_s = np.zeros(len(order), dtype=bool)
-    if len(order) > 1:
-        dup_s[1:] = (lp_s[1:] == lp_s[:-1]) & (cd_s[1:] == cd_s[:-1])
-    llen = pc.utf8_length(lflat).to_numpy(zero_copy_only=False) \
-        .astype(np.float64)
-    dup_line_frac = np.bincount(lp_s[dup_s], minlength=n) / nl_safe
-    lchars = np.bincount(lpar, weights=llen, minlength=n)
-    dup_line_char_frac = np.bincount(lp_s[dup_s], weights=llen[order][dup_s],
-                                     minlength=n) / np.maximum(lchars, 1.0)
-
-    # --- most frequent word bigram (char fraction of the whole text) ---
-    top2 = np.zeros(n, dtype=np.float64)
-    wenc = wflat.dictionary_encode()
-    wcodes = wenc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    cw_ne = wcodes[ne]
-    if cw_ne.size > 1:
-        adj = wpar_ne[1:] == wpar_ne[:-1]
-        bdoc, b1, b2 = wpar_ne[:-1][adj], cw_ne[:-1][adj], cw_ne[1:][adj]
-        if bdoc.size:
-            o2 = np.lexsort((b2, b1, bdoc))
-            bd, x1, x2 = bdoc[o2], b1[o2], b2[o2]
-            starts = np.flatnonzero(
-                np.r_[True, (bd[1:] != bd[:-1]) | (x1[1:] != x1[:-1])
-                      | (x2[1:] != x2[:-1])])
-            cnts = np.diff(np.r_[starts, len(bd)])
-            dw = np.asarray(wenc.dictionary.to_pylist(), dtype=object)
-            pair_str = dw[x1[starts]] + " " + dw[x2[starts]]
-            t = pd.DataFrame({"d": bd[starts], "c": cnts, "s": pair_str})
-            # ties: highest count, then lexicographically smallest bigram
-            # (python/pandas str order == DuckDB binary UTF-8 order)
-            t = t.sort_values(["d", "c", "s"],
-                              ascending=[True, False, True]) \
-                .drop_duplicates("d")
-            top2[t["d"].to_numpy()] = (
-                t["c"].to_numpy(dtype=np.float64)
-                * t["s"].str.len().to_numpy(dtype=np.float64))
+    # --- n-gram repetition signals (Rae et al. Table A1): most-frequent-
+    # n-gram char fraction for n=2..4, duplicated-n-gram word-coverage
+    # char fraction for n=5..10 ---
     tchars = _cnt(pc.utf8_length(col))
-    top2gram_char_frac = top2 / np.maximum(tchars, 1.0)
+    tchars_safe = np.maximum(tchars, 1.0)
+    wenc = wflat.dictionary_encode()
+    cw = wenc.indices.to_numpy(zero_copy_only=False).astype(np.int64)[ne]
+    dpar = wpar_ne
+    wl = wlen[ne]
+    W = cw.size
+    C = int(cw.max()) + 1 if W else 1
+    cs = np.r_[0.0, np.cumsum(wl)]  # prefix char sums for span lengths
+    top_frac = {m: np.zeros(n, dtype=np.float64) for m in (2, 3, 4)}
+    dup_frac = {m: np.zeros(n, dtype=np.float64) for m in range(5, 11)}
+    # g[i] = exact group id of the m-gram starting at word i: iterative
+    # factorize refinement (id of the (m-1)-gram prefix paired with the
+    # next word's dictionary code) — ids and codes are both < W, so the
+    # packed key g*C+code fits int64 for any batch under ~3e9 words
+    g = pd.factorize(dpar * C + cw)[0] if W else np.empty(0, np.int64)
+    for m in range(2, 11):
+        L = W - m + 1
+        if L <= 0:
+            break
+        g = pd.factorize(g[:L] * C + cw[m - 1:])[0]
+        valid = dpar[m - 1:] == dpar[:L]  # whole span in one document
+        counts = np.bincount(g[valid], minlength=int(g.max()) + 1)
+        if m <= 4:
+            inst = np.flatnonzero(valid)
+            cnt_i = counts[g[inst]].astype(np.float64)
+            span_i = cs[inst + m] - cs[inst] + (m - 1)  # joined-str chars
+            # per doc: max count, ties to the longest n-gram — (count,
+            # span) fully determines count*span, no strings needed
+            o = np.lexsort((-span_i, -cnt_i, dpar[inst]))
+            d_o = dpar[inst][o]
+            first = np.r_[True, d_o[1:] != d_o[:-1]] if d_o.size \
+                else np.empty(0, bool)
+            top_frac[m][d_o[first]] = cnt_i[o][first] * span_i[o][first]
+        else:
+            dup_starts = np.flatnonzero(valid & (counts[g] >= 2))
+            inc = np.bincount(dup_starts, minlength=W + 1)[:W]
+            dec = np.bincount(dup_starts + m, minlength=W + 1)[:W]
+            cov = np.cumsum(inc - dec) > 0
+            # bincount returns int64 when the weighted input is empty
+            dup_frac[m] = np.bincount(dpar[cov], weights=wl[cov],
+                                      minlength=n).astype(np.float64)
+    for m in (2, 3, 4):
+        top_frac[m] /= tchars_safe
+    for m in range(5, 11):
+        dup_frac[m] /= tchars_safe
 
+    dup_ngram_ok = np.ones(n, dtype=bool)
+    for m, thr in zip(range(5, 11), max_dup_ngram_char_frac):
+        dup_ngram_ok &= dup_frac[m] <= thr
     gopher_keep = (
         (~null_mask)
         & (wc >= min_words) & (wc <= max_words)
@@ -858,29 +912,41 @@ def gopher_rules(batch: pa.Table, text_col: str = "text", *,
         & (stopword_count >= min_stopwords)
         & (dup_line_frac <= max_dup_line_frac)
         & (dup_line_char_frac <= max_dup_line_char_frac)
-        & (top2gram_char_frac <= max_top2gram_char_frac))
+        & (dup_para_frac <= max_dup_para_frac)
+        & (dup_para_char_frac <= max_dup_para_char_frac)
+        & (top_frac[2] <= max_top2gram_char_frac)
+        & (top_frac[3] <= max_top3gram_char_frac)
+        & (top_frac[4] <= max_top4gram_char_frac)
+        & dup_ngram_ok)
 
     def _m(vals, typ):
         return pa.array(vals, type=typ, mask=null_mask)
 
-    return (batch
-            .append_column("word_count", _m(wc, pa.int64()))
-            .append_column("mean_word_len", _m(mean_word_len, pa.float64()))
-            .append_column("symbol_word_ratio",
-                           _m(symbol_word_ratio, pa.float64()))
-            .append_column("bullet_line_frac",
-                           _m(bullet_line_frac, pa.float64()))
-            .append_column("ellipsis_line_frac",
-                           _m(ellipsis_line_frac, pa.float64()))
-            .append_column("alpha_word_frac",
-                           _m(alpha_word_frac, pa.float64()))
-            .append_column("stopword_count", _m(stopword_count, pa.int64()))
-            .append_column("dup_line_frac", _m(dup_line_frac, pa.float64()))
-            .append_column("dup_line_char_frac",
-                           _m(dup_line_char_frac, pa.float64()))
-            .append_column("top2gram_char_frac",
-                           _m(top2gram_char_frac, pa.float64()))
-            .append_column("gopher_keep", pa.array(gopher_keep, pa.bool_())))
+    out = (batch
+           .append_column("word_count", _m(wc, pa.int64()))
+           .append_column("mean_word_len", _m(mean_word_len, pa.float64()))
+           .append_column("symbol_word_ratio",
+                          _m(symbol_word_ratio, pa.float64()))
+           .append_column("bullet_line_frac",
+                          _m(bullet_line_frac, pa.float64()))
+           .append_column("ellipsis_line_frac",
+                          _m(ellipsis_line_frac, pa.float64()))
+           .append_column("alpha_word_frac",
+                          _m(alpha_word_frac, pa.float64()))
+           .append_column("stopword_count", _m(stopword_count, pa.int64()))
+           .append_column("dup_line_frac", _m(dup_line_frac, pa.float64()))
+           .append_column("dup_line_char_frac",
+                          _m(dup_line_char_frac, pa.float64()))
+           .append_column("dup_para_frac", _m(dup_para_frac, pa.float64()))
+           .append_column("dup_para_char_frac",
+                          _m(dup_para_char_frac, pa.float64())))
+    for m in (2, 3, 4):
+        out = out.append_column(f"top{m}gram_char_frac",
+                                _m(top_frac[m], pa.float64()))
+    for m in range(5, 11):
+        out = out.append_column(f"dup{m}gram_char_frac",
+                                _m(dup_frac[m], pa.float64()))
+    return out.append_column("gopher_keep", pa.array(gopher_keep, pa.bool_()))
 
 
 def c4_clean(batch: pa.Table, text_col: str = "text", *,

@@ -618,8 +618,8 @@ def test_gopher_nul_lines_stay_distinct():
 
 def test_gopher_top_bigram_tiebreak_and_symbols():
     df = _gopher([
-        # "b c" and "c b" both occur twice → lexicographically smaller "b c"
-        # wins: 2 occurrences × 3 chars / 11 chars
+        # "b c" and "c b" both occur twice; equal length so the count-tie
+        # value is identical either way: 2 occurrences × 3 chars / 11 chars
         "b c b c b x",
         # symbols: two '#' + one non-overlapping '...' in '....' = 3 of 2
         # words; stopwords counted case-sensitively
@@ -631,8 +631,11 @@ def test_gopher_top_bigram_tiebreak_and_symbols():
 
 
 def test_gopher_null_and_empty():
+    # short count-1 docs: the most-frequent n-gram is the LONGEST one, so
+    # top-n fracs are large — relax them; this test is about null semantics
     df = _gopher([None, "", "the quick brown fox of and that have with go"],
-                 min_words=5, min_stopwords=2)
+                 min_words=5, min_stopwords=2, max_top2gram_char_frac=1.0,
+                 max_top3gram_char_frac=1.0, max_top4gram_char_frac=1.0)
     assert df.loc[0, "word_count"] is None or np.isnan(df.loc[0, "word_count"])
     assert not df.loc[0, "gopher_keep"] and not df.loc[1, "gopher_keep"]
     assert df.loc[1, "word_count"] == 0
@@ -672,3 +675,49 @@ def test_c4_page_rules():
     assert not df.loc[1, "c4_kept"]  # lorem ipsum, any case
     assert not df.loc[2, "c4_kept"]  # curly brace
     assert df.loc[3, "c4_kept"] and df.loc[3, "n_lines_kept"] == 2
+
+
+def test_gopher_paragraph_signals():
+    # paragraphs split on blank lines: 3 paragraphs, one duplicate pair
+    # ("p one", 5 chars each); para chars = 5+5+7 = 17
+    df = _gopher(["p one\n\np one\n\np two !"])
+    assert df.loc[0, "dup_para_frac"] == pytest.approx(1 / 3)
+    assert df.loc[0, "dup_para_char_frac"] == pytest.approx(5 / 17)
+    # single-paragraph doc: no duplicates possible
+    df2 = _gopher(["just one paragraph here"])
+    assert df2.loc[0, "dup_para_frac"] == 0.0
+
+
+def test_gopher_top_ngram_3_and_4():
+    # "a b c" occurs twice (count 2 × 5 chars); every other trigram once —
+    # the longest single-occurrence trigram is "c a b" (5) / "b c dd" (6)?
+    # text: a b c a b c dd → trigrams: (a b c)x2, (b c a), (c a b),
+    # (b c dd); top3 = 2*5=10 / 14 chars. 4-grams all distinct → longest
+    # is "b c a b"(7) or "a b c dd"(8) or "c a b c"(7) → 8/14.
+    df = _gopher(["a b c a b c dd"])
+    assert df.loc[0, "top3gram_char_frac"] == pytest.approx(10 / 14)
+    assert df.loc[0, "top4gram_char_frac"] == pytest.approx(8 / 14)
+
+
+def test_gopher_dup_ngram_coverage_overlap_once():
+    # seven identical words: every 5-gram "x x x x x" occurs 3 times →
+    # dup starts at 0,1,2 cover ALL 7 words exactly once → 7 chars of 13
+    df = _gopher(["x x x x x x x"])
+    assert df.loc[0, "dup5gram_char_frac"] == pytest.approx(7 / 13)
+    # 6-grams occur twice → cover all 7; 7-gram occurs once → 0
+    assert df.loc[0, "dup6gram_char_frac"] == pytest.approx(7 / 13)
+    assert df.loc[0, "dup7gram_char_frac"] == 0.0
+    # disjoint repeat: "a b c d e" twice with a separator word — dup
+    # 5-grams cover the 10 phrase words (10 chars) of 25 total chars
+    df2 = _gopher(["a b c d e zzzzz a b c d e"])
+    assert df2.loc[0, "dup5gram_char_frac"] == pytest.approx(10 / 25)
+    assert df2.loc[0, "dup6gram_char_frac"] == 0.0
+
+
+def test_gopher_ngrams_never_cross_documents():
+    # the same 5-gram at the end of doc A and start of doc B must not
+    # count as duplicated within either
+    df = _gopher(["a b c d e", "a b c d e"])
+    assert (df["dup5gram_char_frac"] == 0.0).all()
+    # and each doc's top2 is its own: count 1 × len("a b")=3 / 9 chars
+    assert df.loc[0, "top2gram_char_frac"] == pytest.approx(3 / 9)
