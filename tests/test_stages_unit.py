@@ -721,3 +721,46 @@ def test_gopher_ngrams_never_cross_documents():
     assert (df["dup5gram_char_frac"] == 0.0).all()
     # and each doc's top2 is its own: count 1 × len("a b")=3 / 9 chars
     assert df.loc[0, "top2gram_char_frac"] == pytest.approx(3 / 9)
+
+
+def test_gopher_oracle_differential_adversarial():
+    """The sf fixtures are single-line docs, so the SQL oracle's paragraph
+    and n-gram CTEs never fire there. Drive BOTH sides over adversarial
+    multi-line / multi-paragraph / repetitive texts and demand exact
+    agreement (same rounding as the driver compare)."""
+    import duckdb
+    import pandas as pd
+
+    from data_quality_automated_evaluator_ray.pipelines.queries import (
+        GOPHER_QUALITY_DOCUMENTS_SQL, GOPHER_DOC_THRESHOLDS,
+        _GOPHER_METRIC_COLS, _R)
+    from data_quality_automated_evaluator_ray.stages.text import gopher_rules
+
+    texts = [
+        "para one line a\npara one line b\n\npara one line a\n"
+        "\npara one line a\npara one line b",           # dup paras + lines
+        "spam ham spam ham spam ham spam ham spam ham eggs",  # dup 5..10
+        "- bullet one here\n- bullet two here\n\nplain tail...",
+        "x " * 40 + "y",                                # extreme repetition
+        "one two three four five six seven eight nine ten "
+        "one two three four five six seven eight nine ten",  # dup 10-gram
+        "the be to of and that have with",              # all stopwords
+        "\n\n\n",                                       # empty paras
+        "tab\tsep and  double  space\r\nwindows line.",
+        "ONE line only with some # symbols ### and ... dots …",
+        "short",
+    ]
+    tbl = pa.table({"doc_id": list(range(len(texts))),
+                    "text": pa.array(texts, pa.string())})
+    got = gopher_rules(tbl, **GOPHER_DOC_THRESHOLDS).to_pandas()
+    got = got[["doc_id"] + _GOPHER_METRIC_COLS + ["gopher_keep"]]
+    for c in _GOPHER_METRIC_COLS:
+        if c not in ("word_count", "stopword_count"):
+            got[c] = got[c].round(_R)
+
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    want = con.execute(GOPHER_QUALITY_DOCUMENTS_SQL).df() \
+        .sort_values("doc_id").reset_index(drop=True)
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
