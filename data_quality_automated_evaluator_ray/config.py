@@ -6,7 +6,8 @@ README.md:106-124). The rebuild keeps that surface:
 {
   "source":   {"path": ..., "format"?, "columns"?, "schema_overrides"?,
                "storage_options"?},                       # sources/readers.py
-  "pipeline": "quality_filter" | "temporal_report" | "dedup" | "validate",
+  "pipeline": "quality_filter" | "temporal_report" | "dedup" | "validate"
+              | "web_filter",
   "with_models": true,                                    # quality_filter only
   "filter":   {"expr": "value > 50"},                     # row filter (applied
                                                           # FIRST, reference
@@ -46,9 +47,117 @@ def load_config(path: str) -> dict[str, Any]:
                          "object, e.g. {\"source\": {\"path\": ...}})")
     cfg.setdefault("pipeline", "quality_filter")
     if cfg["pipeline"] not in ("quality_filter", "temporal_report", "dedup",
-                               "validate"):
+                               "validate", "web_filter"):
         raise ValueError(f"unknown pipeline {cfg['pipeline']!r}")
     return cfg
+
+
+def _run_web_filter(cfg: dict[str, Any], out_dir: str) -> dict[str, Any]:
+    """``"pipeline": "web_filter"`` — config surface over the published
+    LLM-pretraining heuristic filters (stages/text.py):
+
+    {"pipeline": "web_filter",
+     "source": {...},
+     "text_column": "text",
+     "rule_sets": {"gopher"?: {<gopher_rules threshold overrides>},
+                   "c4"?: {<c4_clean parameter overrides>}},  # ≥1 required
+     "keep_signals"?: false,   # true → kept rows carry the metric columns
+     "output": {"dir": ..., "format"?, "partition_by"?, "compression"?}}
+
+    Streams source → gopher_rules / c4_clean batch transforms → rows every
+    configured rule set keeps, written via the shared sink with atomic
+    publish. When C4 is configured, its cleaned text REPLACES the text
+    column on kept rows (that is C4's semantics); Gopher is keep/drop
+    only. Returns {rows_in, rows_out, keep_rate, kept_per_rule}. The
+    heuristic transforms execute twice (once for the narrow tally
+    aggregate, once streaming into the sink) — they are stateless
+    per-batch Arrow kernels, so re-execution beats materializing the wide
+    corpus between the two consumers."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .sources.readers import read_source
+    from .sources.sinks import write_output
+    from .stages.text import GOPHER_METRIC_COLS, c4_clean, gopher_rules
+    from .state.lineage import atomic_publish
+
+    rule_sets = cfg.get("rule_sets")
+    if not rule_sets:
+        raise ValueError("web_filter requires a non-empty 'rule_sets' object")
+    unknown = set(rule_sets) - {"gopher", "c4"}
+    if unknown:
+        raise ValueError(f"unknown rule_sets {sorted(unknown)!r} "
+                         "(supported: gopher, c4)")
+    text_col = cfg.get("text_column", "text")
+    keep_signals = bool(cfg.get("keep_signals", False))
+
+    ds = read_source(cfg["source"])
+    flag_cols: list[str] = []
+    if "gopher" in rule_sets:
+        gkw = dict(rule_sets["gopher"] or {})
+        if "max_dup_ngram_char_frac" in gkw:  # JSON lists → tuple
+            gkw["max_dup_ngram_char_frac"] = tuple(
+                gkw["max_dup_ngram_char_frac"])
+        ds = ds.map_batches(lambda b: gopher_rules(b, text_col, **gkw),
+                            batch_format="pyarrow")
+        flag_cols.append("gopher_keep")
+    if "c4" in rule_sets:
+        ckw = dict(rule_sets["c4"] or {})
+        ds = ds.map_batches(lambda b: c4_clean(b, text_col, **ckw),
+                            batch_format="pyarrow")
+        flag_cols.append("c4_kept")
+
+    def _signals(b: pa.Table) -> pa.Table:
+        cols, names, mask = [], [], None
+        for c in flag_cols:
+            v = pc.fill_null(b.column(c), False)
+            cols.append(pc.cast(v, pa.int64()))
+            names.append(c)
+            mask = v if mask is None else pc.and_(mask, v)
+        cols.append(pc.cast(mask, pa.int64()))
+        names.append("all_keep")
+        return pa.table(dict(zip(names, cols)))
+
+    sig = ds.map_batches(_signals, batch_format="pyarrow")
+    rows_in = sig.count()
+    sums = sig.sum(flag_cols + ["all_keep"]) if rows_in else None
+    if sums is None:
+        sums = {f"sum({c})": 0 for c in flag_cols + ["all_keep"]}
+    rows_out = int(sums["sum(all_keep)"])
+
+    drop_cols = list(flag_cols)
+    if "c4" in rule_sets:
+        drop_cols += ["text_clean"] + ([] if keep_signals
+                                       else ["n_lines_kept"])
+    if "gopher" in rule_sets and not keep_signals:
+        drop_cols += GOPHER_METRIC_COLS
+
+    def _finalize(b: pa.Table) -> pa.Table:
+        mask = None
+        for c in flag_cols:
+            v = pc.fill_null(b.column(c), False)
+            mask = v if mask is None else pc.and_(mask, v)
+        b = b.filter(mask)
+        if "c4" in rule_sets:
+            b = b.set_column(b.schema.get_field_index(text_col), text_col,
+                             b.column("text_clean"))
+        return b.drop_columns(drop_cols)
+
+    kept = ds.map_batches(_finalize, batch_format="pyarrow")
+    out_spec = dict(cfg.get("output", {}))
+    tmp_dir = f"{out_dir.rstrip('/')}.tmp-{os.getpid()}"
+    out_spec["dir"] = tmp_dir
+    write_output(kept, out_spec)
+    os.makedirs(tmp_dir, exist_ok=True)  # zero-row writes create no dir
+    atomic_publish(tmp_dir, out_dir)
+    return {
+        "pipeline": "web_filter",
+        "rows_in": rows_in,
+        "rows_out": rows_out,
+        "keep_rate": rows_out / rows_in if rows_in else 0.0,
+        "kept_per_rule": {c: int(sums[f"sum({c})"]) for c in flag_cols},
+        "output": out_dir,
+    }
 
 
 def _run_validate(cfg: dict[str, Any], out_dir: str) -> dict[str, Any]:
@@ -200,6 +309,9 @@ def run_config(cfg: dict[str, Any]) -> dict[str, Any]:
 
     if cfg["pipeline"] == "validate":
         return _run_validate(cfg, out_dir)
+
+    if cfg["pipeline"] == "web_filter":
+        return _run_web_filter(cfg, out_dir)
 
     if cfg["pipeline"] == "temporal_report":
         ds = read_source(cfg["source"])

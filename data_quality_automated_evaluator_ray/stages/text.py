@@ -750,6 +750,17 @@ def _dup_seg_fracs(lst: pa.Array, flat: pa.Array, par: np.ndarray,
 # duplicated-n-gram coverage thresholds for n = 5..10 (Rae et al. Table A1)
 GOPHER_DUP_NGRAM_DEFAULTS = (0.15, 0.14, 0.13, 0.12, 0.11, 0.10)
 
+# columns gopher_rules / c4_clean append, in append order — consumers
+# (config web_filter, pipelines/queries) project or drop by these lists
+GOPHER_METRIC_COLS = (
+    ["word_count", "mean_word_len", "symbol_word_ratio", "bullet_line_frac",
+     "ellipsis_line_frac", "alpha_word_frac", "stopword_count",
+     "dup_line_frac", "dup_line_char_frac", "dup_para_frac",
+     "dup_para_char_frac"]
+    + [f"top{m}gram_char_frac" for m in (2, 3, 4)]
+    + [f"dup{m}gram_char_frac" for m in range(5, 11)])
+C4_SIGNAL_COLS = ["text_clean", "n_lines_kept", "c4_kept"]
+
 
 def gopher_rules(batch: pa.Table, text_col: str = "text", *,
                  min_words: int = 50, max_words: int = 100_000,

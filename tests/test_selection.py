@@ -293,3 +293,72 @@ def test_load_config_rejects_string_source(tmp_path):
     p.write_text(json.dumps({"source": "my/path.parquet"}))
     with pytest.raises(ValueError, match="source.path"):
         load_config(str(p))
+
+
+def test_config_web_filter_pipeline(ray_session, tmp_path):
+    """Config surface over the published heuristic filters: Gopher + C4 in
+    one run, keep decision = AND, C4's cleaned text replaces the column,
+    signal columns dropped unless keep_signals, tallies match a direct
+    recompute of the same batch transforms."""
+    from data_quality_automated_evaluator_ray.config import run_config
+    from data_quality_automated_evaluator_ray.stages.text import (
+        c4_clean, gopher_rules)
+
+    import pyarrow as pa
+
+    texts = [
+        "First good line is here today.\nSecond good line stays here too!\n"
+        "Third fine line of the set ends well.",          # keeps both
+        "short",                                          # fails both
+        None,                                             # null text
+        "- b one\n- b two\n- b three\n- b four",          # bullet wall
+        ("The quick brown fox jumps over the lazy dog and that is fine.\n"
+         ) * 4,                                           # dup lines
+    ]
+    src_tbl = pa.table({"doc_id": list(range(len(texts))),
+                        "text": pa.array(texts, pa.string())})
+    src = str(tmp_path / "in.parquet")
+    import pyarrow.parquet as pq
+    pq.write_table(src_tbl, src)
+
+    gopher_kw = dict(min_words=5, min_stopwords=1,
+                     max_top2gram_char_frac=1.0, max_top3gram_char_frac=1.0,
+                     max_top4gram_char_frac=1.0)
+    c4_kw = dict(min_words_per_line=3, min_lines_kept=2)
+    out = str(tmp_path / "kept")
+    s = run_config({"source": {"path": src}, "pipeline": "web_filter",
+                    "rule_sets": {"gopher": gopher_kw, "c4": c4_kw},
+                    "output": {"dir": out}})
+
+    want = c4_clean(gopher_rules(src_tbl, **gopher_kw), **c4_kw).to_pandas()
+    gk = want["gopher_keep"].fillna(False).astype(bool)
+    ck = want["c4_kept"].fillna(False).astype(bool)
+    assert s["rows_in"] == len(texts)
+    assert s["kept_per_rule"] == {"gopher_keep": int(gk.sum()),
+                                  "c4_kept": int(ck.sum())}
+    assert s["rows_out"] == int((gk & ck).sum()) > 0
+
+    got = pd.read_parquet(out).sort_values("doc_id").reset_index(drop=True)
+    exp = want[gk & ck].sort_values("doc_id").reset_index(drop=True)
+    assert list(got.columns) == ["doc_id", "text"]  # signals dropped
+    assert list(got["text"]) == list(exp["text_clean"])  # C4 replacement
+
+    # keep_signals=True: metric columns ride along on kept rows
+    out2 = str(tmp_path / "kept2")
+    s2 = run_config({"source": {"path": src}, "pipeline": "web_filter",
+                     "rule_sets": {"gopher": gopher_kw, "c4": c4_kw},
+                     "keep_signals": True, "output": {"dir": out2}})
+    got2 = pd.read_parquet(out2)
+    assert s2["rows_out"] == s["rows_out"]
+    assert {"word_count", "dup5gram_char_frac", "n_lines_kept"} \
+        <= set(got2.columns)
+    assert "gopher_keep" not in got2.columns  # all-true flags never ship
+
+    # rule-set validation fails loudly
+    with pytest.raises(ValueError, match="rule_sets"):
+        run_config({"source": {"path": src}, "pipeline": "web_filter",
+                    "output": {"dir": str(tmp_path / "x")}})
+    with pytest.raises(ValueError, match="unknown rule_sets"):
+        run_config({"source": {"path": src}, "pipeline": "web_filter",
+                    "rule_sets": {"fineweb": {}},
+                    "output": {"dir": str(tmp_path / "y")}})
