@@ -60,6 +60,7 @@ def _run_web_filter(cfg: dict[str, Any], out_dir: str) -> dict[str, Any]:
      "source": {...},
      "text_column": "text",
      "rule_sets": {"gopher"?: {<gopher_rules threshold overrides>},
+                   "fineweb"?: {<fineweb_rules threshold overrides>},
                    "c4"?: {<c4_clean parameter overrides>}},  # ≥1 required
      "keep_signals"?: false,   # true → kept rows carry the metric columns
      "output": {"dir": ..., "format"?, "partition_by"?, "compression"?}}
@@ -78,16 +79,17 @@ def _run_web_filter(cfg: dict[str, Any], out_dir: str) -> dict[str, Any]:
 
     from .sources.readers import read_source
     from .sources.sinks import write_output
-    from .stages.text import GOPHER_METRIC_COLS, c4_clean, gopher_rules
+    from .stages.text import (FINEWEB_SIGNAL_COLS, GOPHER_METRIC_COLS,
+                              c4_clean, fineweb_rules, gopher_rules)
     from .state.lineage import atomic_publish
 
     rule_sets = cfg.get("rule_sets")
     if not rule_sets:
         raise ValueError("web_filter requires a non-empty 'rule_sets' object")
-    unknown = set(rule_sets) - {"gopher", "c4"}
+    unknown = set(rule_sets) - {"gopher", "fineweb", "c4"}
     if unknown:
         raise ValueError(f"unknown rule_sets {sorted(unknown)!r} "
-                         "(supported: gopher, c4)")
+                         "(supported: gopher, fineweb, c4)")
     text_col = cfg.get("text_column", "text")
     keep_signals = bool(cfg.get("keep_signals", False))
 
@@ -101,6 +103,11 @@ def _run_web_filter(cfg: dict[str, Any], out_dir: str) -> dict[str, Any]:
         ds = ds.map_batches(lambda b: gopher_rules(b, text_col, **gkw),
                             batch_format="pyarrow")
         flag_cols.append("gopher_keep")
+    if "fineweb" in rule_sets:
+        fkw = dict(rule_sets["fineweb"] or {})
+        ds = ds.map_batches(lambda b: fineweb_rules(b, text_col, **fkw),
+                            batch_format="pyarrow")
+        flag_cols.append("fineweb_keep")
     if "c4" in rule_sets:
         ckw = dict(rule_sets["c4"] or {})
         ds = ds.map_batches(lambda b: c4_clean(b, text_col, **ckw),
@@ -131,6 +138,8 @@ def _run_web_filter(cfg: dict[str, Any], out_dir: str) -> dict[str, Any]:
                                        else ["n_lines_kept"])
     if "gopher" in rule_sets and not keep_signals:
         drop_cols += GOPHER_METRIC_COLS
+    if "fineweb" in rule_sets and not keep_signals:
+        drop_cols += [c for c in FINEWEB_SIGNAL_COLS if c != "fineweb_keep"]
 
     def _finalize(b: pa.Table) -> pa.Table:
         mask = None

@@ -960,6 +960,75 @@ def gopher_rules(batch: pa.Table, text_col: str = "text", *,
     return out.append_column("gopher_keep", pa.array(gopher_keep, pa.bool_()))
 
 
+FINEWEB_SIGNAL_COLS = ["punct_line_frac", "short_line_frac",
+                       "dup_line_char_ratio", "newline_ratio",
+                       "fineweb_keep"]
+
+
+def fineweb_rules(batch: pa.Table, text_col: str = "text", *,
+                  min_punct_line_frac: float = 0.12,
+                  max_short_line_frac: float = 0.67,
+                  short_line_chars: int = 30,
+                  max_dup_line_char_ratio: float = 0.1,
+                  max_newline_ratio: float = 0.3) -> pa.Table:
+    """FineWeb-style line-level quality signals (Penedo et al. 2024 §3.3's
+    custom filters, with the exact definitions pinned here and in the SQL
+    oracle). Appended columns:
+
+    punct_line_frac (lines ending in . ! ? or \"), short_line_frac (lines
+    with < short_line_chars characters), dup_line_char_ratio (chars in
+    line occurrences past each distinct value's first / chars in all
+    lines — same definition as gopher_rules' dup_line_char_frac),
+    newline_ratio ('\\n' count / total chars), fineweb_keep (all
+    thresholds pass; false for null text, whose metric columns are null).
+
+    Same vectorized shape as the other rule sets: Arrow split + flattened
+    (value, parent) arrays + np.bincount; dictionary-code duplicate
+    grouping (NUL-safe); no Python loop over rows or lines."""
+    n = batch.num_rows
+    col = batch.column(text_col)
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    null_mask = np.asarray(pc.is_null(col).to_numpy(zero_copy_only=False),
+                           dtype=bool)
+
+    lst_l, lflat, lpar = _split_with_parents(col, "\n", regex=False)
+    _, dup_line_char_ratio, nl_safe = _dup_seg_fracs(lst_l, lflat, lpar, n)
+    punct = np.asarray(
+        pc.match_substring_regex(lflat, '[.!?"]$')
+        .to_numpy(zero_copy_only=False), dtype=np.float64)
+    llen = pc.utf8_length(lflat).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    short = (llen < short_line_chars).astype(np.float64)
+    punct_line_frac = np.bincount(lpar, weights=punct, minlength=n) / nl_safe
+    short_line_frac = np.bincount(lpar, weights=short, minlength=n) / nl_safe
+
+    def _cnt(arr) -> np.ndarray:
+        return pc.fill_null(arr, 0).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+
+    tchars = _cnt(pc.utf8_length(col))
+    newline_ratio = _cnt(pc.count_substring(col, "\n")) \
+        / np.maximum(tchars, 1.0)
+
+    fineweb_keep = (
+        (~null_mask)
+        & (punct_line_frac >= min_punct_line_frac)
+        & (short_line_frac <= max_short_line_frac)
+        & (dup_line_char_ratio <= max_dup_line_char_ratio)
+        & (newline_ratio <= max_newline_ratio))
+
+    def _m(vals):
+        return pa.array(vals, type=pa.float64(), mask=null_mask)
+
+    return (batch
+            .append_column("punct_line_frac", _m(punct_line_frac))
+            .append_column("short_line_frac", _m(short_line_frac))
+            .append_column("dup_line_char_ratio", _m(dup_line_char_ratio))
+            .append_column("newline_ratio", _m(newline_ratio))
+            .append_column("fineweb_keep", pa.array(fineweb_keep,
+                                                    pa.bool_())))
+
+
 def c4_clean(batch: pa.Table, text_col: str = "text", *,
              min_words_per_line: int = 5,
              min_lines_kept: int = 3) -> pa.Table:

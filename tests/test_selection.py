@@ -360,5 +360,17 @@ def test_config_web_filter_pipeline(ray_session, tmp_path):
                     "output": {"dir": str(tmp_path / "x")}})
     with pytest.raises(ValueError, match="unknown rule_sets"):
         run_config({"source": {"path": src}, "pipeline": "web_filter",
-                    "rule_sets": {"fineweb": {}},
+                    "rule_sets": {"refinedweb": {}},
                     "output": {"dir": str(tmp_path / "y")}})
+
+    # all three rule sets compose: keep = AND, per-rule tallies present
+    out3 = str(tmp_path / "kept3")
+    s3 = run_config({"source": {"path": src}, "pipeline": "web_filter",
+                     "rule_sets": {"gopher": gopher_kw, "c4": c4_kw,
+                                   "fineweb": {"min_punct_line_frac": 0.0}},
+                     "output": {"dir": out3}})
+    assert set(s3["kept_per_rule"]) == {"gopher_keep", "fineweb_keep",
+                                        "c4_kept"}
+    assert s3["rows_out"] <= s["rows_out"]
+    got3 = pd.read_parquet(out3)
+    assert "punct_line_frac" not in got3.columns

@@ -764,3 +764,38 @@ def test_gopher_oracle_differential_adversarial():
         .sort_values("doc_id").reset_index(drop=True)
     got = got.sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+
+def test_fineweb_rules_signals():
+    from data_quality_automated_evaluator_ray.stages.text import fineweb_rules
+
+    t = pa.table({"text": pa.array([
+        # 4 lines: 2 end with punctuation, 3 shorter than 30 chars, one
+        # duplicate pair ("tiny." 5 chars each; total line chars 5+5+44+30)
+        "tiny.\ntiny.\n" + "x" * 43 + "!\n" + "y" * 30,
+        None,
+        "",
+    ], pa.string())})
+    df = fineweb_rules(t, short_line_chars=30).to_pandas()
+    assert df.loc[0, "punct_line_frac"] == pytest.approx(3 / 4)
+    assert df.loc[0, "short_line_frac"] == pytest.approx(2 / 4)
+    assert df.loc[0, "dup_line_char_ratio"] == pytest.approx(5 / 84)
+    assert df.loc[0, "newline_ratio"] == pytest.approx(3 / 87)
+    assert np.isnan(df.loc[1, "punct_line_frac"])
+    assert not df.loc[1, "fineweb_keep"]
+    # empty text: one empty line → short, no punct → keep False
+    assert df.loc[2, "punct_line_frac"] == 0.0
+    assert df.loc[2, "short_line_frac"] == 1.0
+    assert not df.loc[2, "fineweb_keep"]
+
+
+def test_fineweb_keep_thresholds():
+    from data_quality_automated_evaluator_ray.stages.text import fineweb_rules
+
+    good = "This is a long enough sentence to pass the bar today.\n" \
+           "Another long line that also terminates with punctuation!"
+    t = pa.table({"text": pa.array([good, "no punct here at all"],
+                                   pa.string())})
+    df = fineweb_rules(t, short_line_chars=30).to_pandas()
+    assert df.loc[0, "fineweb_keep"]
+    assert not df.loc[1, "fineweb_keep"]  # punct_line_frac 0 < 0.12
