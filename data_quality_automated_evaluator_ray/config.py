@@ -79,8 +79,9 @@ def _run_web_filter(cfg: dict[str, Any], out_dir: str) -> dict[str, Any]:
 
     from .sources.readers import read_source
     from .sources.sinks import write_output
-    from .stages.text import (FINEWEB_SIGNAL_COLS, GOPHER_METRIC_COLS,
-                              c4_clean, fineweb_rules, gopher_rules)
+    from .stages.text import (C4_SIGNAL_COLS, FINEWEB_SIGNAL_COLS,
+                              GOPHER_METRIC_COLS, c4_clean, fineweb_rules,
+                              gopher_rules)
     from .state.lineage import atomic_publish
 
     rule_sets = cfg.get("rule_sets")
@@ -123,19 +124,27 @@ def _run_web_filter(cfg: dict[str, Any], out_dir: str) -> dict[str, Any]:
             mask = v if mask is None else pc.and_(mask, v)
         cols.append(pc.cast(mask, pa.int64()))
         names.append("all_keep")
+        cols.append(pa.array([1] * b.num_rows, pa.int64()))
+        names.append("n_rows")
         return pa.table(dict(zip(names, cols)))
 
+    # ONE narrow aggregate pass yields rows_in and every tally (sum()
+    # returns None exactly when the dataset is empty)
     sig = ds.map_batches(_signals, batch_format="pyarrow")
-    rows_in = sig.count()
-    sums = sig.sum(flag_cols + ["all_keep"]) if rows_in else None
+    sums = sig.sum(flag_cols + ["all_keep", "n_rows"])
     if sums is None:
-        sums = {f"sum({c})": 0 for c in flag_cols + ["all_keep"]}
+        sums = {f"sum({c})": 0 for c in flag_cols + ["all_keep", "n_rows"]}
+    rows_in = int(sums["sum(n_rows)"])
     rows_out = int(sums["sum(all_keep)"])
 
     drop_cols = list(flag_cols)
     if "c4" in rule_sets:
-        drop_cols += ["text_clean"] + ([] if keep_signals
-                                       else ["n_lines_kept"])
+        # text_clean always drops (it replaces the text column); the other
+        # non-flag C4 signals ride along only under keep_signals
+        drop_cols += ["text_clean"]
+        if not keep_signals:
+            drop_cols += [c for c in C4_SIGNAL_COLS
+                          if c not in ("c4_kept", "text_clean")]
     if "gopher" in rule_sets and not keep_signals:
         drop_cols += GOPHER_METRIC_COLS
     if "fineweb" in rule_sets and not keep_signals:

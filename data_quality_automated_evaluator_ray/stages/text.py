@@ -806,6 +806,10 @@ def gopher_rules(batch: pa.Table, text_col: str = "text", *,
     pd.factorize refinement over dictionary codes (g_n = factorize(g_{n-1}
     ∥ next code) — one hash pass per n, no string concatenation; products
     stay < W·C ≪ 2^63 for any realistic batch)."""
+    if len(max_dup_ngram_char_frac) != 6:
+        raise ValueError(
+            "max_dup_ngram_char_frac must list exactly 6 thresholds "
+            f"(n = 5..10), got {len(max_dup_ngram_char_frac)}")
     n = batch.num_rows
     col = batch.column(text_col)
     col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col

@@ -749,6 +749,7 @@ def test_gopher_oracle_differential_adversarial():
         "tab\tsep and  double  space\r\nwindows line.",
         "ONE line only with some # symbols ### and ... dots …",
         "short",
+        None,   # null text: BOTH sides must emit null metrics, keep=false
     ]
     tbl = pa.table({"doc_id": list(range(len(texts))),
                     "text": pa.array(texts, pa.string())})
