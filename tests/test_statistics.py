@@ -462,6 +462,8 @@ def test_example_configs_run(ray_session, tmp_path):
             assert isinstance(summary["passed"], bool)
         elif pipe == "temporal_report":
             assert summary["intervals"] > 0
+        elif pipe == "web_filter":
+            assert summary["rows_out"] > 0
         else:  # quality_filter
             assert summary["rows_kept"] > 0
         assert out.exists()
