@@ -570,3 +570,69 @@ def standardize_embeddings(ds: "ray.data.Dataset", *,
 
     return ds.select_columns([id_col, emb_col]) \
         .map_batches(_transform, batch_format="pyarrow")
+
+
+def semdedup(ds: "ray.data.Dataset", *, n_clusters: int = 16,
+             threshold: float = 0.3, sample_size: int = 2000,
+             id_col: str = "vec_id",
+             emb_col: str = "embedding") -> "ray.data.Dataset":
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings then pruning within-cluster
+    near-duplicates — the published two-level shape that avoids corpus-wide
+    all-pairs (pairwise work is confined to one cluster at a time; k is
+    chosen so clusters stay worker-sized — the paper runs k = 50,000 on
+    LAION so each cluster's Gram matrix fits one GPU/worker).
+
+    Keep rule (deterministic, engine-independent): within a cluster, row
+    ``p`` is DROPPED iff some same-cluster row ``q`` with
+    ``cos(p, q) >= threshold`` precedes it in ``(cos_to_centroid, id)``
+    order. On a fully-connected duplicate set this keeps exactly the
+    member LEAST similar to the centroid — the paper's published choice
+    ("keep the example with low similarity to the centroid"); on partial
+    chains it is the pairwise-dominance generalization a SQL EXISTS can
+    replay exactly.
+
+    Scale shape: the (k × d) centroid matrix is broadcast once via
+    ``ray.put``; assignment is one matmul per batch; the only shuffle
+    groups (id, cos_c, normalized vector) rows by cluster id — each vector
+    moves once, and the per-cluster Gram matrix is the published
+    algorithm's own bound, not an artifact of this implementation.
+
+    Returns (id_col, cluster, keep) — narrow rows, no embedding columns.
+    """
+    centroids = train_deterministic_quantizer(
+        ds, n_clusters, sample_size=sample_size, id_col=id_col,
+        emb_col=emb_col)
+    cent_ref = ray.put(centroids)
+
+    def _assign(b: pa.Table) -> pa.Table:
+        cent = ray.get(cent_ref)
+        emb = _normalize(_matrix(b.column(emb_col)))
+        sims = emb @ cent.T
+        cl = np.argmax(sims, axis=1)  # ties → lowest cluster (oracle order)
+        cos_c = sims[np.arange(len(cl)), cl]
+        return pa.table({id_col: b.column(id_col),
+                         "cluster": pa.array(cl, pa.int64()),
+                         "cos_c": pa.array(cos_c, pa.float64()),
+                         "_e": pa.array(list(emb), pa.list_(pa.float64()))})
+
+    assigned = ds.select_columns([id_col, emb_col]) \
+        .map_batches(_assign, batch_format="pyarrow")
+
+    def _prune(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy(dtype=np.int64)
+        cos_c = g["cos_c"].to_numpy(dtype=np.float64)
+        emb = np.array(g["_e"].tolist(), dtype=np.float64)
+        order = np.lexsort((ids, cos_c))  # (cos_c asc, id asc)
+        sims = emb[order] @ emb[order].T
+        # dropped[p] ⟺ ∃ q earlier in order with sim ≥ τ (q kept or not:
+        # pairwise dominance, see docstring)
+        dropped = (np.triu(sims, 1) >= threshold).any(axis=0)
+        keep = np.empty(len(ids), dtype=bool)
+        keep[order] = ~dropped
+        return pd.DataFrame({id_col: ids,
+                             "cluster": g["cluster"].to_numpy(np.int64),
+                             "keep": keep})
+
+    return assigned.groupby("cluster").map_groups(_prune,
+                                                  batch_format="pandas")

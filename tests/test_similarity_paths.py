@@ -78,3 +78,46 @@ def test_neardup_dispatch_exact_below_threshold(ray_session):
     b = embedding_neardup_exact(ray.data.from_pandas(df),
                                 threshold=0.6).to_pandas()
     assert _pairs_set(a) == _pairs_set(b)
+
+
+def test_semdedup_planted_cliques(ray_session):
+    """SemDeDup semantics: a planted duplicate clique keeps EXACTLY one
+    member (the one least similar to its centroid), distinct vectors all
+    survive, and the result is block-count invariant."""
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.similarity import semdedup
+
+    rng = np.random.RandomState(5)
+    base = rng.standard_normal((40, 16))
+    rows, ids = [], []
+    vid = 0
+    for i in range(40):
+        copies = 3 if i < 6 else 1  # six cliques of 3 near-identical vectors
+        for c in range(copies):
+            v = base[i] + (1e-4 * rng.standard_normal(16) if c else 0.0)
+            rows.append(list(v / np.linalg.norm(v)))
+            ids.append(vid)
+            vid += 1
+    df = pd.DataFrame({"vec_id": ids, "embedding": rows})
+    out = semdedup(ray.data.from_pandas(df), n_clusters=4, threshold=0.999,
+                   sample_size=len(df)).to_pandas()
+    assert len(out) == len(df)
+    # each clique keeps exactly one member; all singletons survive
+    kept = out[out["keep"]]["vec_id"].tolist()
+    assert len(kept) == 40  # 6 cliques collapse 18 rows -> 6
+    # cliques cluster together (identical vectors share an argmax), so each
+    # clique of 3 contributes exactly 1 kept id
+    clique_ids = [set(range(3 * i, 3 * i + 3)) for i in range(6)]
+    for cl in clique_ids:
+        assert len(cl & set(kept)) == 1
+    # block-count invariance
+    out9 = semdedup(ray.data.from_pandas(df).repartition(9), n_clusters=4,
+                    threshold=0.999, sample_size=len(df)).to_pandas()
+    a = out.sort_values("vec_id").reset_index(drop=True)
+    b = out9.sort_values("vec_id").reset_index(drop=True)
+    assert (a["keep"].to_numpy() == b["keep"].to_numpy()).all()
+    assert (a["cluster"].to_numpy() == b["cluster"].to_numpy()).all()
