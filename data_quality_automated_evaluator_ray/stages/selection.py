@@ -207,3 +207,126 @@ def mixture_resample(ds: "ray.data.Dataset", *, on: str = "text",
         return out
 
     return ds.map_batches(_expand, batch_format="pandas")
+
+
+def dsir_select(ds: "ray.data.Dataset", *, target_col: str,
+                target_value: str, n_buckets: int = 1024, k: int = 100,
+                alpha: float = 1.0, id_col: str = "doc_id",
+                text_col: str = "text") -> pd.DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169): select raw documents that resemble a target slice
+    by importance weights over HASHED N-GRAM features, then Gumbel-top-k
+    resample (sampling without replacement on the log-weights).
+
+    Published recipe, deterministically pinned so a DuckDB oracle replays
+    it exactly:
+
+    * features: whitespace unigrams + bigrams, md5-hashed (same 64-bit
+      ``_stable_u64`` convention as MinHash/mixture oracles) into
+      ``n_buckets`` buckets;
+    * bucket log-ratio ``lr_b = ln p_target(b) − ln p_raw(b)`` with
+      Laplace ``alpha`` smoothing, target = rows where
+      ``target_col == target_value``, raw = the whole corpus;
+    * per-doc log importance weight = Σ over the doc's distinct buckets of
+      ``count · lr_b`` (summed in ascending-bucket order on both engines);
+    * Gumbel key ``s = w − ln(−ln u)`` with ``u`` derived from
+      ``md5(str(id))`` — the paper's Gumbel-top-k with the RNG replaced by
+      a content-keyed uniform, so the "sample" is a pure function of the
+      table.
+
+    Scale shape: two streaming passes, NO shuffle anywhere. Pass 1 emits
+    per-batch partial bucket counts (≤ n_buckets narrow rows per batch,
+    combiner-first) merged driver-side into one (n_buckets,) log-ratio
+    array broadcast back via ``ray.put``; pass 2 scores each batch against
+    the broadcast array and emits only its local top-k (a row outside its
+    batch's top-k cannot be in the global top-k), merged driver-side over
+    ≤ k×blocks rows. Text never moves; the md5-per-ngram cost is the same
+    floor MinHash pays and is pinned by the oracle.
+    """
+    from .text import ascii_tokens
+
+    B, A = int(n_buckets), float(alpha)
+
+    def _grams(texts: "list[str | None]") -> "tuple[list[str], np.ndarray]":
+        grams: list[str] = []
+        gdoc: list[int] = []
+        for i, t in enumerate(texts):
+            if t is None:
+                continue
+            ts = ascii_tokens(t)
+            gs = ts + [a + " " + b for a, b in zip(ts, ts[1:])]
+            grams.extend(gs)
+            gdoc.extend([i] * len(gs))
+        return grams, np.asarray(gdoc, dtype=np.int64)
+
+    def _bucket_partials(b: pa.Table) -> pa.Table:
+        texts = b.column(text_col).to_pylist()
+        tmask = pc.fill_null(
+            pc.equal(b.column(target_col), pa.scalar(target_value)),
+            False).to_numpy(zero_copy_only=False)
+        grams, gdoc = _grams(texts)
+        if not grams:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "n_raw": pa.array([], pa.int64()),
+                             "n_target": pa.array([], pa.int64())})
+        from .dedup import _stable_u64
+
+        hv = (_stable_u64(grams) % np.uint64(B)).astype(np.int64)
+        n_raw = np.bincount(hv, minlength=B)
+        n_tgt = np.bincount(hv[tmask[gdoc]], minlength=B)
+        nz = np.flatnonzero(n_raw)
+        return pa.table({"bucket": pa.array(nz, pa.int64()),
+                         "n_raw": pa.array(n_raw[nz], pa.int64()),
+                         "n_target": pa.array(n_tgt[nz], pa.int64())})
+
+    cols = [c for c in {id_col, text_col, target_col}]
+    part = ds.select_columns(cols).map_batches(
+        _bucket_partials, batch_format="pyarrow").to_pandas()
+    n_raw = np.zeros(B, dtype=np.int64)
+    n_tgt = np.zeros(B, dtype=np.int64)
+    if len(part):
+        g = part.groupby("bucket", sort=False)[["n_raw", "n_target"]].sum()
+        n_raw[g.index.to_numpy()] = g["n_raw"].to_numpy()
+        n_tgt[g.index.to_numpy()] = g["n_target"].to_numpy()
+    Nr, Nt = int(n_raw.sum()), int(n_tgt.sum())
+    lr = (np.log((n_tgt + A) / (Nt + A * B))
+          - np.log((n_raw + A) / (Nr + A * B)))
+    lr_ref = ray.put(lr)
+
+    def _score_topk(b: pa.Table) -> pa.Table:
+        lrv = ray.get(lr_ref)
+        ids = np.asarray(b.column(id_col).to_pylist(), dtype=np.int64)
+        texts = b.column(text_col).to_pylist()
+        grams, gdoc = _grams(texts)
+        weights = np.zeros(len(ids), dtype=np.float64)
+        if grams:
+            from .dedup import _stable_u64
+
+            hv = (_stable_u64(grams) % np.uint64(B)).astype(np.int64)
+            key = gdoc * B + hv
+            order = np.argsort(key, kind="stable")
+            ks = key[order]
+            bound = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+            cnt = np.diff(np.r_[bound, len(ks)]).astype(np.float64)
+            uk = ks[bound]
+            vals = cnt * lrv[uk % B]
+            ud = uk // B
+            dstart = np.flatnonzero(np.r_[True, ud[1:] != ud[:-1]])
+            weights[ud[dstart]] = np.add.reduceat(vals, dstart)
+        from .dedup import _stable_u64 as _su
+
+        h = _su([str(int(i)) for i in ids])
+        u = np.maximum(h, np.uint64(1)).astype(np.float64) / 2.0 ** 64
+        s = weights - np.log(-np.log(u))
+        top = np.lexsort((ids, -s))[:k]
+        return pa.table({id_col: pa.array(ids[top], pa.int64()),
+                         "weight": pa.array(weights[top], pa.float64()),
+                         "_s": pa.array(s[top], pa.float64())})
+
+    merged = ds.select_columns(cols).map_batches(
+        _score_topk, batch_format="pyarrow").to_pandas()
+    merged = merged.sort_values(["_s", id_col],
+                                ascending=[False, True]).head(k)
+    merged = merged.reset_index(drop=True)
+    merged["rank"] = np.arange(1, len(merged) + 1, dtype=np.int64)
+    return merged[[id_col, "weight", "rank"]]

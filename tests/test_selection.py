@@ -374,3 +374,45 @@ def test_config_web_filter_pipeline(ray_session, tmp_path):
     assert s3["rows_out"] <= s["rows_out"]
     got3 = pd.read_parquet(out3)
     assert "punct_line_frac" not in got3.columns
+
+
+def test_dsir_select_semantics(ray_session):
+    """DSIR: documents sharing the target slice's hashed-ngram vocabulary
+    must out-rank documents that don't; result is block-count invariant
+    and the Gumbel keys are content-keyed (no RNG)."""
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.selection import dsir_select
+
+    rows = []
+    # target slice: 30 docs of "alpha beta gamma" vocabulary, lang='xx'
+    for i in range(30):
+        rows.append({"doc_id": i, "lang": "xx",
+                     "text": "alpha beta gamma delta " * 5})
+    # raw pool: 30 docs echoing the target vocabulary, 30 docs of noise
+    for i in range(30, 60):
+        rows.append({"doc_id": i, "lang": "raw",
+                     "text": "alpha beta gamma epsilon " * 5})
+    for i in range(60, 90):
+        rows.append({"doc_id": i, "lang": "raw",
+                     "text": f"zeta{i} eta{i} theta{i} iota{i} " * 5})
+    df = pd.DataFrame(rows)
+    out = dsir_select(ray.data.from_pandas(df), target_col="lang",
+                      target_value="xx", n_buckets=256, k=40)
+    assert len(out) == 40
+    assert list(out["rank"]) == list(range(1, 41))
+    # the echo docs (and the target docs themselves) must dominate the
+    # top ranks; noise docs carry negative weights
+    top20 = set(out.head(20)["doc_id"])
+    assert all(d < 60 for d in top20), top20
+    w = dict(zip(out["doc_id"], out["weight"]))
+    assert all(w[d] < 0 for d in out["doc_id"] if d >= 60)
+    # block-count invariance (partial top-k merge is exact)
+    out7 = dsir_select(ray.data.from_pandas(df).repartition(7),
+                       target_col="lang", target_value="xx",
+                       n_buckets=256, k=40)
+    pd.testing.assert_frame_equal(out.reset_index(drop=True),
+                                  out7.reset_index(drop=True))
