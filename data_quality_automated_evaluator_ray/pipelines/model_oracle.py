@@ -302,6 +302,29 @@ from rows_full
 """
 
 
+def ccnet_buckets_sql() -> str:
+    """CCNet head/middle/tail perplexity terciles per language (Wenzek et
+    al. 2020 §4.4) — exact SQL ntile(3) over (round-6 perplexity, repo,
+    path). Ranking on the ROUNDED perplexity makes the order bit-stable
+    across engines: the qf_code_corpus hash gate already pins round-6
+    perplexity equality, and (repo, path) totally orders ties."""
+    from .queries import _R
+
+    return f"""
+with {_per_row_sql()},
+r as (
+  select repo, path, lang, round(perplexity, {_R}) as perplexity
+  from rows_full
+)
+select repo, path, lang, perplexity,
+       case ntile(3) over (partition by lang
+                           order by perplexity, repo, path)
+            when 1 then 'head' when 2 then 'middle' else 'tail'
+       end as ppl_bucket
+from r
+"""
+
+
 def partition_metrics_code_corpus_sql() -> str:
     from ..stages.aggregate import NUMERIC_FEATURES
     from .queries import _R

@@ -240,3 +240,87 @@ def ntile_by_value(ds: "ray.data.Dataset", *, value_col: str,
         return g.drop(columns="__rkey")
 
     return narrow.groupby("__rkey").map_groups(_tile, batch_format="pandas")
+
+
+def grouped_ntile(ds: "ray.data.Dataset", *, value_col: str,
+                  tiebreak_cols: list[str], by: list[str], n_tiles: int,
+                  lo: float, hi: float, out_col: str = "tile",
+                  n_ranges: int = 64,
+                  num_partitions: int = 64) -> "ray.data.Dataset":
+    """Exact per-group SQL ``ntile(k) over (partition by BY order by value,
+    tiebreaks)`` without a global sort — the per-language quantile split of
+    CCNet-style perplexity bucketing.
+
+    Same two-level scan as :func:`ntile_by_value`, range-keyed on the
+    (bounded-ish) value: per-(BY, range) counts → driver exclusive prefix
+    per BY group (``|BY| × n_ranges`` rows, never corpus rows) → ONE coarse
+    shuffle co-locates each (BY, range) bucket and a local sort by
+    ``(value, tiebreaks)`` yields the exact within-group global rank, mapped
+    to buckets with the DuckDB ntile size formula (first ``N mod k`` buckets
+    one row bigger). Values outside ``[lo, hi)`` clip into the edge ranges —
+    range placement affects load balance only, never output values. At
+    cluster scale raise ``n_ranges`` so each (BY, range) bucket stays
+    worker-bounded.
+
+    The value must be non-null (raises otherwise — a NaN would sort
+    engine-dependently and silently skew every later rank in its group).
+    """
+    if n_tiles <= 0:
+        raise ValueError("n_tiles must be positive")
+    width = (hi - lo) / n_ranges
+
+    def _key(b: pa.Table) -> pa.Table:
+        v = pc.cast(b.column(value_col), pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        if np.isnan(v).any():
+            raise ValueError(f"grouped_ntile: null/NaN in {value_col!r}")
+        rk = np.clip(((v - lo) / width).astype(np.int64), 0, n_ranges - 1)
+        arrays = {c: b.column(c) for c in b.column_names}
+        arrays["__rkey"] = pa.array(rk.astype(np.int32), pa.int32())
+        return pa.table(arrays)
+
+    narrow = ds.map_batches(_key, batch_format="pyarrow").materialize()
+    from .partitioning import empty_result, groupby_counts, partitioned_groupby
+
+    gkeys = by + ["__rkey"]
+    counts = groupby_counts(narrow.select_columns(gkeys), gkeys)
+    if counts.empty:
+        return empty_result(ds, None, {out_col: pa.int64()})
+    counts = counts.sort_values(gkeys, kind="mergesort").reset_index(drop=True)
+    csum = counts.groupby(by, sort=False)["n"].cumsum()
+    counts["__base"] = (csum - counts["n"]).astype(np.int64)
+    totals = counts.groupby(by, sort=False, as_index=False)["n"].sum() \
+        .rename(columns={"n": "__total"})
+    base_df = counts[gkeys + ["__base"]].merge(totals, on=by)
+    base_ref = ray.put(base_df)
+
+    def _tile_part(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.merge(ray.get(base_ref), on=gkeys, how="left")
+        if part["__base"].isna().any():
+            # a (BY, range) key that produced no count row can only mean a
+            # key-matching bug (e.g. NUL-escaped grouping keys) — fail loud
+            raise RuntimeError("grouped_ntile: partition key missing from "
+                               "the count pass")
+        part = part.sort_values(gkeys + [value_col] + tiebreak_cols,
+                                kind="mergesort").reset_index(drop=True)
+        kdf = part[gkeys]
+        new_grp = np.ones(len(part), dtype=bool)
+        new_grp[1:] = (kdf.iloc[1:].reset_index(drop=True)
+                       != kdf.iloc[:-1].reset_index(drop=True)).any(
+                           axis=1).to_numpy()
+        idx = np.arange(len(part), dtype=np.int64)
+        grp_id = np.cumsum(new_grp) - 1
+        within = idx - idx[new_grp][grp_id]
+        rank0 = part["__base"].to_numpy(dtype=np.int64) + within
+        tot = part["__total"].to_numpy(dtype=np.int64)
+        big = tot % n_tiles
+        small_sz = tot // n_tiles
+        big_sz = small_sz + 1
+        cut = big * big_sz
+        part[out_col] = np.where(
+            rank0 < cut, rank0 // big_sz,
+            big + (rank0 - cut) // np.maximum(small_sz, 1)) + 1
+        return part.drop(columns=["__rkey", "__base", "__total"])
+
+    return partitioned_groupby(narrow, gkeys, _tile_part,
+                               num_partitions=num_partitions)

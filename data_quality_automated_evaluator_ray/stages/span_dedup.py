@@ -1,0 +1,196 @@
+"""Cross-document duplicate token-span removal (ExactSubstr-style).
+
+Lee et al. 2021 ("Deduplicating Training Data Makes Language Models Better",
+arXiv:2107.06499) remove every duplicated substring of >=50 BPE tokens via a
+corpus suffix array; C4 (Raffel et al. 2020 §2.2) discards all but one of any
+three-sentence span occurring more than once. This stage is that operator
+family at a pinned, SQL-reproducible granularity: every duplicated k-token
+span (token = split on a single-char delimiter) loses all of its non-first
+occurrences, and documents are rebuilt from their surviving tokens. The
+reference evaluator has no cross-document dedup at all (SURVEY.md §2.8);
+within the engine this sits between exact whole-document dedup
+(stages/dedup.py) and corpus-level line dedup (stages/line_dedup.py).
+
+Spec (deterministic, partitioning-independent):
+
+* tokens  — ``text`` split on ``delim`` (DuckDB ``string_split``), 1-based
+  positions.
+* spans   — every run of k consecutive tokens; span key = ``md5`` hex of the
+  delim-joined span text (DuckDB ``md5()``; equal on both engines, so any
+  md5 collision affects both sides identically).
+* keeper  — the occurrence with the smallest ``(doc_key, start)`` per span
+  key keeps its tokens; every OTHER occurrence marks its k token positions
+  for deletion. Overlapping losing spans union their marks; a position
+  marked by any losing span is deleted even if some keeper span also covers
+  it (C4 has the same property: removal is per-occurrence).
+* rebuild — surviving tokens re-joined with ``delim`` in original order.
+
+Scale shape mirrors stages/line_dedup.py, with one improvement the fat span
+strings force: only their 16-byte hashes ever leave the producing batch.
+
+1. explode — a per-batch Arrow pass emits ``(doc_key, start, h)``: tokens
+   flatten via split_pattern/list_flatten, the k shifted ZERO-COPY slices of
+   the flat token array join element-wise into span strings, and the spans
+   die inside the batch after hashing (shuffle volume = 1 row × ~40 B per
+   corpus token, independent of k).
+2. losers — ONE coarse hash shuffle on ``h`` (partitioned_groupby)
+   co-locates equal spans; a C-level sort + ``duplicated`` per partition
+   emits only losing ``(doc_key, start)`` pairs.
+3. apply — the (small) loser list is co-partitioned with the documents by
+   doc_key (union-tag + one shuffle, the shuffle_anti_join pattern), each
+   loser expands to its k positions AFTER the shuffle, and each partition
+   rebuilds its documents with vectorized pandas explode/anti-merge/agg.
+
+Nothing reaches the driver; the corpus text moves through exactly one
+shuffle (stage 3's doc co-partition).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from .partitioning import partitioned_groupby
+
+
+def explode_spans(ds: "ray.data.Dataset", *, text_col: str, key_col: str,
+                  k: int, delim: str = " ") -> "ray.data.Dataset":
+    """Flatten documents into ``(doc_key, start, h)`` span rows: ``start`` is
+    the 1-based token position of the span's first token, ``h`` the md5 hex
+    of the delim-joined k-token span. Documents with fewer than k tokens
+    emit nothing (they can never lose a span)."""
+    if k < 2:
+        raise ValueError("span length k must be >= 2")
+
+    def _spans(b: pa.Table) -> pa.Table:
+        kt = b.schema.field(key_col).type
+        empty = pa.table({"doc_key": pa.array(
+                              [], pa.int64() if pa.types.is_null(kt) else kt),
+                          "start": pa.array([], pa.int64()),
+                          "h": pa.array([], pa.string())})
+        txt = pc.cast(b.column(text_col), pa.string())
+        lst = pc.split_pattern(txt, pattern=delim)
+        lst = lst.combine_chunks() if isinstance(lst, pa.ChunkedArray) else lst
+        flat = pc.list_flatten(lst)
+        if len(flat) < k:
+            return empty
+        counts = pc.list_value_length(lst).to_numpy(zero_copy_only=False)
+        counts = np.nan_to_num(counts).astype(np.int64)  # null text → 0
+        rep = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        offs = np.zeros(len(counts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=offs[1:])
+        m = len(flat) - k + 1
+        # a span starting at flat position i stays inside its document iff
+        # the first and last token belong to the same row
+        valid = np.flatnonzero(rep[:m] == rep[k - 1:])
+        if valid.size == 0:
+            return empty
+        # k shifted zero-copy views of the token array, joined element-wise:
+        # the span text exists only transiently inside this batch
+        parts = [flat.slice(j, m) for j in range(k)]
+        spans = pc.binary_join_element_wise(*parts, delim)
+        spans = spans.take(pa.array(valid))
+        h = [hashlib.md5(s.encode()).hexdigest() for s in spans.to_pylist()]
+        keys = b.column(key_col).take(pa.array(rep[valid]))
+        start = valid - offs[rep[valid]] + 1
+        return pa.table({"doc_key": keys,
+                         "start": pa.array(start, pa.int64()),
+                         "h": pa.array(h, pa.string())})
+
+    return ds.select_columns([key_col, text_col]).map_batches(
+        _spans, batch_format="pyarrow")
+
+
+def span_losers(spans: "ray.data.Dataset", *,
+                num_partitions: int = 64) -> "ray.data.Dataset":
+    """(doc_key, start) of every span that is a NON-first occurrence of its
+    hash, corpus-wide. One coarse shuffle on the 16-byte hash."""
+
+    def _losers(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["h", "doc_key", "start"], kind="stable")
+        lose = part.duplicated(subset="h", keep="first")
+        return part.loc[lose, ["doc_key", "start"]]
+
+    return partitioned_groupby(spans, ["h"], _losers,
+                               num_partitions=num_partitions)
+
+
+def span_dedup(ds: "ray.data.Dataset", *, text_col: str, key_col: str,
+               k: int = 20, delim: str = " ",
+               num_partitions: int = 64) -> "ray.data.Dataset":
+    """Corpus-level duplicate k-token-span removal.
+
+    Returns one row per input document: ``(doc_key, text_dedup, n_tokens,
+    n_kept)`` — the document rebuilt from its surviving tokens, its original
+    token count, and the surviving count. Null-text documents come back with
+    ``text_dedup = ''`` and zero counts; documents shorter than k tokens are
+    returned unchanged.
+    """
+    spans = explode_spans(ds, text_col=text_col, key_col=key_col,
+                          k=k, delim=delim)
+    drops = span_losers(spans, num_partitions=num_partitions)
+
+    def _tag_docs(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_key": b.column(key_col),
+            "text": pc.cast(b.column(text_col), pa.string()),
+            "start": pa.nulls(b.num_rows, pa.int64()),
+            "__side": pa.array(np.zeros(b.num_rows, np.int8), pa.int8()),
+        })
+
+    def _tag_drops(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_key": b.column("doc_key"),
+            "text": pa.nulls(b.num_rows, pa.string()),
+            "start": b.column("start"),
+            "__side": pa.array(np.ones(b.num_rows, np.int8), pa.int8()),
+        })
+
+    tagged = ds.select_columns([key_col, text_col]).map_batches(
+        _tag_docs, batch_format="pyarrow").union(
+        drops.map_batches(_tag_drops, batch_format="pyarrow"))
+
+    def _apply(part: pd.DataFrame) -> pd.DataFrame:
+        side = part["__side"].to_numpy()
+        docs = part.loc[side == 0, ["doc_key", "text"]].reset_index(drop=True)
+        starts = part.loc[side == 1, "start"].to_numpy(dtype=np.int64)
+        keys = part.loc[side == 1, "doc_key"].to_numpy()
+        # losing spans expand to their k token positions HERE, after the
+        # shuffle — the loser list traveled as one row per span
+        dr = pd.DataFrame({
+            "doc_key": np.repeat(keys, k),
+            "tok_no": np.repeat(starts, k)
+            + np.tile(np.arange(k, dtype=np.int64), starts.size),
+        }).drop_duplicates()
+        split = docs["text"].str.split(delim)  # NaN for null-content docs
+        n_tok = split.str.len().fillna(0).astype(np.int64).to_numpy()
+        ex = split[split.notna()].explode()
+        idx = ex.index.to_numpy(dtype=np.int64)
+        offs = np.zeros(len(docs), dtype=np.int64)
+        np.cumsum(n_tok[:-1], out=offs[1:])
+        toks = pd.DataFrame({
+            "doc_key": docs["doc_key"].to_numpy()[idx],
+            "tok_no": np.arange(idx.size, dtype=np.int64) - offs[idx] + 1,
+            "tok": ex.to_numpy(),
+        })
+        kept = toks.merge(dr, on=["doc_key", "tok_no"], how="left",
+                          indicator=True)
+        kept = kept[kept["_merge"] == "left_only"]
+        agg = kept.sort_values(["doc_key", "tok_no"], kind="stable") \
+            .groupby("doc_key", sort=False)["tok"] \
+            .agg(lambda s: delim.join(s))
+        out = pd.DataFrame({"doc_key": docs["doc_key"],
+                            "n_tokens": n_tok})
+        out["text_dedup"] = out["doc_key"].map(agg).fillna("")
+        n_kept = kept.groupby("doc_key", sort=False).size()
+        out["n_kept"] = out["doc_key"].map(n_kept).fillna(0).astype(np.int64)
+        return out[["doc_key", "text_dedup", "n_tokens", "n_kept"]]
+
+    return partitioned_groupby(tagged, ["doc_key"], _apply,
+                               num_partitions=num_partitions)

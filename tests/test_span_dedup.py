@@ -1,0 +1,171 @@
+"""span_dedup (cross-document duplicate k-token-span removal) unit tests:
+semantics vs a pure-Python reference, edge cases Ray's zero-row quirks hit,
+and the grouped_ntile two-level scan vs DuckDB's ntile window."""
+
+import hashlib
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from data_quality_automated_evaluator_ray.stages.span_dedup import (
+    explode_spans, span_dedup)
+from data_quality_automated_evaluator_ray.stages.packing import grouped_ntile
+
+
+def _ref_span_dedup(docs: dict, k: int, delim: str = " ") -> pd.DataFrame:
+    """Reference implementation: per-span first-occurrence keeps, every other
+    occurrence marks its k positions; rebuild from surviving tokens."""
+    first: dict = {}
+    marks: dict = {key: set() for key in docs}
+    for key in sorted(docs):
+        t = docs[key]
+        toks = t.split(delim) if t is not None else []
+        for j in range(len(toks) - k + 1):
+            h = delim.join(toks[j:j + k])
+            if h not in first:
+                first[h] = (key, j)
+            elif first[h] != (key, j):
+                marks[key].update(range(j, j + k))
+    rows = []
+    for key in sorted(docs):
+        t = docs[key]
+        toks = t.split(delim) if t is not None else []
+        kept = [tok for i, tok in enumerate(toks) if i not in marks[key]]
+        rows.append({"doc_key": key, "text_dedup": delim.join(kept),
+                     "n_tokens": len(toks), "n_kept": len(kept)})
+    return pd.DataFrame(rows)
+
+
+def _run(docs: dict, k: int) -> pd.DataFrame:
+    ds = ray.data.from_items(
+        [{"doc_id": key, "text": t} for key, t in docs.items()])
+    out = span_dedup(ds, text_col="text", key_col="doc_id", k=k,
+                     num_partitions=4).to_pandas()
+    return out.sort_values("doc_key").reset_index(drop=True)
+
+
+def test_span_dedup_matches_reference(ray_session):
+    docs = {
+        0: "a b c d e f g",          # keeper of span "b c d"
+        1: "x y b c d z w",          # loses "b c d" → drops positions 2-4
+        2: "b c d b c d q",          # within-doc duplicate: second loses;
+                                     # first occurrence also loses vs doc 0
+        3: "a b",                    # shorter than k: untouched
+        4: "p q r s t u v",          # no duplicated span: untouched
+    }
+    got = _run(docs, k=3)
+    want = _ref_span_dedup(docs, k=3)
+    pd.testing.assert_frame_equal(
+        got, want.sort_values("doc_key").reset_index(drop=True),
+        check_dtype=False)
+    # the keeper's text is intact, the loser's span is gone
+    assert got.loc[got.doc_key == 0, "text_dedup"].iloc[0] == "a b c d e f g"
+    assert got.loc[got.doc_key == 1, "text_dedup"].iloc[0] == "x y z w"
+    assert got.loc[got.doc_key == 3, "n_kept"].iloc[0] == 2
+
+
+def test_span_dedup_overlapping_losers_union(ray_session):
+    # doc 1 repeats doc 0's overlapping spans; overlapping marks must union,
+    # not double-delete or miss positions
+    docs = {0: "a b c d e", 1: "a b c d e x"}
+    got = _run(docs, k=3)
+    want = _ref_span_dedup(docs, k=3)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert got.loc[got.doc_key == 1, "text_dedup"].iloc[0] == "x"
+
+
+def test_span_dedup_null_text(ray_session):
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["a b c", None], pa.string())}))
+    out = span_dedup(ds, text_col="text", key_col="doc_id", k=2,
+                     num_partitions=2).to_pandas()
+    out = out.sort_values("doc_key").reset_index(drop=True)
+    assert out.loc[1, "text_dedup"] == ""
+    assert out.loc[1, "n_tokens"] == 0 and out.loc[1, "n_kept"] == 0
+    assert out.loc[0, "text_dedup"] == "a b c"
+
+
+def test_explode_spans_hashes_and_starts(ray_session):
+    ds = ray.data.from_items([{"doc_id": 7, "text": "a b c d"}])
+    rows = explode_spans(ds, text_col="text", key_col="doc_id",
+                         k=3).to_pandas()
+    rows = rows.sort_values("start").reset_index(drop=True)
+    assert list(rows["start"]) == [1, 2]
+    assert rows.loc[0, "h"] == hashlib.md5(b"a b c").hexdigest()
+    assert rows.loc[1, "h"] == hashlib.md5(b"b c d").hexdigest()
+    # spans never cross documents
+    two = ray.data.from_items([{"doc_id": 0, "text": "a b"},
+                               {"doc_id": 1, "text": "c d"}])
+    assert explode_spans(two, text_col="text", key_col="doc_id",
+                         k=3).count() == 0
+
+
+def test_span_dedup_empty_input(ray_session):
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string())}))
+    assert span_dedup(ds, text_col="text", key_col="doc_id",
+                      k=3).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# grouped_ntile
+# ---------------------------------------------------------------------------
+def test_grouped_ntile_matches_duckdb():
+    rng = np.random.RandomState(11)
+    n = 500
+    df = pd.DataFrame({
+        "g": rng.choice(["en", "de", "fr", "tiny"], size=n,
+                        p=[0.5, 0.3, 0.19, 0.01]),
+        "v": np.round(rng.uniform(0.0, 10.0, size=n), 3),
+        "id": np.arange(n, dtype=np.int64),
+    })
+    # force ties in v so the tiebreak path is exercised
+    df.loc[::7, "v"] = 5.0
+    ds = ray.data.from_pandas(df)
+    got = grouped_ntile(ds, value_col="v", tiebreak_cols=["id"], by=["g"],
+                        n_tiles=3, lo=0.0, hi=10.0, out_col="t",
+                        n_ranges=16, num_partitions=4).to_pandas()
+    got = got.sort_values("id").reset_index(drop=True)
+    con = duckdb.connect()
+    want = con.execute(
+        "select id, ntile(3) over (partition by g order by v, id) as t "
+        "from df order by id").df()
+    con.close()
+    assert list(got["t"]) == list(want["t"].astype(np.int64))
+
+
+def test_grouped_ntile_small_groups_and_clipping():
+    # group smaller than n_tiles (DuckDB: one row per tile, tiles 1..n) and
+    # values outside [lo, hi) (must clip into edge ranges, not crash)
+    df = pd.DataFrame({"g": ["a", "a", "b"],
+                       "v": [-5.0, 99.0, 1.0],
+                       "id": [0, 1, 2]})
+    ds = ray.data.from_pandas(df)
+    got = grouped_ntile(ds, value_col="v", tiebreak_cols=["id"], by=["g"],
+                        n_tiles=4, lo=0.0, hi=10.0, out_col="t",
+                        n_ranges=4, num_partitions=2).to_pandas()
+    got = got.sort_values("id").reset_index(drop=True)
+    assert list(got["t"]) == [1, 2, 1]
+
+
+def test_grouped_ntile_empty_and_nan():
+    empty = ray.data.from_arrow(pa.table({
+        "g": pa.array([], pa.string()), "v": pa.array([], pa.float64()),
+        "id": pa.array([], pa.int64())}))
+    out = grouped_ntile(empty, value_col="v", tiebreak_cols=["id"],
+                        by=["g"], n_tiles=3, lo=0.0, hi=1.0, out_col="t")
+    # zero-row to_pandas drops columns (Ray quirk); assert on the schema
+    assert out.count() == 0 and "t" in out.schema().names
+
+    bad = ray.data.from_pandas(pd.DataFrame(
+        {"g": ["a"], "v": [float("nan")], "id": [0]}))
+    with pytest.raises(Exception, match="null/NaN"):
+        grouped_ntile(bad, value_col="v", tiebreak_cols=["id"], by=["g"],
+                      n_tiles=3, lo=0.0, hi=1.0, out_col="t").to_pandas()
