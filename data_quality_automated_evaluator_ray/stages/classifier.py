@@ -1,0 +1,200 @@
+"""Reference-corpus quality classifier (the GPT-3 / LLaMA / DCLM selection op).
+
+GPT-3 (Brown et al. 2020, Appendix A) filtered Common Crawl with a linear
+classifier trained to separate a curated reference corpus (WebText/Wikipedia/
+books = positive) from raw crawl (negative); LLaMA (Touvron et al. 2023 §2.1)
+kept pages "classified as references" by a fastText-pipeline; DataComp-LM
+(Li et al. 2024 §4.4) measured the fastText variant as the single
+highest-impact filter in its ablation. This stage is that operator with the
+model pinned to a deterministic, SQL-replayable form: a multinomial Naive
+Bayes over whitespace unigrams — the generative counterpart of fastText's
+linear bag-of-words classifier — trained on a designated positive slice of
+the corpus itself and scored as a per-document log-odds.
+
+The reference evaluator has no model-based selection at all (SURVEY.md §2.4:
+"None in the reference"); within this engine the op completes the selection
+family: DSIR (stages/selection.py) RESAMPLES toward a target via hashed
+n-gram importance weights, this classifier FILTERS via an explicit-vocabulary
+class-conditional model — the two published alternatives for the same
+curation step.
+
+Pinned spec (everything a DuckDB oracle replays):
+
+* tokens   — ASCII-whitespace split (``ascii_tokens`` / SQL
+  ``[^ \\x09\\x0a\\x0d]+``), occurrence counts (multinomial, not Bernoulli).
+* classes  — positive = rows whose ``label_col`` value is in ``pos_values``
+  (the "reference corpus" slice); negative = everything else, nulls
+  included.
+* vocab    — tokens with total corpus occurrences ``>= min_count``; all
+  other tokens share one out-of-vocabulary pseudo-token. ``V`` = vocab size.
+* model    — Laplace-``alpha`` class-conditionals over ``V + 1`` outcomes:
+  ``p(t|c) = (n_c(t) + alpha) / (C_c + alpha * (V + 1))`` with ``C_c`` the
+  class's TOTAL token count (vocab and OOV alike); an OOV token scores with
+  ``n_c = 0``. Document prior from class document counts.
+* score    — ``ln p(pos) - ln p(neg) + sum_t c_t * (ln p(t|pos) - ln
+  p(t|neg))`` over the document's DISTINCT tokens, added in ascending
+  token-string order (UTF-8 byte order == code-point order, so a Python
+  string sort and DuckDB varchar ORDER BY agree) — the engine's standard
+  trick for bit-stable float reductions across engines (see dsir_select).
+  ``keep`` compares the ROUNDED score to 0 so the boundary cannot flutter.
+
+Scale shape (three streaming passes, zero row-scale shuffles):
+
+1. count  — per-batch partial ``(token, n_pos, n_all)`` tables (combiner
+   inside the batch: at most distinct-tokens rows leave, never one row per
+   occurrence), merged by ONE coarse hash shuffle on the token
+   (``partitioned_groupby``); ``min_count`` prunes the Zipf tail before
+   anything reaches the driver, so the collected vocab is bounded by the
+   truncated dictionary, not the corpus.
+2. priors — one tiny class-document-count aggregate.
+3. score  — the (token → log-ratio) model broadcast once via ``ray.put``;
+   each batch tokenizes and reduces per document. Text never leaves its
+   batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from .partitioning import exact_factorize, partitioned_groupby
+from .text import ascii_tokens
+
+
+def nb_reference_classify(ds: "ray.data.Dataset", *, label_col: str,
+                          pos_values: "list[str]", id_col: str = "doc_id",
+                          text_col: str = "text", min_count: int = 5,
+                          alpha: float = 1.0,
+                          num_partitions: int = 32) -> "ray.data.Dataset":
+    """Score every document with the reference-classifier log-odds and a
+    ``keep`` flag (``round(score, 6) > 0``).
+
+    Returns a Dataset of ``(id_col, score: float64, keep: bool)`` — one row
+    per input document (null-text documents score the prior alone).
+    """
+    pos_arr = pa.array(sorted(set(pos_values)), pa.string())
+
+    def _pos_mask(b: pa.Table) -> np.ndarray:
+        col = pc.cast(b.column(label_col), pa.string())
+        return pc.fill_null(pc.is_in(col, value_set=pos_arr),
+                            False).to_numpy(zero_copy_only=False)
+
+    def _explode(texts: "list[str | None]") -> "tuple[list[str], np.ndarray]":
+        toks: list[str] = []
+        gdoc: list[int] = []
+        for i, t in enumerate(texts):
+            if t is None:
+                continue
+            ts = ascii_tokens(t)
+            toks.extend(ts)
+            gdoc.extend([i] * len(ts))
+        return toks, np.asarray(gdoc, dtype=np.int64)
+
+    # ---- pass 1: token-class counts, merged by ONE coarse token shuffle
+    def _partial(b: pa.Table) -> pa.Table:
+        pos = _pos_mask(b)
+        toks, gdoc = _explode(b.column(text_col).to_pylist())
+        if not toks:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "n_pos": pa.array([], pa.int64()),
+                             "n_all": pa.array([], pa.int64())})
+        codes, uniq = exact_factorize(
+            pd.Series(np.asarray(toks, dtype=object)))
+        n_all = np.bincount(codes, minlength=len(uniq))
+        n_pos = np.bincount(codes, weights=pos[gdoc].astype(np.float64),
+                            minlength=len(uniq)).astype(np.int64)
+        return pa.table({"token": pa.array(uniq, pa.string()),
+                         "n_pos": pa.array(n_pos, pa.int64()),
+                         "n_all": pa.array(n_all, pa.int64())})
+
+    partials = ds.select_columns([text_col, label_col]).map_batches(
+        _partial, batch_format="pyarrow")
+
+    def _merge(part: pd.DataFrame) -> pd.DataFrame:
+        codes, uniq = exact_factorize(part["token"])
+        n_pos = np.bincount(codes, weights=part["n_pos"].to_numpy(
+            np.float64), minlength=len(uniq)).astype(np.int64)
+        n_all = np.bincount(codes, weights=part["n_all"].to_numpy(
+            np.float64), minlength=len(uniq)).astype(np.int64)
+        g = pd.DataFrame({"token": uniq, "n_pos": n_pos, "n_all": n_all})
+        # totals must include sub-threshold tokens: one partial-total row
+        # per partition (token = null) rides along with the surviving vocab
+        tot = pd.DataFrame({"token": [None],
+                            "n_pos": [int(n_pos.sum())],
+                            "n_all": [int(n_all.sum())]})
+        return pd.concat([g[g["n_all"] >= min_count], tot],
+                         ignore_index=True)
+
+    merged = partitioned_groupby(partials, ["token"], _merge,
+                                 num_partitions=num_partitions).to_pandas()
+    is_tot = merged["token"].isna()
+    c_pos = float(merged.loc[is_tot, "n_pos"].sum())
+    c_neg = float(merged.loc[is_tot, "n_all"].sum()) - c_pos
+    vocab = merged[~is_tot]
+    v_pos = vocab["n_pos"].to_numpy(dtype=np.float64)
+    v_neg = vocab["n_all"].to_numpy(dtype=np.float64) - v_pos
+    V = len(vocab)
+    a = float(alpha)
+    den_pos = c_pos + a * (V + 1)
+    den_neg = c_neg + a * (V + 1)
+    diff = np.log((v_pos + a) / den_pos) - np.log((v_neg + a) / den_neg)
+    oov_diff = float(np.log(a / den_pos) - np.log(a / den_neg))
+    lookup = dict(zip(vocab["token"].tolist(), diff.tolist()))
+
+    # ---- pass 2: document-count prior (tiny)
+    def _doc_counts(b: pa.Table) -> pa.Table:
+        pos = _pos_mask(b)
+        return pa.table({"n_pos_docs": pa.array([int(pos.sum())], pa.int64()),
+                         "n_docs": pa.array([b.num_rows], pa.int64())})
+
+    dc = ds.select_columns([label_col]).map_batches(
+        _doc_counts, batch_format="pyarrow").to_pandas()
+    n_pos_docs, n_docs = int(dc["n_pos_docs"].sum()), int(dc["n_docs"].sum())
+    if n_pos_docs == 0 or n_pos_docs == n_docs:
+        raise ValueError(
+            f"positive slice {pos_arr.to_pylist()!r} selects {n_pos_docs} "
+            f"of {n_docs} documents — both classes must be non-empty")
+    prior = float(np.log(n_pos_docs / n_docs)
+                  - np.log((n_docs - n_pos_docs) / n_docs))
+
+    model_ref = ray.put((lookup, oov_diff, prior))
+
+    # ---- pass 3: scoring (broadcast model, text never leaves the batch)
+    def _score(b: pa.Table) -> pa.Table:
+        lk, oov, pr = ray.get(model_ref)
+        toks, gd = _explode(b.column(text_col).to_pylist())
+        scores = np.full(b.num_rows, pr, dtype=np.float64)
+        if toks:
+            # per-(doc, token) counts in ascending token order per doc —
+            # the ordered reduction both engines share. Comparison-based
+            # sort + elementwise boundaries on OBJECT arrays: NUL-safe
+            # (pandas hashing groupbys are not; numpy str_ arrays strip
+            # trailing NULs)
+            df = pd.DataFrame({"g": gd,
+                               "t": np.asarray(toks, dtype=object)})
+            df = df.sort_values(["g", "t"], kind="mergesort")
+            sg = df["g"].to_numpy()
+            st = df["t"].to_numpy()
+            bound = np.flatnonzero(
+                np.r_[True, (sg[1:] != sg[:-1]) | (st[1:] != st[:-1])])
+            cnt = np.diff(np.r_[bound, len(st)]).astype(np.float64)
+            ug = sg[bound]
+            vals = cnt * np.fromiter(
+                (lk.get(t, oov) for t in st[bound]),
+                dtype=np.float64, count=len(bound))
+            dstart = np.flatnonzero(np.r_[True, ug[1:] != ug[:-1]])
+            scores[ug[dstart]] += np.add.reduceat(vals, dstart)
+        from ..functions.parity import round_half_away
+
+        r = round_half_away(scores, 6)
+        return pa.table({id_col: b.column(id_col),
+                         "score": pa.array(r, pa.float64()),
+                         "keep": pa.array(r > 0, pa.bool_())})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _score, batch_format="pyarrow")

@@ -209,6 +209,65 @@ def mixture_resample(ds: "ray.data.Dataset", *, on: str = "text",
     return ds.map_batches(_expand, batch_format="pandas")
 
 
+def unimax_budgets(ds: "ray.data.Dataset", *, lang_col: str = "lang",
+                   chars_col: str = "n_chars", epochs_cap: float = 4.0,
+                   budget_frac: float = 0.5) -> pd.DataFrame:
+    """UniMax language-sampling allocation (Chung et al. 2023, ICLR,
+    arXiv:2304.09151, Algorithm 1): distribute a total character budget
+    across languages as uniformly as possible WITHOUT repeating any
+    language more than ``epochs_cap`` epochs — the published alternative to
+    temperature sampling for multilingual mixture weights.
+
+    Water-filling, exactly as published: visit languages in ascending
+    corpus-size order; each receives ``min(size * epochs_cap,
+    remaining_budget / remaining_languages)``. Languages too small to
+    absorb an equal share cap out at N epochs; the slack flows to larger
+    ones. The total budget is pinned to ``budget_frac`` × total corpus
+    characters so the allocation is a pure function of the table (no
+    external constant to drift from the oracle), and a DuckDB recursive
+    CTE replays the same sequential double-precision recurrence step for
+    step — per-language char sums are integer-valued, so every pre-division
+    quantity is exact and order-free.
+
+    Scale shape: ONE tiny ``groupby(lang).sum(chars)`` aggregate (rows =
+    #languages) reaches the driver; the water-filling loop is O(#languages)
+    driver math. Output: ``(lang, n_chars, budget_chars, weight)`` sorted by
+    lang, ``weight`` = share of the total ALLOCATED budget (allocations can
+    undershoot the budget only when every language caps out)."""
+    if epochs_cap <= 0 or not 0 < budget_frac <= 1:
+        raise ValueError("epochs_cap must be > 0 and 0 < budget_frac <= 1")
+    sums = (ds.select_columns([lang_col, chars_col])
+            .groupby(lang_col)
+            .aggregate(Sum(chars_col, alias_name="sz")).to_pandas())
+    if sums.empty:
+        return pd.DataFrame({lang_col: pd.Series([], dtype=object),
+                             "n_chars": pd.Series([], dtype=np.int64),
+                             "budget_chars": pd.Series([], dtype=np.float64),
+                             "weight": pd.Series([], dtype=np.float64)})
+    # ascending size, lang tiebreak, nulls last — DuckDB's default ORDER BY
+    sums = sums.sort_values(["sz", lang_col],
+                            na_position="last").reset_index(drop=True)
+    sz = sums["sz"].fillna(0).to_numpy(dtype=np.float64)
+    m = len(sz)
+    budget = budget_frac * float(sz.sum())  # exact: integer-valued doubles
+    remaining = budget
+    alloc = np.zeros(m, dtype=np.float64)
+    for i in range(m):
+        a = min(sz[i] * epochs_cap, remaining / (m - i))
+        alloc[i] = a
+        remaining -= a
+    total_alloc = budget - remaining
+    weight = (alloc / total_alloc if total_alloc > 0
+              else np.zeros(m, dtype=np.float64))
+    from ..functions.parity import round_half_away
+
+    out = pd.DataFrame({lang_col: sums[lang_col],
+                        "n_chars": sz.astype(np.int64),
+                        "budget_chars": round_half_away(alloc, 6),
+                        "weight": round_half_away(weight, 6)})
+    return out.sort_values(lang_col, na_position="last").reset_index(drop=True)
+
+
 def dsir_select(ds: "ray.data.Dataset", *, target_col: str,
                 target_value: str, n_buckets: int = 1024, k: int = 100,
                 alpha: float = 1.0, id_col: str = "doc_id",

@@ -1,0 +1,124 @@
+"""Unit tests for the NB reference classifier and UniMax budgets —
+adversarial inputs the sf fixtures never produce (NUL tokens, null text,
+degenerate classes, cap-out allocations)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+
+
+def _classify(df: pd.DataFrame, **kw):
+    from data_quality_automated_evaluator_ray.stages.classifier import (
+        nb_reference_classify)
+
+    ds = ray.data.from_pandas(df)
+    return (nb_reference_classify(ds, label_col="source",
+                                  pos_values=["src0", "src1"], **kw)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+
+def test_nb_classifier_matches_duckdb_on_nul_and_null(ray_session):
+    """Differential vs the oracle SQL on a frame with embedded-NUL tokens
+    (pandas' hashing groupbys would conflate 'a\\x00b' with 'a\\x00c'),
+    null text, and a null source label."""
+    from data_quality_automated_evaluator_ray.pipelines.queries import (
+        _nb_classifier_sql)
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(8, dtype=np.int64),
+        "source": ["src0", "src0", "src1", "src9", "src9", None,
+                   "src9", "src0"],
+        "text": ["a\x00b a\x00b good good good",
+                 "a\x00c good good good stuff",
+                 "good good stuff stuff",
+                 "bad bad bad a\x00b stuff",
+                 "bad bad good stuff stuff",
+                 None,
+                 "",
+                 "a\x00c a\x00c bad good stuff"],
+    })
+    # pos slice is pinned to src0..src3 in the shipped SQL; rename to match
+    sql = _nb_classifier_sql(min_count=2, alpha=1.0)
+    got = _classify(df, min_count=2, alpha=1.0)
+    con = duckdb.connect()
+    con.register("documents", df)
+    want = con.execute(sql).df()
+    con.close()
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "score", "keep"]],
+        want[["doc_id", "score", "keep"]].astype(
+            {"doc_id": np.int64, "score": np.float64, "keep": bool}))
+
+
+def test_nb_classifier_rejects_degenerate_classes(ray_session):
+    df = pd.DataFrame({"doc_id": [1, 2], "source": ["src0", "src1"],
+                       "text": ["x", "y"]})
+    with pytest.raises(ValueError, match="both classes"):
+        _classify(df)  # every row positive
+    df2 = pd.DataFrame({"doc_id": [1, 2], "source": ["src8", "src9"],
+                        "text": ["x", "y"]})
+    with pytest.raises(ValueError, match="both classes"):
+        _classify(df2)  # every row negative
+
+
+def test_nb_classifier_null_text_scores_prior(ray_session):
+    df = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "source": ["src0", "src9", "src9", "src0"],
+        "text": ["common words here", "common words there", None, None],
+    })
+    out = _classify(df, min_count=1)
+    # null-text docs carry exactly the prior: equal share → prior = 0
+    assert out.loc[out["doc_id"] >= 2, "score"].tolist() == [0.0, 0.0]
+    assert not out.loc[out["doc_id"] >= 2, "keep"].any()
+
+
+def test_unimax_caps_small_languages(ray_session):
+    from data_quality_automated_evaluator_ray.stages.selection import (
+        unimax_budgets)
+
+    # tiny lang must cap out at epochs_cap × its size; slack flows upward
+    df = pd.DataFrame({"lang": ["a"] * 1 + ["b"] * 100,
+                       "n_chars": [10] + [100] * 100})
+    out = unimax_budgets(ray.data.from_pandas(df), epochs_cap=2.0,
+                         budget_frac=0.5)
+    assert out["lang"].tolist() == ["a", "b"]
+    total = 10 + 100 * 100
+    a_row = out[out["lang"] == "a"].iloc[0]
+    assert a_row["budget_chars"] == pytest.approx(20.0)  # 2 epochs × 10
+    b_row = out[out["lang"] == "b"].iloc[0]
+    assert b_row["budget_chars"] == pytest.approx(0.5 * total - 20.0)
+    assert out["weight"].sum() == pytest.approx(1.0, abs=1e-5)
+
+
+def test_unimax_uniform_when_budget_small(ray_session):
+    from data_quality_automated_evaluator_ray.stages.selection import (
+        unimax_budgets)
+
+    # when no language caps out, allocation is exactly uniform
+    df = pd.DataFrame({"lang": ["a", "b", "c"] * 50,
+                       "n_chars": [1000, 2000, 3000] * 50})
+    out = unimax_budgets(ray.data.from_pandas(df), epochs_cap=10.0,
+                         budget_frac=0.3)
+    budget = 0.3 * df["n_chars"].sum()
+    assert np.allclose(out["budget_chars"], budget / 3, atol=1e-4)
+    assert np.allclose(out["weight"], 1 / 3, atol=1e-6)
+
+
+def test_unimax_validates_and_handles_empty(ray_session):
+    from data_quality_automated_evaluator_ray.stages.selection import (
+        unimax_budgets)
+
+    df = pd.DataFrame({"lang": ["a"], "n_chars": [1]})
+    with pytest.raises(ValueError):
+        unimax_budgets(ray.data.from_pandas(df), epochs_cap=0)
+    with pytest.raises(ValueError):
+        unimax_budgets(ray.data.from_pandas(df), budget_frac=1.5)
+    empty = unimax_budgets(
+        ray.data.from_pandas(df).filter(lambda r: False))
+    assert len(empty) == 0
+    assert list(empty.columns) == ["lang", "n_chars", "budget_chars",
+                                   "weight"]
