@@ -324,3 +324,98 @@ def grouped_ntile(ds: "ray.data.Dataset", *, value_col: str,
 
     return partitioned_groupby(narrow, gkeys, _tile_part,
                                num_partitions=num_partitions)
+
+
+def bestfit_pack(ds: "ray.data.Dataset", capacity: int, *,
+                 part_col: str = "lang", id_col: str = "doc_id",
+                 text_col: str = "text",
+                 num_partitions: int = 64) -> "ray.data.Dataset":
+    """Best-Fit-Decreasing sequence packing ("Fewer Truncations Improve
+    Language Modeling", Ding et al. 2024, arXiv:2404.10830 §3): instead of
+    concat-and-chunk (:func:`pack_sequences`, which truncates documents at
+    every chunk boundary), place each document WHOLE into the fullest
+    training sequence that still has room, opening a new sequence when none
+    does — the paper's BFD instantiation of bin packing, which removes
+    ~99% of truncations at equal padding cost.
+
+    Pinned spec (deterministic, partitioning-independent, replayed by a
+    DuckDB recursive CTE):
+
+    * per ``part_col`` group, documents are visited in
+      ``(token_count DESC, id ASC)`` order (the "decreasing" in BFD);
+    * token count = whitespace tokens (``_WS_TOKEN_PATTERN``, the same
+      family every oracle tokenizes with); null text counts 0;
+    * each document goes to the candidate bin (``load + n <= capacity``)
+      with the LARGEST load, ties broken by smallest bin id; no candidate
+      → a new bin (ids assigned 1, 2, … per group in creation order).
+      A document longer than ``capacity`` opens a bin whose load exceeds
+      the capacity and therefore never admits another document — the
+      degenerate case needs no special branch on either engine.
+
+    Scale shape: ONE narrow projection (id, part, tokens — text never
+    leaves its batch), one coarse hash shuffle co-locating each part
+    group (:func:`partitioned_groupby`). The replay inside a partition is
+    the published algorithm's sequential loop — one vectorized
+    masked-argmax over the group's bin loads per document (argmax returns
+    the first maximum, which IS the smallest-id tiebreak). The paper's
+    production variant swaps that scan for a segment tree keyed by load;
+    the scan keeps bit-identical assignments and is the honest choice
+    until a single part group exceeds ~10^5 documents — shard such groups
+    upstream (e.g. pack per (lang, shard)) exactly as the paper packs per
+    training shard, not per corpus.
+
+    Returns ``(part_col, id_col, n_tokens, bin_id)``.
+    """
+    if capacity <= 0:
+        raise ValueError("capacity must be positive")
+
+    def _narrow(b: pa.Table) -> pa.Table:
+        t = pc.cast(b.column(text_col), pa.string())
+        toks = pc.fill_null(
+            pc.cast(pc.count_substring_regex(t, _WS_TOKEN_PATTERN),
+                    pa.int64()), 0)
+        return pa.table({part_col: b.column(part_col),
+                         id_col: pc.cast(b.column(id_col), pa.int64()),
+                         "n_tokens": toks})
+
+    narrow = ds.select_columns([part_col, id_col, text_col]).map_batches(
+        _narrow, batch_format="pyarrow")
+
+    def _pack(part: pd.DataFrame) -> pd.DataFrame:
+        from .partitioning import exact_factorize
+
+        part = part.sort_values(["n_tokens", id_col],
+                                ascending=[False, True],
+                                kind="mergesort").reset_index(drop=True)
+        codes, _ = exact_factorize(part[part_col])
+        if len(codes) and (codes < 0).any():  # null part value is a group
+            codes = np.where(codes < 0, codes.max() + 1, codes)
+        ns = part["n_tokens"].to_numpy(dtype=np.int64)
+        bin_ids = np.zeros(len(part), dtype=np.int64)
+        # the sort above interleaves part groups; replay each group's BFD
+        # loop over its own positions (stable order preserved)
+        for g in range(codes.max() + 1 if len(codes) else 0):
+            pos = np.flatnonzero(codes == g)
+            loads = np.empty(len(pos), dtype=np.int64)
+            n_bins = 0
+            for j, p in enumerate(pos):
+                n = ns[p]
+                if n_bins:
+                    cand = loads[:n_bins] + n <= capacity
+                    if cand.any():
+                        # first max among candidates == smallest bin id
+                        masked = np.where(cand, loads[:n_bins], -1)
+                        i = int(np.argmax(masked))
+                        loads[i] += n
+                        bin_ids[p] = i + 1
+                        continue
+                loads[n_bins] = n
+                n_bins += 1
+                bin_ids[p] = n_bins
+        part["bin_id"] = bin_ids
+        return part[[part_col, id_col, "n_tokens", "bin_id"]]
+
+    from .partitioning import partitioned_groupby
+
+    return partitioned_groupby(narrow, [part_col], _pack,
+                               num_partitions=num_partitions)

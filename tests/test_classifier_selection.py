@@ -122,3 +122,62 @@ def test_unimax_validates_and_handles_empty(ray_session):
     assert len(empty) == 0
     assert list(empty.columns) == ["lang", "n_chars", "budget_chars",
                                    "weight"]
+
+
+def _bfd_oracle(rows, capacity):
+    """Plain-Python BFD replay: rows = [(part, id, n)] → {(part,id): bin}."""
+    from collections import defaultdict
+
+    by_part = defaultdict(list)
+    for p, i, n in rows:
+        by_part[p].append((i, n))
+    out = {}
+    for p, docs in by_part.items():
+        docs.sort(key=lambda d: (-d[1], d[0]))
+        loads = []
+        for i, n in docs:
+            cands = [(L, j) for j, L in enumerate(loads) if L + n <= capacity]
+            if cands:
+                best = max(L for L, _ in cands)
+                j = next(j for j, L in enumerate(loads) if L == best)
+                loads[j] += n
+                out[(p, i)] = j + 1
+            else:
+                loads.append(n)
+                out[(p, i)] = len(loads)
+    return out
+
+
+def test_bestfit_pack_adversarial(ray_session):
+    """Oversize docs (singleton bins), tie-breaks on equal loads, a null
+    part group, and empty text — vs an independent plain-Python replay."""
+    from data_quality_automated_evaluator_ray.stages.packing import bestfit_pack
+
+    texts = {0: "a " * 6, 1: "b " * 5, 2: "c " * 5, 3: "d " * 3,
+             4: "e " * 2, 5: "f " * 2, 6: "g " * 30,  # oversize (cap 10)
+             7: "", 8: None, 9: "h " * 4, 10: "i " * 4, 11: "j " * 4}
+    df = pd.DataFrame({
+        "doc_id": np.arange(12, dtype=np.int64),
+        "lang": ["x"] * 7 + [None, None] + ["y"] * 3,
+        "text": [texts[i] for i in range(12)],
+    })
+    out = bestfit_pack(ray.data.from_pandas(df), capacity=10,
+                       num_partitions=4).to_pandas()
+    assert len(out) == 12
+    ns = {i: (len(texts[i].split()) if texts[i] else 0) for i in texts}
+    want = _bfd_oracle([(df["lang"][i], i, ns[i]) for i in range(12)], 10)
+    got = {(r["lang"], r["doc_id"]): r["bin_id"]
+           for _, r in out.iterrows()}
+    assert got == want
+    # oversize doc sits alone and nothing joins it
+    over_bin = got[("x", 6)]
+    assert sum(1 for (p, _), b in got.items()
+               if p == "x" and b == over_bin) == 1
+
+
+def test_bestfit_pack_validates(ray_session):
+    from data_quality_automated_evaluator_ray.stages.packing import bestfit_pack
+
+    df = pd.DataFrame({"doc_id": [1], "lang": ["x"], "text": ["a"]})
+    with pytest.raises(ValueError):
+        bestfit_pack(ray.data.from_pandas(df), capacity=0)
