@@ -1086,3 +1086,116 @@ def c4_clean(batch: pa.Table, text_col: str = "text", *,
             .append_column("text_clean", text_clean)
             .append_column("n_lines_kept", pa.array(n_kept, pa.int64()))
             .append_column("c4_kept", pa.array(c4_kept, pa.bool_())))
+
+
+# The Stack / StarCoder code-filter family. Patterns are RE2 on BOTH engines
+# (pyarrow and DuckDB) — parity of the matched-char totals is what the SQL
+# oracle hashes, so only RE2-portable constructs may appear here.
+STACK_BASE64_PATTERN = r"[a-zA-Z0-9+/\n=]{64,}"
+STACK_HEX_PATTERN = r"\b(?:0x|\\x)?[0-9a-fA-F]{8,}\b"
+STACK_UESC_PATTERN = r"(?:\\u[0-9a-fA-F]{4})"
+STACK_XML_MARKER = "<?xml version="
+
+STACK_SIGNAL_COLS = ["avg_line_len", "max_line_len", "alnum_frac",
+                     "xml_header", "base64_frac", "hex_frac", "uesc_frac",
+                     "stack_keep"]
+
+
+def stack_rules(batch: pa.Table, text_col: str = "content", *,
+                max_avg_line_len: float = 100.0,
+                max_line_len_cap: int = 1000,
+                min_alnum_frac: float = 0.25,
+                xml_head_chars: int = 100,
+                max_base64_frac: float = 0.5,
+                max_hex_frac: float = 0.5,
+                max_uesc_frac: float = 0.5) -> pa.Table:
+    """The Stack / StarCoder source-file filters (Kocetkov et al. 2022 §2.2
+    preprocessing; Li et al. 2023 §3.1 "basic" + encoded-data filters), with
+    the exact definitions pinned here and in the SQL oracle.
+
+    Appended columns (metric columns null for null text, stack_keep false):
+
+    avg_line_len  — mean codepoint length over split('\\n') lines
+    max_line_len  — max codepoint line length (float64 like every other
+                    metric column — int-with-nulls degrades to float in
+                    pandas anyway; 0 for empty text)
+    alnum_frac    — [a-zA-Z0-9] codepoints / total codepoints (ASCII
+                    alphanumeric, the published definition)
+    xml_header    — '<?xml version=' occurs in the first xml_head_chars
+                    codepoints (the auto-generated-XML check; non-null —
+                    false for null text, unlike the numeric metrics)
+    base64_frac / hex_frac / uesc_frac — codepoints inside matches of the
+                    published base64 / hexadecimal / unicode-escape run
+                    patterns, as a fraction of total codepoints (BigCode
+                    preprocessing's "encoded data" filters)
+    stack_keep    — every threshold passes
+
+    Fully vectorized: line stats ride the shared split-with-parents +
+    np.bincount shape; the encoded-data fractions are ONE RE2 strip each
+    (len(text) - len(regexp_replace(text, pat, ''))), identical math to the
+    DuckDB oracle.
+    """
+    n = batch.num_rows
+    col = batch.column(text_col)
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    null_mask = np.asarray(pc.is_null(col).to_numpy(zero_copy_only=False),
+                           dtype=bool)
+
+    _, lflat, lpar = _split_with_parents(col, "\n", regex=False)
+    llen = pc.utf8_length(lflat).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    nl_safe = np.maximum(np.bincount(lpar, minlength=n), 1).astype(np.float64)
+    avg_line_len = np.bincount(lpar, weights=llen, minlength=n) / nl_safe
+    max_line_len = np.zeros(n, dtype=np.int64)
+    np.maximum.at(max_line_len, lpar, llen)
+
+    tchars = pc.fill_null(pc.utf8_length(col), 0) \
+        .to_numpy(zero_copy_only=False).astype(np.float64)
+    tchars_safe = np.maximum(tchars, 1.0)
+
+    def _frac(counts) -> np.ndarray:
+        vals = pc.fill_null(counts, 0).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return vals / tchars_safe
+
+    alnum_frac = _frac(pc.count_substring_regex(col, "[a-zA-Z0-9]"))
+
+    def _strip_frac(pattern: str) -> np.ndarray:
+        # integer subtraction BEFORE the divide, same order as the oracle's
+        # (length(t) - length(regexp_replace(...))) / greatest(length(t),1)
+        kept = pc.fill_null(
+            pc.utf8_length(pc.replace_substring_regex(col, pattern, "")), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        return (tchars - kept) / tchars_safe
+
+    base64_frac = _strip_frac(STACK_BASE64_PATTERN)
+    hex_frac = _strip_frac(STACK_HEX_PATTERN)
+    uesc_frac = _strip_frac(STACK_UESC_PATTERN)
+
+    head = pc.utf8_slice_codeunits(col, 0, xml_head_chars)
+    xml_header = np.asarray(
+        pc.fill_null(pc.match_substring(head, STACK_XML_MARKER), False)
+        .to_numpy(zero_copy_only=False), dtype=bool)
+
+    stack_keep = (
+        (~null_mask)
+        & (avg_line_len <= max_avg_line_len)
+        & (max_line_len <= max_line_len_cap)
+        & (alnum_frac >= min_alnum_frac)
+        & ~xml_header
+        & (base64_frac <= max_base64_frac)
+        & (hex_frac <= max_hex_frac)
+        & (uesc_frac <= max_uesc_frac))
+
+    def _m(vals, typ=pa.float64()):
+        return pa.array(vals, type=typ, mask=null_mask)
+
+    return (batch
+            .append_column("avg_line_len", _m(avg_line_len))
+            .append_column("max_line_len", _m(max_line_len.astype(np.float64)))
+            .append_column("alnum_frac", _m(alnum_frac))
+            .append_column("xml_header", pa.array(xml_header, pa.bool_()))
+            .append_column("base64_frac", _m(base64_frac))
+            .append_column("hex_frac", _m(hex_frac))
+            .append_column("uesc_frac", _m(uesc_frac))
+            .append_column("stack_keep", pa.array(stack_keep, pa.bool_())))

@@ -800,3 +800,58 @@ def test_fineweb_keep_thresholds():
     df = fineweb_rules(t, short_line_chars=30).to_pandas()
     assert df.loc[0, "fineweb_keep"]
     assert not df.loc[1, "fineweb_keep"]  # punct_line_frac 0 < 0.12
+
+
+# ---------------------------------------------------------------------------
+# The Stack / StarCoder code filters (stages/text.stack_rules) — branches the
+# synthetic corpus never produces (XML header, hex/uesc trips) plus the
+# null/empty semantics the oracle pins
+# ---------------------------------------------------------------------------
+def _stack(texts, **kw):
+    from data_quality_automated_evaluator_ray.stages.text import stack_rules
+
+    t = pa.table({"content": pa.array(texts, pa.string())})
+    return stack_rules(t, **kw).to_pandas()
+
+
+def test_stack_rules_line_and_alnum_metrics():
+    df = _stack([
+        "ab\ncdef\n",          # lines: 'ab','cdef','' → avg 2.0, max 4
+        "x" * 1200,            # max-line trip
+        "++ -- ;; :: !!",      # alnum_frac 0 → trip
+    ])
+    assert df.loc[0, "avg_line_len"] == pytest.approx(2.0)
+    assert df.loc[0, "max_line_len"] == 4.0
+    assert df.loc[0, "stack_keep"]
+    assert not df.loc[1, "stack_keep"] and df.loc[1, "max_line_len"] == 1200
+    assert df.loc[2, "alnum_frac"] == 0.0 and not df.loc[2, "stack_keep"]
+
+
+def test_stack_rules_xml_header_window():
+    inside = '<?xml version="1.0"?>\n<a/>'
+    beyond = "x" * 100 + '<?xml version="1.0"?>'  # starts past char 100
+    df = _stack([inside, beyond])
+    assert df.loc[0, "xml_header"].item() and not df.loc[0, "stack_keep"]
+    assert not df.loc[1, "xml_header"].item()
+
+
+def test_stack_rules_encoded_data_fractions():
+    b64 = "QUJD" * 20  # 80 chars of the base64 alphabet in one run
+    hexs = "0xDEADBEEF00 0xCAFEBABE11 0xDEADBEEF22"
+    uesc = "\\u0041" * 10
+    df = _stack([b64, hexs, uesc, "plain code()"])
+    assert df.loc[0, "base64_frac"] == pytest.approx(1.0)
+    assert not df.loc[0, "stack_keep"]
+    assert df.loc[1, "hex_frac"] == pytest.approx(36 / 38)
+    assert not df.loc[1, "stack_keep"]
+    assert df.loc[2, "uesc_frac"] == pytest.approx(1.0)
+    assert not df.loc[2, "stack_keep"]
+    assert df.loc[3, "base64_frac"] == 0.0 and df.loc[3, "hex_frac"] == 0.0
+
+
+def test_stack_rules_null_and_empty():
+    df = _stack([None, ""])
+    assert np.isnan(df.loc[0, "avg_line_len"])
+    assert not df.loc[0, "xml_header"].item()  # non-null by contract
+    assert not df.loc[0, "stack_keep"] and not df.loc[1, "stack_keep"]
+    assert df.loc[1, "avg_line_len"] == 0.0 and df.loc[1, "alnum_frac"] == 0.0
