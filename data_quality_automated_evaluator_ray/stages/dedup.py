@@ -686,3 +686,142 @@ def fuzzy_link(left: "ray.data.Dataset", right: "ray.data.Dataset", *,
                          "jaccard": pa.array(jac[keep], pa.float64())})
 
     return inter.map_batches(_score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter paragraph dedup (the Dolma "BFF" deduper, Soldaini et al.
+# 2024, arXiv:2402.00159 App. C): every paragraph is checked against a
+# Bloom filter that earlier paragraphs populated, so a paragraph is removed
+# when it is a TRUE duplicate of an earlier one OR a FALSE POSITIVE whose k
+# bit positions were all set by other paragraphs — the FP behavior is part
+# of the published semantics, reproduced here deterministically.
+#
+# Order-exact distributed re-expression: with occurrences totally ordered
+# by okey = "repo/path#pidx" (lexicographic — UTF-8 byte order in DuckDB ==
+# code-point order in Python), streaming-BFF removal is equivalent to
+#     removed(o)  ⟺  max_i( first_setter(pos_i(o)) ) < okey(o)
+# where first_setter(p) = min okey over occurrences hashing to bit p. So
+# ONE coarse shuffle of narrow (pos, okey) pairs computes first_setter, the
+# ≤m-row table broadcasts via ray.put (BFF itself holds the whole bitmap in
+# every worker's RAM — the broadcast IS the published memory shape), and a
+# second streaming pass flags occurrences. Paragraph text never shuffles.
+# ---------------------------------------------------------------------------
+BLOOM_M_DEFAULT = 1 << 17  # MUST be a power of two: numpy's uint64 wrap is
+BLOOM_K_DEFAULT = 3        # then exact mod-m (m divides 2^64), matching the
+#                            oracle's unwrapped HUGEINT (h1 + i*h2) % m
+
+
+def _bloom_occurrences(batch: pa.Table, text_col: str, m: int, k: int):
+    """Flat (okey object-array, positions (n, k) int64, parent row index)
+    for every ≥1-char paragraph ('\\n\\n' split, 0-based index over the
+    full split list including empties, which are skipped but indexed)."""
+    col = batch.column(text_col)
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    lst = pc.split_pattern(pc.cast(col, pa.string()), "\n\n")
+    flat = pc.list_flatten(lst)
+    par = pc.list_parent_indices(lst).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    # 0-based index within each row's split list
+    counts = pc.fill_null(pc.list_value_length(lst), 0) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    pidx = np.arange(len(par), dtype=np.int64) - starts[par]
+    keep = pc.utf8_length(flat).to_numpy(zero_copy_only=False) >= 1
+    keep &= ~np.asarray(pc.is_null(flat).to_numpy(zero_copy_only=False),
+                        dtype=bool)
+    par, pidx = par[keep], pidx[keep]
+    if int(pidx.max(initial=0)) >= 1_000_000:
+        raise ValueError("bloom_dedup okey encodes the paragraph index "
+                         "zero-padded to 6 digits; a document with ≥1e6 "
+                         "paragraphs breaks the total order")
+    paras = pc.filter(flat, pa.array(keep)).to_pylist()
+
+    # hash distinct paragraphs only (batches repeat boilerplate paragraphs);
+    # exact_factorize keeps NUL-embedded paragraphs distinct
+    from .partitioning import exact_factorize
+    codes, uniq = exact_factorize(pd.Series(np.asarray(paras, dtype=object)))
+    md5 = hashlib.md5
+    dig = [md5(u.encode("utf-8")).digest() for u in uniq]
+    from_bytes = int.from_bytes
+    h1 = np.fromiter((from_bytes(d[:8], "big") for d in dig),
+                     dtype=np.uint64, count=len(dig))
+    h2 = np.fromiter((from_bytes(d[8:16], "big") for d in dig),
+                     dtype=np.uint64, count=len(dig)) | np.uint64(1)
+    mask = np.uint64(m - 1)
+    upos = np.empty((len(dig), k), dtype=np.int64)
+    for i in range(k):
+        upos[:, i] = ((h1 + np.uint64(i) * h2) & mask).astype(np.int64)
+    pos = upos[codes] if len(codes) else upos.reshape(0, k)
+
+    repo = batch.column("repo").to_numpy(zero_copy_only=False)[par]
+    path = batch.column("path").to_numpy(zero_copy_only=False)[par]
+    okey = np.array([f"{r}/{p}#{i:06d}"
+                     for r, p, i in zip(repo, path, pidx)], dtype=object)
+    return okey, pos, par
+
+
+def bloom_dedup(ds: "ray.data.Dataset", *, text_col: str = "content",
+                m: int = BLOOM_M_DEFAULT, k: int = BLOOM_K_DEFAULT,
+                max_dup_frac: float = 0.5,
+                num_partitions: int = 64) -> "ray.data.Dataset":
+    """→ (repo, path, n_paras, n_dup_paras, dup_frac, bff_keep) per doc.
+
+    ``n_paras`` counts ≥1-char '\\n\\n' paragraphs; ``n_dup_paras`` counts
+    those streaming-BFF would skip (true dup of an earlier paragraph, or
+    Bloom false positive); ``bff_keep`` = dup_frac ≤ max_dup_frac (docs
+    with no paragraphs keep: nothing to dedup). ``m`` must be a power of
+    two and small enough for the ≤m-row first-setter table to broadcast
+    (the same per-worker-RAM bound the published filter has).
+    """
+    if m & (m - 1):
+        raise ValueError(f"m must be a power of two, got {m}")
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        okey, pos, _ = _bloom_occurrences(batch, text_col, m, k)
+        if not len(okey):
+            return pa.table({"pos": pa.array([], pa.int64()),
+                             "okey": pa.array([], pa.string())})
+        flat_pos = pos.reshape(-1)
+        flat_key = np.repeat(okey, k)
+        # per-batch combiner: min okey per pos (int keys — NUL-irrelevant)
+        df = pd.DataFrame({"pos": flat_pos, "okey": flat_key})
+        g = df.groupby("pos", sort=False)["okey"].min().reset_index()
+        return pa.table({"pos": pa.array(g["pos"], pa.int64()),
+                         "okey": pa.array(g["okey"], pa.string())})
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow")
+    first = _apply_per_bucket(
+        partials, ["pos"],
+        lambda part: part.groupby("pos", as_index=False, sort=False)
+        .agg(okey=("okey", "min")),
+        num_partitions=num_partitions).to_pandas()  # ≤ m rows by design
+
+    setter = np.empty(m, dtype=object)  # dense: pos → first-setter okey
+    if len(first):
+        setter[first["pos"].to_numpy(dtype=np.int64)] = \
+            first["okey"].to_numpy(dtype=object)
+    setter_ref = ray.put(setter)
+
+    def _flag(batch: pa.Table) -> pa.Table:
+        s = ray.get(setter_ref)
+        okey, pos, par = _bloom_occurrences(batch, text_col, m, k)
+        n = batch.num_rows
+        n_paras = np.bincount(par, minlength=n).astype(np.int64)
+        if len(okey):
+            firsts = s[pos]                      # (n_occ, k) object
+            maxfirst = firsts.max(axis=1)        # lexicographic max
+            removed = maxfirst < okey
+            n_dup = np.bincount(par[removed], minlength=n).astype(np.int64)
+        else:
+            n_dup = np.zeros(n, dtype=np.int64)
+        dup_frac = n_dup / np.maximum(n_paras, 1)
+        return pa.table({
+            "repo": batch.column("repo"),
+            "path": batch.column("path"),
+            "n_paras": pa.array(n_paras, pa.int64()),
+            "n_dup_paras": pa.array(n_dup, pa.int64()),
+            "dup_frac": pa.array(dup_frac, pa.float64()),
+            "bff_keep": pa.array(dup_frac <= max_dup_frac, pa.bool_()),
+        })
+
+    return ds.map_batches(_flag, batch_format="pyarrow")

@@ -855,3 +855,61 @@ def test_stack_rules_null_and_empty():
     assert not df.loc[0, "xml_header"].item()  # non-null by contract
     assert not df.loc[0, "stack_keep"] and not df.loc[1, "stack_keep"]
     assert df.loc[1, "avg_line_len"] == 0.0 and df.loc[1, "alnum_frac"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter paragraph dedup (stages/dedup.bloom_dedup) — streaming-order
+# semantics and the deterministic false-positive branch the published BFF
+# filter has by design
+# ---------------------------------------------------------------------------
+def _bloom(rows, **kw):
+    import ray.data
+    from data_quality_automated_evaluator_ray.stages.dedup import bloom_dedup
+
+    ds = ray.data.from_items(rows)
+    return (bloom_dedup(ds, **kw).to_pandas()
+            .set_index("path").sort_index())
+
+
+def test_bloom_dedup_true_duplicates_keep_first(ray_session):
+    df = _bloom([
+        {"repo": "r", "path": "a", "content": "AAA\n\nBBB"},
+        {"repo": "r", "path": "b", "content": "AAA\n\nCCC"},  # AAA is a dup
+        {"repo": "r", "path": "c", "content": "AAA\n\nBBB"},  # both dups
+    ])
+    assert df.loc["a", "n_dup_paras"] == 0 and df.loc["a", "bff_keep"].item()
+    assert df.loc["b", "n_dup_paras"] == 1  # AAA seen at r/a#000000
+    assert df.loc["c", "n_dup_paras"] == 2 and not df.loc["c", "bff_keep"].item()
+    assert df.loc["b", "dup_frac"] == pytest.approx(0.5)
+
+
+def test_bloom_dedup_false_positive_at_tiny_m(ray_session):
+    # m=2 bits, k=1: every paragraph hashes to one of two positions, so a
+    # SECOND distinct paragraph landing on an already-set bit is flagged —
+    # the Bloom false positive the published semantics includes. With 8
+    # distinct single-paragraph docs, ≥6 must collide into the 2 bits.
+    df = _bloom([{"repo": "r", "path": f"p{i}", "content": f"para-{i}"}
+                 for i in range(8)], m=2, k=1)
+    assert df["n_dup_paras"].sum() >= 6
+    # the lexicographically-first occurrence per bit survives
+    assert (df["n_dup_paras"] == 0).sum() <= 2
+
+
+def test_bloom_dedup_null_empty_and_order(ray_session):
+    df = _bloom([
+        {"repo": "r", "path": "x", "content": None},
+        {"repo": "r", "path": "y", "content": ""},
+        {"repo": "r", "path": "z", "content": "\n\n\n\nSOLO"},  # 2 empty paras skipped
+    ])
+    assert df.loc["x", "n_paras"] == 0 and df.loc["x", "bff_keep"].item()
+    assert df.loc["y", "n_paras"] == 0
+    assert df.loc["z", "n_paras"] == 1 and df.loc["z", "n_dup_paras"] == 0
+
+
+def test_bloom_dedup_power_of_two_guard(ray_session):
+    import ray.data
+    from data_quality_automated_evaluator_ray.stages.dedup import bloom_dedup
+
+    with pytest.raises(ValueError, match="power of two"):
+        bloom_dedup(ray.data.from_items([{"repo": "r", "path": "a",
+                                          "content": "x"}]), m=100)
