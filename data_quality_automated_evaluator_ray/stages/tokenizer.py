@@ -1,0 +1,134 @@
+"""BPE tokenizer training over a corpus (Sennrich et al. 2016,
+arXiv:1508.07909) — the learn-merges half of the classic subword pipeline.
+
+Scale shape (the one production BPE training actually uses — GPT-2 and
+friends train on a word histogram, not on raw text): the corpus-wide
+WORD COUNT is the only distributed step — per-batch Arrow value_counts
+combiner → ONE coarse token shuffle (partitioned_groupby, vocab-bounded)
+→ a ≤|vocab|-row table on the driver. The merge loop then iterates over
+that small table with flat numpy arrays; corpus text is read once and
+never shuffled.
+
+Pinned semantics (replayed verbatim by the unrolled-CTE DuckDB oracle in
+pipelines/queries.py):
+* words     — whitespace tokens on the engine-wide ASCII class
+              ``[ \\t\\n\\r]+``; initial symbols = unicode codepoints
+              (the no-end-marker variant).
+* ranking   — pair counts sum word frequencies over ALL adjacent symbol
+              pairs (overlapping, ``zip(w, w[1:])`` — Sennrich's
+              get_stats); best = highest count, ties by ascending
+              (left, right) string order.
+* applying  — greedy left-to-right non-overlapping within each word:
+              inside a run of consecutive match positions only every
+              other match (from the run start) merges, which is exactly
+              the greedy scan's behavior on same-symbol runs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from .partitioning import exact_factorize, partitioned_groupby
+from .text import _whitespace_token_counts
+
+
+def word_histogram(ds: "ray.data.Dataset", *, text_col: str = "text",
+                   min_count: int = 1,
+                   num_partitions: int = 64) -> pd.DataFrame:
+    """Corpus-wide (word, f) counts — combiner-first, one narrow shuffle,
+    ≤|vocab| rows to the driver. ``min_count`` prunes the long tail before
+    it ships (at web scale the histogram is Zipfian; pruning singletons
+    bounds the driver table the way published tokenizer training does)."""
+    def _partial(batch: pa.Table) -> pa.Table:
+        toks, counts = _whitespace_token_counts(batch.column(text_col))
+        return pa.table({"word": pa.array(toks, pa.string()),
+                         "f": pa.array(counts, pa.int64())})
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow")
+    merged = partitioned_groupby(
+        partials, ["word"],
+        lambda part: part.groupby("word", as_index=False, sort=False)
+        .agg(f=("f", "sum")),
+        num_partitions=num_partitions).to_pandas()
+    if merged.empty:
+        return pd.DataFrame({"word": pd.Series(dtype=object),
+                             "f": pd.Series(dtype="int64")})
+    return merged[merged["f"] >= min_count].reset_index(drop=True)
+
+
+def _flat_symbols(words: np.ndarray) -> "tuple[np.ndarray, np.ndarray]":
+    """(syms object-array, word-id per symbol) for the initial
+    one-codepoint-per-symbol state. Driver-side over the ≤|vocab| word
+    table — the per-word Python list() is not a hot path by design."""
+    per_word = [list(w) for w in words]
+    lens = np.fromiter((len(p) for p in per_word), dtype=np.int64,
+                       count=len(per_word))
+    syms = np.array([s for p in per_word for s in p], dtype=object)
+    wid = np.repeat(np.arange(len(words), dtype=np.int64), lens)
+    return syms, wid
+
+
+def bpe_merges_from_histogram(words: np.ndarray, freqs: np.ndarray,
+                              n_merges: int) -> pd.DataFrame:
+    """The merge loop → (rank, left_sym, right_sym, pair_count) rows.
+
+    Raises ValueError (fail loud, engine policy) if the histogram runs out
+    of mergeable pairs before ``n_merges`` — the unrolled SQL oracle has a
+    fixed depth and cannot stop early."""
+    syms, wid = _flat_symbols(words)
+    out = []
+    for rank in range(1, n_merges + 1):
+        valid = np.flatnonzero(wid[:-1] == wid[1:]) if len(syms) > 1 \
+            else np.array([], dtype=np.int64)
+        if not len(valid):
+            raise ValueError(
+                f"corpus ran out of mergeable pairs after {rank - 1} "
+                f"merges (n_merges={n_merges})")
+        l, r = syms[valid], syms[valid + 1]
+        w = freqs[wid[valid]].astype(np.float64)
+        # count (l, r) pairs weighted by word freq — NUL-safe factorize
+        lc, lu = exact_factorize(pd.Series(l))
+        rc, ru = exact_factorize(pd.Series(r))
+        code = lc.astype(np.int64) * len(ru) + rc
+        cnt = np.bincount(code, weights=w, minlength=len(lu) * len(ru))
+        best_cnt = cnt.max()
+        ties = np.flatnonzero(cnt == best_cnt)
+        # ties by ascending (left, right): object-array lexsort
+        tie_l = np.asarray(lu, dtype=object)[ties // len(ru)]
+        tie_r = np.asarray(ru, dtype=object)[ties % len(ru)]
+        pick = np.lexsort((tie_r, tie_l))[0]
+        L, R = tie_l[pick], tie_r[pick]
+        out.append((rank, L, R, int(best_cnt)))
+
+        # greedy left-to-right apply: every other match inside each run
+        # of consecutive match positions. Match via the factorize CODES,
+        # never `l == L` — numpy coerces the str scalar to fixed-width
+        # unicode whose trailing NULs are padding, so '\x00' compares
+        # as '' and a NUL symbol would never merge.
+        lcode, rcode = ties[pick] // len(ru), ties[pick] % len(ru)
+        m = valid[(lc == lcode) & (rc == rcode)]  # flat pair-start positions
+        grp = m - np.arange(len(m))             # constant per consecutive run
+        first = np.r_[True, grp[1:] != grp[:-1]]
+        run_start = np.maximum.accumulate(
+            np.where(first, np.arange(len(m)), 0))
+        taken = m[(np.arange(len(m)) - run_start) % 2 == 0]
+        syms[taken] = L + R
+        keep = np.ones(len(syms), dtype=bool)
+        keep[taken + 1] = False
+        syms, wid = syms[keep], wid[keep]
+    return pd.DataFrame(out, columns=["rank", "left_sym", "right_sym",
+                                      "pair_count"])
+
+
+def bpe_train(ds: "ray.data.Dataset", *, text_col: str = "text",
+              n_merges: int = 8, min_count: int = 1) -> pd.DataFrame:
+    """Distributed word histogram + driver merge loop →
+    (rank, left_sym, right_sym, pair_count), rank 1..n_merges."""
+    hist = word_histogram(ds, text_col=text_col, min_count=min_count)
+    return bpe_merges_from_histogram(
+        hist["word"].to_numpy(dtype=object),
+        hist["f"].to_numpy(dtype=np.int64), n_merges)

@@ -913,3 +913,84 @@ def test_bloom_dedup_power_of_two_guard(ray_session):
     with pytest.raises(ValueError, match="power of two"):
         bloom_dedup(ray.data.from_items([{"repo": "r", "path": "a",
                                           "content": "x"}]), m=100)
+
+
+# ---------------------------------------------------------------- BPE train
+
+def _bpe_hist(corpus_counts):
+    import numpy as np
+    from data_quality_automated_evaluator_ray.stages.tokenizer import (
+        bpe_merges_from_histogram)
+    words = np.array([w for w, _ in corpus_counts], dtype=object)
+    freqs = np.array([f for _, f in corpus_counts], dtype=np.int64)
+    return bpe_merges_from_histogram, words, freqs
+
+
+def test_bpe_sennrich_classic_example():
+    # Sennrich et al. 2016 §3.2 toy corpus (no end-of-word marker variant):
+    # low×5 lower×2 newest×6 widest×3 → first merges (e,s), (es,t), then
+    # ties broken by ascending (left, right).
+    fn, words, freqs = _bpe_hist(
+        [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)])
+    df = fn(words, freqs, 4)
+    assert list(df.itertuples(index=False, name=None))[:2] == [
+        (1, "e", "s", 9), (2, "es", "t", 9)]
+    # merge 3: remaining pair counts — lo appears in low(5)+lower(2)=7,
+    # which beats ow(7)? tie → ascending (left,right): "lo" < "ow"
+    assert tuple(df.iloc[2][["left_sym", "right_sym", "pair_count"]]) \
+        == ("l", "o", 7)
+
+
+def test_bpe_same_symbol_run_every_other():
+    # "aaaa": pairs (a,a) at 0,1,2 — greedy non-overlapping takes 0 and 2
+    # → "aa"+"aa"; next merge is (aa,aa).
+    fn, words, freqs = _bpe_hist([("aaaa", 1)])
+    df = fn(words, freqs, 2)
+    assert tuple(df.iloc[0][["left_sym", "right_sym", "pair_count"]]) \
+        == ("a", "a", 3)
+    assert tuple(df.iloc[1][["left_sym", "right_sym", "pair_count"]]) \
+        == ("aa", "aa", 1)
+
+
+def test_bpe_overlapping_counts_but_greedy_apply():
+    # "aaa"×2: count is 2 overlapping pairs ×2 words = 4; apply merges only
+    # position 0 → "aa","a"; next best is (aa,a) with count 2.
+    fn, words, freqs = _bpe_hist([("aaa", 2)])
+    df = fn(words, freqs, 2)
+    assert tuple(df.iloc[0]) == (1, "a", "a", 4)
+    assert tuple(df.iloc[1]) == (2, "aa", "a", 2)
+
+
+def test_bpe_exhaustion_fails_loud():
+    fn, words, freqs = _bpe_hist([("ab", 1)])
+    with pytest.raises(ValueError, match="ran out of mergeable pairs"):
+        fn(words, freqs, 3)
+
+
+def test_bpe_train_e2e_matches_duckdb_unrolled(ray_session, tmp_path):
+    # adversarial corpus: same-symbol runs, ties, multi-space whitespace,
+    # NULs inside words, unicode
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+    from data_quality_automated_evaluator_ray.pipelines.queries import (
+        _bpe_train_sql)
+    from data_quality_automated_evaluator_ray.stages.tokenizer import bpe_train
+
+    texts = ["aaa aaa bbb\tab", "x\x00y x\x00y zz  zz", "héé héé ab ab ab",
+             None, "", "aaaa"]
+    tbl = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    got = bpe_train(ray.data.read_parquet(str(tmp_path / "documents.parquet")),
+                    n_merges=5)
+    con = duckdb.connect()
+    con.execute(f"create view documents as select * from "
+                f"'{tmp_path / 'documents.parquet'}'")
+    want = con.execute(_bpe_train_sql(5)).df()
+    got = got.sort_values("rank").reset_index(drop=True)
+    want = want.sort_values("rank").reset_index(drop=True)
+    assert got["pair_count"].astype("int64").tolist() == \
+        want["pair_count"].astype("int64").tolist()
+    assert got["left_sym"].tolist() == want["left_sym"].tolist()
+    assert got["right_sym"].tolist() == want["right_sym"].tolist()
