@@ -72,9 +72,10 @@ def _flat_symbols(words: np.ndarray) -> "tuple[np.ndarray, np.ndarray]":
     return syms, wid
 
 
-def bpe_merges_from_histogram(words: np.ndarray, freqs: np.ndarray,
-                              n_merges: int) -> pd.DataFrame:
-    """The merge loop → (rank, left_sym, right_sym, pair_count) rows.
+def _merge_loop(words: np.ndarray, freqs: np.ndarray,
+                n_merges: int) -> "tuple[pd.DataFrame, np.ndarray]":
+    """The merge loop → ((rank, left_sym, right_sym, pair_count) rows,
+    per-word token count after all merges).
 
     Raises ValueError (fail loud, engine policy) if the histogram runs out
     of mergeable pairs before ``n_merges`` — the unrolled SQL oracle has a
@@ -120,8 +121,16 @@ def bpe_merges_from_histogram(words: np.ndarray, freqs: np.ndarray,
         keep = np.ones(len(syms), dtype=bool)
         keep[taken + 1] = False
         syms, wid = syms[keep], wid[keep]
-    return pd.DataFrame(out, columns=["rank", "left_sym", "right_sym",
-                                      "pair_count"])
+    merges = pd.DataFrame(out, columns=["rank", "left_sym", "right_sym",
+                                        "pair_count"])
+    n_tokens = np.bincount(wid, minlength=len(words)).astype(np.int64)
+    return merges, n_tokens
+
+
+def bpe_merges_from_histogram(words: np.ndarray, freqs: np.ndarray,
+                              n_merges: int) -> pd.DataFrame:
+    """The merge loop → (rank, left_sym, right_sym, pair_count) rows."""
+    return _merge_loop(words, freqs, n_merges)[0]
 
 
 def bpe_train(ds: "ray.data.Dataset", *, text_col: str = "text",
@@ -132,3 +141,113 @@ def bpe_train(ds: "ray.data.Dataset", *, text_col: str = "text",
     return bpe_merges_from_histogram(
         hist["word"].to_numpy(dtype=object),
         hist["f"].to_numpy(dtype=np.int64), n_merges)
+
+
+class _FertilityPartials:
+    """Actor-pool encode pass: the word→n_tokens map (one dict build per
+    ACTOR from the broadcast vocab arrays) scores each batch's words; the
+    batch reduces to ≤(#langs+1) partial rows before anything leaves the
+    stage. Dict lookups run once per DISTINCT batch word (factorize codes
+    fan the value back out) — and Python dicts hash embedded NULs
+    correctly, unlike pandas' string hash table."""
+
+    def __init__(self, lut_ref, text_col: str, lang_col: str) -> None:
+        words, ntok = ray.get(lut_ref)
+        self.lut = dict(zip(words.tolist(), ntok.tolist()))
+        self.text_col, self.lang_col = text_col, lang_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        txt = pc.cast(batch.column(self.text_col), pa.string())
+        valid = pc.is_valid(txt)
+        langs = np.asarray(batch.column(self.lang_col).to_pylist(),
+                           dtype=object)
+        lst = pc.split_pattern_regex(pc.drop_null(txt),
+                                     pattern="[ \t\n\r]+")
+        flat = pc.list_flatten(lst)
+        par = pc.list_parent_indices(lst).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        nonempty = pc.not_equal(flat, "")
+        flat = pc.filter(flat, nonempty)
+        par = par[nonempty.to_numpy(zero_copy_only=False)]
+        vmask = valid.to_numpy(zero_copy_only=False).astype(bool)
+        lang_rows = langs[vmask]                  # langs of text-valid rows
+
+        # NUL-safe lang grouping: factorize codes, null lang = own group
+        lrow_c, lrow_u = exact_factorize(pd.Series(lang_rows))
+        nlang = len(lrow_u) + 1                    # +1 slot for null lang
+        lrow_c = np.where(lrow_c < 0, len(lrow_u), lrow_c)
+        n_docs = np.bincount(lrow_c, minlength=nlang).astype(np.int64)
+
+        n_words = np.zeros(nlang, dtype=np.int64)
+        n_tok = np.zeros(nlang, dtype=np.int64)
+        if len(par):
+            wc, wu = exact_factorize(
+                pd.Series(np.asarray(flat.to_pylist(), dtype=object)))
+            lut = self.lut
+            per_uniq = np.fromiter((lut[w] for w in wu), dtype=np.int64,
+                                   count=len(wu))  # KeyError = fail loud
+            word_lang = lrow_c[par]
+            n_words = np.bincount(word_lang, minlength=nlang) \
+                .astype(np.int64)
+            n_tok = np.bincount(word_lang, weights=per_uniq[wc].astype(
+                np.float64), minlength=nlang).astype(np.int64)
+        out_lang = list(lrow_u) + [None]
+        keep = n_docs > 0
+        return pa.table({
+            "lang": pa.array([out_lang[i] for i in range(nlang)
+                              if keep[i]], pa.string()),
+            "n_docs": pa.array(n_docs[keep], pa.int64()),
+            "n_words": pa.array(n_words[keep], pa.int64()),
+            "n_tokens": pa.array(n_tok[keep], pa.int64())})
+
+
+def bpe_fertility(ds: "ray.data.Dataset", *, text_col: str = "text",
+                  lang_col: str = "lang", n_merges: int = 8,
+                  concurrency: "tuple[int, int]" = (1, 8)) -> pd.DataFrame:
+    """Per-language tokenizer fertility after ``n_merges`` learned merges →
+    (lang, n_docs, n_words, n_tokens, tokens_per_word).
+
+    The production encode shape: token counts come from the trained
+    word→n_tokens map (vocab-bounded, built once from the same histogram
+    the merge loop used, ``ray.put``-broadcast, one dict per actor) — the
+    corpus is never re-segmented symbol-by-symbol. Two streaming passes
+    over the text, partials of ≤#langs rows per batch, nothing row-scale
+    reaches the driver."""
+    import ray.data  # noqa: F811 — module-level import is type-only
+
+    hist = word_histogram(ds, text_col=text_col)
+    words = hist["word"].to_numpy(dtype=object)
+    _, ntok = _merge_loop(words, hist["f"].to_numpy(dtype=np.int64),
+                          n_merges)
+    lut_ref = ray.put((words, ntok))
+
+    partials = ds.select_columns([text_col, lang_col]).map_batches(
+        _FertilityPartials, fn_constructor_args=(lut_ref, text_col,
+                                                 lang_col),
+        batch_format="pyarrow", concurrency=concurrency).to_pandas()
+    if partials.empty:
+        return pd.DataFrame({"lang": pd.Series(dtype=object),
+                             "n_docs": pd.Series(dtype="int64"),
+                             "n_words": pd.Series(dtype="int64"),
+                             "n_tokens": pd.Series(dtype="int64"),
+                             "tokens_per_word": pd.Series(dtype="float64")})
+    codes, uniq = exact_factorize(partials["lang"])
+    nlang = len(uniq) + 1
+    codes = np.where(codes < 0, len(uniq), codes)
+    agg = {c: np.bincount(codes, weights=partials[c].to_numpy(
+        dtype=np.float64), minlength=nlang).astype(np.int64)
+        for c in ("n_docs", "n_words", "n_tokens")}
+    present = np.bincount(codes, minlength=nlang) > 0
+    lang_vals = np.asarray(list(uniq) + [None], dtype=object)[present]
+    nw = agg["n_words"][present].astype(np.float64)
+    nt = agg["n_tokens"][present].astype(np.float64)
+    from ..functions.parity import round_half_away
+    tpw = np.where(nw == 0, np.nan, round_half_away(
+        np.divide(nt, np.where(nw == 0, 1.0, nw)), 6))
+    return pd.DataFrame({"lang": lang_vals,
+                         "n_docs": agg["n_docs"][present],
+                         "n_words": agg["n_words"][present],
+                         "n_tokens": agg["n_tokens"][present],
+                         "tokens_per_word": tpw})

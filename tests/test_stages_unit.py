@@ -994,3 +994,43 @@ def test_bpe_train_e2e_matches_duckdb_unrolled(ray_session, tmp_path):
         want["pair_count"].astype("int64").tolist()
     assert got["left_sym"].tolist() == want["left_sym"].tolist()
     assert got["right_sym"].tolist() == want["right_sym"].tolist()
+
+
+def test_bpe_fertility_adversarial_vs_oracle(ray_session, tmp_path):
+    # null lang group, NUL-embedded words, empty text (counts as a doc,
+    # zero words), null text (excluded), unicode
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+    from data_quality_automated_evaluator_ray.pipelines.queries import (
+        _bpe_fertility_sql)
+    from data_quality_automated_evaluator_ray.stages.tokenizer import (
+        bpe_fertility)
+
+    rows = [("en", "aaa aaa bbb ab ab"), ("en", ""), (None, "x\x00y zz zz"),
+            ("fr", "héé héé ab"), ("fr", None), (None, "aaaa aaa")]
+    tbl = pa.table({"doc_id": list(range(len(rows))),
+                    "lang": [r[0] for r in rows],
+                    "text": [r[1] for r in rows]})
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    got = bpe_fertility(
+        ray.data.read_parquet(str(tmp_path / "documents.parquet")),
+        n_merges=3).sort_values("lang", na_position="last") \
+        .reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"create view documents as select * from "
+                f"'{tmp_path / 'documents.parquet'}'")
+    want = con.execute(_bpe_fertility_sql(3)).df() \
+        .sort_values("lang", na_position="last").reset_index(drop=True)
+    assert got["n_docs"].tolist() == want["n_docs"].tolist()
+    assert got["n_words"].tolist() == want["n_words"].tolist()
+    assert got["n_tokens"].tolist() == want["n_tokens"].tolist()
+    import numpy as np
+    assert np.allclose(got["tokens_per_word"], want["tokens_per_word"],
+                       equal_nan=True, atol=0)
+    # the null-lang docs form their own group on both sides
+    assert got["lang"].isna().sum() == 1 == want["lang"].isna().sum()
+    # the empty-text doc counted in n_docs with zero words
+    en = got[got["lang"] == "en"].iloc[0]
+    assert en["n_docs"] == 2 and en["n_words"] == 5
