@@ -181,7 +181,15 @@ def run_bench() -> dict:
                           "chunk_documents_rag",
                           # round 3: topic-balancing composition (kmeans
                           # assignment + per-cluster quota)
-                          "cluster_balanced_embeddings"]}
+                          "cluster_balanced_embeddings",
+                          # round 4: published curation additions — tracks
+                          # the span-hash shuffle, the Gopher n-gram passes,
+                          # the DSIR two-pass select, and the BPE histogram
+                          # + merge loop
+                          "span_dedup_documents",
+                          "gopher_quality_documents",
+                          "dsir_select_documents",
+                          "bpe_train_documents"]}
     suite.update(singles)
     suite.update(extra)
     # min-of-k per suite query (default 2; round-4 method change — rounds 1-3

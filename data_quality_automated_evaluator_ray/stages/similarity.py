@@ -636,3 +636,86 @@ def semdedup(ds: "ray.data.Dataset", *, n_clusters: int = 16,
 
     return assigned.groupby("cluster").map_groups(_prune,
                                                   batch_format="pandas")
+
+
+def kcenter_greedy(ds: "ray.data.Dataset", *, k: int = 8,
+                   id_col: str = "vec_id",
+                   emb_col: str = "embedding") -> pd.DataFrame:
+    """K-center greedy coreset selection (Sener & Savarese 2018,
+    arXiv:1708.00489 Alg. 1 — the farthest-point data-selection core) over
+    cosine geometry → (rank, vec_id, max_cos), rank 1..k.
+
+    Seeding is pinned to the min id (a pure function of the table, so the
+    DuckDB oracle replays it); each following rank picks the point whose
+    best cosine to the already-selected centers is LOWEST (= farthest in
+    1−cos), ties by ascending id. ``max_cos`` is that value (null for the
+    seed), rounded for the hash gate.
+
+    Scale shape: the center set (≤k unit vectors) broadcasts via
+    ``ray.put`` each round; one streaming pass per rank computes each
+    batch's (k × batch) cosine matrix with a single matmul and reduces it
+    to ONE candidate row before anything leaves the stage — per-point
+    state is never materialized, the k passes recompute against the
+    (tiny) center set instead, O(n·k²) flops for k ≪ n. Fails loud if the
+    table has fewer than k rows (the unrolled oracle cannot stop early).
+    """
+    import pyarrow.compute as pc
+
+    def _seed_partial(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        if not len(ids):
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             emb_col: pa.array([], b.column(emb_col).type)})
+        i = int(np.argmin(ids))
+        return b.select([id_col, emb_col]).slice(i, 1)
+
+    cand = ds.map_batches(_seed_partial, batch_format="pyarrow").to_pandas()
+    if cand.empty:
+        raise ValueError("kcenter_greedy on an empty table")
+    seed = cand.loc[cand[id_col].idxmin()]
+    sel_ids = [int(seed[id_col])]
+    centers = _normalize(np.asarray([seed[emb_col]], dtype=np.float64))
+    out = [(1, sel_ids[0], np.nan)]
+
+    for rank in range(2, k + 1):
+        ref = ray.put((centers, np.asarray(sel_ids, dtype=np.int64)))
+
+        def _far_partial(b: pa.Table) -> pa.Table:
+            C, taken = ray.get(ref)
+            ids = b.column(id_col).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            keep = ~np.isin(ids, taken)
+            if not keep.any():
+                return pa.table({id_col: pa.array([], pa.int64()),
+                                 "mc": pa.array([], pa.float64()),
+                                 "e": pa.array([], pa.list_(pa.float64()))})
+            emb = _normalize(_matrix(b.column(emb_col)))[keep]
+            ids = ids[keep]
+            mc = (emb @ C.T).max(axis=1)
+            j = np.lexsort((ids, mc))[0]      # min (mc, id)
+            # carry the winner's unit vector so the driver never does a
+            # lookup pass; one ≤1-row partial per batch
+            return pa.table({id_col: pa.array(ids[j:j + 1], pa.int64()),
+                             "mc": pa.array(mc[j:j + 1], pa.float64()),
+                             "e": pa.array([emb[j].tolist()],
+                                           pa.list_(pa.float64()))})
+
+        part = ds.map_batches(_far_partial,
+                              batch_format="pyarrow").to_pandas()
+        if part.empty:
+            raise ValueError(
+                f"kcenter_greedy ran out of points after {rank - 1} "
+                f"selections (k={k})")
+        j = np.lexsort((part[id_col].to_numpy(),
+                        part["mc"].to_numpy()))[0]
+        vid, mc = int(part[id_col].iloc[j]), float(part["mc"].iloc[j])
+        sel_ids.append(vid)
+        out.append((rank, vid, mc))
+        centers = np.vstack([
+            centers, np.asarray([part["e"].iloc[j]], dtype=np.float64)])
+
+    from ..functions.parity import round_half_away
+    df = pd.DataFrame(out, columns=["rank", id_col, "max_cos"])
+    df["max_cos"] = np.where(df["max_cos"].isna(), np.nan,
+                             round_half_away(df["max_cos"].to_numpy(), 6))
+    return df

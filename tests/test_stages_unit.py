@@ -1034,3 +1034,51 @@ def test_bpe_fertility_adversarial_vs_oracle(ray_session, tmp_path):
     # the empty-text doc counted in n_docs with zero words
     en = got[got["lang"] == "en"].iloc[0]
     assert en["n_docs"] == 2 and en["n_words"] == 5
+
+
+def test_kcenter_greedy_adversarial_vs_oracle(ray_session, tmp_path):
+    # three tight clusters + a zero vector + a duplicate of the seed:
+    # greedy must hop clusters before densifying, never re-pick a selected
+    # id, and the duplicate (cos=1 to the seed) must come last
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+    from data_quality_automated_evaluator_ray.pipelines.queries import (
+        _kcenter_sql)
+    from data_quality_automated_evaluator_ray.stages.similarity import (
+        kcenter_greedy)
+
+    rng = np.random.RandomState(3)
+    base = np.eye(3)[[0, 0, 1, 1, 2, 2]]
+    pts = base + rng.normal(0, 0.01, base.shape)
+    rows = [p.tolist() for p in pts] + [[0.0, 0.0, 0.0], pts[0].tolist()]
+    tbl = pa.table({"vec_id": pa.array(range(len(rows)), pa.int64()),
+                    "embedding": pa.array(rows,
+                                          pa.list_(pa.float32()))})
+    pq.write_table(tbl, tmp_path / "embeddings.parquet")
+    got = kcenter_greedy(
+        ray.data.read_parquet(str(tmp_path / "embeddings.parquet")), k=6)
+    con = duckdb.connect()
+    con.execute(f"create view embeddings as select * from "
+                f"'{tmp_path / 'embeddings.parquet'}'")
+    want = con.execute(_kcenter_sql(6)).df()
+    got = got.sort_values("rank").reset_index(drop=True)
+    want = want.sort_values("rank").reset_index(drop=True)
+    assert got["vec_id"].tolist() == want["vec_id"].tolist()
+    assert np.allclose(got["max_cos"], want["max_cos"], equal_nan=True,
+                       atol=0)
+    assert got["vec_id"].iloc[0] == 0          # min-id seed
+    assert got["vec_id"].is_unique
+    assert 7 not in got["vec_id"].tolist()[:5]  # the duplicate never early
+
+
+def test_kcenter_greedy_fails_loud_on_short_table(ray_session):
+    import ray.data
+    from data_quality_automated_evaluator_ray.stages.similarity import (
+        kcenter_greedy)
+
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": [float(i), 1.0]} for i in range(3)])
+    with pytest.raises(ValueError, match="ran out of points"):
+        kcenter_greedy(ds, k=5)
