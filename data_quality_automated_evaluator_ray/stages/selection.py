@@ -268,6 +268,146 @@ def unimax_budgets(ds: "ray.data.Dataset", *, lang_col: str = "lang",
     return out.sort_values(lang_col, na_position="last").reset_index(drop=True)
 
 
+def _unigram_bigram_grams(
+        texts: "list[str | None]") -> "tuple[list[str], np.ndarray]":
+    """Whitespace unigrams + bigrams per text (DSIR's hashed-ngram feature
+    family, Xie et al. 2023 §3) and the doc index of each gram. The ASCII
+    whitespace class matches the SQL oracles' ``[^ \\x09\\x0a\\x0d]+``."""
+    from .text import ascii_tokens
+
+    grams: list[str] = []
+    gdoc: list[int] = []
+    for i, t in enumerate(texts):
+        if t is None:
+            continue
+        ts = ascii_tokens(t)
+        gs = ts + [a + " " + b for a, b in zip(ts, ts[1:])]
+        grams.extend(gs)
+        gdoc.extend([i] * len(gs))
+    return grams, np.asarray(gdoc, dtype=np.int64)
+
+
+def softdedup_weights(ds: "ray.data.Dataset", *, n_buckets: int = 1024,
+                      alpha: float = 1.0, w_min: float = 0.2,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> "ray.data.Dataset":
+    """SoftDeDup (He et al. 2024, arXiv:2407.06654): instead of REMOVING
+    near-duplicate documents, DOWN-WEIGHT "common" ones — per-doc *data
+    commonness* (how probable the doc's n-grams are under the corpus n-gram
+    distribution) maps to a sampling weight in ``[w_min, 1]``, so highly
+    duplicated content contributes fewer effective epochs without the
+    recall cliff of hard dedup.
+
+    Deterministic, oracle-checkable pinning of the published idea:
+
+    * features: whitespace unigrams + bigrams md5-hashed into ``n_buckets``
+      (the DSIR hashed-ngram trick — the corpus distribution is a fixed
+      ``(n_buckets,)`` array at ANY corpus size, so it broadcasts instead
+      of shuffling an unbounded n-gram table);
+    * corpus bucket distribution with Laplace ``alpha`` smoothing:
+      ``p_b = (n_b + α) / (N + α·B)``;
+    * commonness(d) = mean over the doc's grams of ``ln p_bucket(gram)``
+      (per-doc buckets summed in ascending-bucket order on both engines —
+      the bit-stable float reduction convention of ``dsir_select``);
+    * weight = ``1 − (1−w_min)·(c − c_min)/(c_max − c_min)`` — min-max
+      normalized monotone map (the paper's reweighting knob, pinned to a
+      closed form both engines evaluate with the identical IEEE expression
+      tree); gram-less docs (null/empty text) get commonness NULL and
+      weight 1.0; a degenerate corpus (``c_max == c_min``) weights 1.0.
+
+    Scale shape: pass 1 streams per-batch bucket-count partials
+    (≤ n_buckets narrow rows per batch) merged driver-side into one
+    broadcast ``ln p`` array; pass 2 streams per-doc commonness into a
+    NARROW materialized table (id + two doubles — the only thing held);
+    min/max is a per-batch partial merge; the weight map is one more
+    streaming pass over the narrow table. Text never shuffles, nothing
+    row-scale reaches the driver.
+    """
+    from .dedup import _stable_u64
+
+    B, A, WM = int(n_buckets), float(alpha), float(w_min)
+    if B <= 0:
+        raise ValueError("n_buckets must be positive")
+    if not 0.0 <= WM <= 1.0:
+        raise ValueError("w_min must be in [0, 1]")
+
+    def _bucket_partials(b: pa.Table) -> pa.Table:
+        grams, _ = _unigram_bigram_grams(b.column(text_col).to_pylist())
+        if not grams:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        hv = (_stable_u64(grams) % np.uint64(B)).astype(np.int64)
+        n = np.bincount(hv, minlength=B)
+        nz = np.flatnonzero(n)
+        return pa.table({"bucket": pa.array(nz, pa.int64()),
+                         "n": pa.array(n[nz], pa.int64())})
+
+    part = ds.select_columns([text_col]).map_batches(
+        _bucket_partials, batch_format="pyarrow").to_pandas()
+    n_b = np.zeros(B, dtype=np.int64)
+    if len(part):
+        g = part.groupby("bucket", sort=False)["n"].sum()
+        n_b[g.index.to_numpy()] = g.to_numpy()
+    N = int(n_b.sum())
+    lnp = np.log((n_b + A) / (N + A * B))
+    lnp_ref = ray.put(lnp)
+
+    def _commonness(b: pa.Table) -> pa.Table:
+        lpv = ray.get(lnp_ref)
+        ids = b.column(id_col)
+        texts = b.column(text_col).to_pylist()
+        grams, gdoc = _unigram_bigram_grams(texts)
+        c = np.full(b.num_rows, np.nan, dtype=np.float64)
+        if grams:
+            hv = (_stable_u64(grams) % np.uint64(B)).astype(np.int64)
+            # per-(doc, bucket) counts × ln p, reduced per doc in ascending
+            # bucket order — matches the oracle's list_sum(list(... order
+            # by b)) float-summation order exactly
+            key = gdoc * B + hv
+            order = np.argsort(key, kind="stable")
+            ks = key[order]
+            bound = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+            cnt = np.diff(np.r_[bound, len(ks)]).astype(np.float64)
+            uk = ks[bound]
+            vals = cnt * lpv[uk % B]
+            ud = uk // B
+            dstart = np.flatnonzero(np.r_[True, ud[1:] != ud[:-1]])
+            tot = np.add.reduceat(vals, dstart)
+            ngrams = np.add.reduceat(cnt, dstart)
+            c[ud[dstart]] = tot / ngrams
+        return pa.table({id_col: ids,
+                         "commonness": pa.array(c, pa.float64(),
+                                                from_pandas=True)})
+
+    narrow = ds.select_columns([id_col, text_col]).map_batches(
+        _commonness, batch_format="pyarrow").materialize()
+
+    def _minmax(b: pa.Table) -> pa.Table:
+        v = b.column("commonness").to_numpy(zero_copy_only=False)
+        v = v[~np.isnan(v)]
+        if not v.size:
+            return pa.table({"lo": pa.array([], pa.float64()),
+                             "hi": pa.array([], pa.float64())})
+        return pa.table({"lo": pa.array([float(v.min())], pa.float64()),
+                         "hi": pa.array([float(v.max())], pa.float64())})
+
+    mm = narrow.map_batches(_minmax, batch_format="pyarrow").to_pandas()
+    c_min = float(mm["lo"].min()) if len(mm) else np.nan
+    c_max = float(mm["hi"].max()) if len(mm) else np.nan
+    degenerate = not len(mm) or c_max == c_min
+
+    def _weight(b: pa.Table) -> pa.Table:
+        c = b.column("commonness").to_numpy(zero_copy_only=False)
+        if degenerate:
+            w = np.ones(len(c), dtype=np.float64)
+        else:
+            w = 1.0 - (1.0 - WM) * (c - c_min) / (c_max - c_min)
+            w = np.where(np.isnan(c), 1.0, w)
+        return b.append_column("weight", pa.array(w, pa.float64()))
+
+    return narrow.map_batches(_weight, batch_format="pyarrow")
+
+
 def dsir_select(ds: "ray.data.Dataset", *, target_col: str,
                 target_value: str, n_buckets: int = 1024, k: int = 100,
                 alpha: float = 1.0, id_col: str = "doc_id",
@@ -302,21 +442,8 @@ def dsir_select(ds: "ray.data.Dataset", *, target_col: str,
     ≤ k×blocks rows. Text never moves; the md5-per-ngram cost is the same
     floor MinHash pays and is pinned by the oracle.
     """
-    from .text import ascii_tokens
-
     B, A = int(n_buckets), float(alpha)
-
-    def _grams(texts: "list[str | None]") -> "tuple[list[str], np.ndarray]":
-        grams: list[str] = []
-        gdoc: list[int] = []
-        for i, t in enumerate(texts):
-            if t is None:
-                continue
-            ts = ascii_tokens(t)
-            gs = ts + [a + " " + b for a, b in zip(ts, ts[1:])]
-            grams.extend(gs)
-            gdoc.extend([i] * len(gs))
-        return grams, np.asarray(gdoc, dtype=np.int64)
+    _grams = _unigram_bigram_grams
 
     def _bucket_partials(b: pa.Table) -> pa.Table:
         texts = b.column(text_col).to_pylist()

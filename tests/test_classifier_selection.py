@@ -181,3 +181,70 @@ def test_bestfit_pack_validates(ray_session):
     df = pd.DataFrame({"doc_id": [1], "lang": ["x"], "text": ["a"]})
     with pytest.raises(ValueError):
         bestfit_pack(ray.data.from_pandas(df), capacity=0)
+
+
+# ---------------------------------------------------------------------------
+# SoftDeDup weights (He et al. 2024)
+# ---------------------------------------------------------------------------
+def test_softdedup_downweights_duplicates(ray_session):
+    from data_quality_automated_evaluator_ray.stages.selection import (
+        softdedup_weights)
+
+    # 5 identical docs + 2 unique docs: the duplicated text's grams are
+    # 5x more frequent -> higher commonness -> strictly lower weight
+    df = pd.DataFrame({
+        "doc_id": range(7),
+        "text": ["the same text again"] * 5
+                + ["entirely novel words one", "different unique tokens two"],
+    })
+    out = softdedup_weights(ray.data.from_pandas(df),
+                            w_min=0.2).to_pandas().set_index("doc_id")
+    assert len(out) == 7
+    dup_w = out.loc[0, "weight"]
+    assert all(out.loc[i, "weight"] == dup_w for i in range(5))
+    assert all(out.loc[i, "weight"] > dup_w for i in (5, 6))
+    # min-max map: most-common doc hits w_min, least-common hits 1.0
+    assert dup_w == pytest.approx(0.2)
+    assert out["weight"].max() == pytest.approx(1.0)
+    assert (out["weight"] >= 0.2 - 1e-12).all()
+
+
+def test_softdedup_degenerate_and_gramless(ray_session):
+    from data_quality_automated_evaluator_ray.stages.selection import (
+        softdedup_weights)
+
+    # all-identical corpus: cmax == cmin -> every weight 1.0
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "text": ["a b"] * 3})
+    out = softdedup_weights(ray.data.from_pandas(df)).to_pandas()
+    assert (out["weight"] == 1.0).all()
+
+    # gram-less docs (empty / whitespace-only / null) -> commonness NULL,
+    # weight 1.0, and they don't perturb the min-max range
+    df = pd.DataFrame({"doc_id": [1, 2, 3, 4, 5],
+                       "text": ["x x x x", "y z", "", " \t\n", None]})
+    out = (softdedup_weights(ray.data.from_pandas(df), w_min=0.5)
+           .to_pandas().set_index("doc_id"))
+    assert np.isnan(out.loc[3, "commonness"])
+    assert np.isnan(out.loc[4, "commonness"])
+    assert np.isnan(out.loc[5, "commonness"])
+    assert out.loc[3, "weight"] == 1.0
+    assert out.loc[4, "weight"] == 1.0
+    assert out.loc[5, "weight"] == 1.0
+    assert out.loc[1, "weight"] == pytest.approx(0.5)  # more common
+    assert out.loc[2, "weight"] == pytest.approx(1.0)
+
+    # empty input runs clean
+    empty = softdedup_weights(
+        ray.data.from_pandas(df).filter(lambda r: False))
+    assert empty.count() == 0
+
+
+def test_softdedup_validates(ray_session):
+    from data_quality_automated_evaluator_ray.stages.selection import (
+        softdedup_weights)
+
+    df = pd.DataFrame({"doc_id": [1], "text": ["a"]})
+    with pytest.raises(ValueError):
+        softdedup_weights(ray.data.from_pandas(df), n_buckets=0)
+    with pytest.raises(ValueError):
+        softdedup_weights(ray.data.from_pandas(df), w_min=1.5)
