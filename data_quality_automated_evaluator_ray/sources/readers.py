@@ -324,7 +324,13 @@ def read_source(source: dict[str, Any]) -> "ray.data.Dataset":
                 "source needs 'path' (file formats) or an explicit "
                 "'format' (e.g. 'sql' with 'query'/'table')")
         p = path[0] if isinstance(path, list) else path
-        ext = os.path.splitext(p.rstrip("/"))[1].lstrip(".").lower()
+        stem, ext = os.path.splitext(p.rstrip("/"))
+        ext = ext.lstrip(".").lower()
+        if ext in ("gz", "zst", "bz2"):
+            # compression suffix, not a format: infer from the inner
+            # extension (corpus.wet.gz → wet); the readers' streams
+            # decompress by codec detection on the full path
+            ext = os.path.splitext(stem)[1].lstrip(".").lower()
         fmt = ext or "parquet"
 
     columns = source.get("columns")
@@ -353,6 +359,18 @@ def read_source(source: dict[str, Any]) -> "ray.data.Dataset":
         ds = ray.data.read_json(fs_path, filesystem=fs)
         if columns:
             ds = ds.select_columns(columns)
+    elif fmt in ("warc", "wet"):
+        # Common Crawl web archives (sources/warc.py): beyond-reference
+        # ingestion, streaming record parse per file, gz by extension
+        from .warc import read_warc, read_wet
+
+        rt = source.get("record_types")
+        if fmt == "wet":
+            ds = read_wet(fs_path, columns=columns, filesystem=fs)
+        else:
+            ds = read_warc(fs_path, record_types=tuple(rt) if rt else None,
+                           decode_text=bool(source.get("decode_text", False)),
+                           columns=columns, filesystem=fs)
     elif fmt == "xlsx":
         # reference handle_data.py:106,129-130 (eager pl.read_excel → lazy);
         # here: eager from-scratch SpreadsheetML parse (sources/xlsx.py) →

@@ -1,0 +1,193 @@
+"""WARC / WET web-archive reader — Common Crawl's distribution format and
+the canonical ingestion source of a 100-TB web-scale training-data pipeline.
+
+From-scratch ISO 28500 (WARC/1.0, WARC/1.1) record parser on Ray Data's
+``FileBasedDatasource``: each input file (``.warc``, ``.wet``, and their
+``.gz`` forms — Ray detects the codec from the extension and opens a
+decompressing stream) becomes one or more read tasks, and ``_read_stream``
+yields Arrow blocks incrementally, so a 1-GB archive never materializes as
+one Python blob. Record payloads are length-delimited by ``Content-Length``
+(the spec's framing), so payload bytes that themselves contain
+``WARC/1.0`` can never desynchronize the parser.
+
+No counterpart in ``/root/reference`` (its readers stop at
+parquet/csv/xlsx/iceberg, handle_data.py:74-130); this is part of the
+beyond-reference ingestion surface, like ``sources/iceberg.py``.
+
+Output schema (one row per record):
+
+    warc_type        string   (``WARC-Type``: warcinfo/response/conversion/…)
+    record_id        string   (``WARC-Record-ID``)
+    target_uri       string   (``WARC-Target-URI``; null for warcinfo)
+    warc_date        string   (``WARC-Date``, ISO-8601 as written)
+    content_type     string   (``Content-Type`` of the payload)
+    content_length   int64    (payload byte count, from the header)
+    payload          binary   — or ``text`` string when decoding (WET)
+
+``read_wet`` is the Common Crawl text convenience: conversion records only,
+payload decoded as UTF-8 (``errors="replace"``, CC-WET's own convention).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import pyarrow as pa
+
+import ray
+import ray.data
+from ray.data.datasource import FileBasedDatasource
+
+_CRLF2 = b"\r\n\r\n"
+# yield an Arrow block once the accumulated payload crosses this many bytes
+# (or this many records) — keeps blocks object-store-friendly regardless of
+# whether the archive holds a few huge pages or millions of tiny ones
+_BLOCK_BYTES = 8 << 20
+_BLOCK_RECORDS = 4096
+_CHUNK = 1 << 20
+
+
+class WarcDatasource(FileBasedDatasource):
+    """Streaming WARC/WET record datasource (see module docstring)."""
+
+    _FILE_EXTENSIONS = ["warc", "wet", "warc.gz", "wet.gz"]
+
+    def __init__(self, paths, *, record_types: "tuple[str, ...] | None" = None,
+                 decode_text: bool = False, **kwargs):
+        # the extension filter would drop valid inputs named e.g. *.warc.paths
+        # lists; keep Ray's default (no filter) unless the caller passes one
+        kwargs.setdefault("file_extensions", None)
+        super().__init__(paths, **kwargs)
+        self._record_types = (tuple(t.lower() for t in record_types)
+                              if record_types else None)
+        self._decode_text = bool(decode_text)
+
+    def _read_stream(self, f: "pa.NativeFile", path: str) -> Iterator[pa.Table]:
+        buf = bytearray()
+        eof = False
+
+        def _fill(need: int) -> None:
+            # grow buf to >= need bytes (or EOF)
+            nonlocal eof
+            while not eof and len(buf) < need:
+                chunk = f.read(max(_CHUNK, need - len(buf)))
+                if not chunk:
+                    eof = True
+                    break
+                buf.extend(chunk)
+
+        rows: dict[str, list] = {k: [] for k in (
+            "warc_type", "record_id", "target_uri", "warc_date",
+            "content_type", "content_length", "payload")}
+        pending_bytes = 0
+
+        def _flush() -> Optional[pa.Table]:
+            nonlocal pending_bytes
+            if not rows["warc_type"]:
+                return None
+            payload_col = (
+                pa.array([b.decode("utf-8", errors="replace")
+                          for b in rows["payload"]], pa.string())
+                if self._decode_text
+                else pa.array(rows["payload"], pa.binary()))
+            t = pa.table({
+                "warc_type": pa.array(rows["warc_type"], pa.string()),
+                "record_id": pa.array(rows["record_id"], pa.string()),
+                "target_uri": pa.array(rows["target_uri"], pa.string()),
+                "warc_date": pa.array(rows["warc_date"], pa.string()),
+                "content_type": pa.array(rows["content_type"], pa.string()),
+                "content_length": pa.array(rows["content_length"], pa.int64()),
+                ("text" if self._decode_text else "payload"): payload_col,
+            })
+            for k in rows:
+                rows[k].clear()
+            pending_bytes = 0
+            return t
+
+        while True:
+            # skip inter-record CRLFs, then locate the header terminator
+            while True:
+                while buf[:2] == b"\r\n":
+                    del buf[:2]
+                idx = buf.find(_CRLF2)
+                if idx >= 0 or eof:
+                    break
+                _fill(len(buf) + _CHUNK)
+            if idx < 0:
+                if buf:
+                    raise ValueError(
+                        f"{path}: truncated WARC header at end of file "
+                        f"({len(buf)} trailing bytes)")
+                break  # clean EOF
+            header = bytes(buf[:idx])
+            if not header.startswith(b"WARC/"):
+                raise ValueError(
+                    f"{path}: expected a WARC/1.x version line, got "
+                    f"{header[:40]!r} — not a WARC/WET file?")
+            fields: dict[str, str] = {}
+            for line in header.split(b"\r\n")[1:]:
+                k, sep, v = line.partition(b":")
+                if sep:
+                    fields[k.strip().lower().decode("latin-1")] = (
+                        v.strip().decode("utf-8", errors="replace"))
+            try:
+                length = int(fields["content-length"])
+            except (KeyError, ValueError):
+                raise ValueError(
+                    f"{path}: WARC record without a valid Content-Length "
+                    f"(got {fields.get('content-length')!r})") from None
+            body_start = idx + len(_CRLF2)
+            _fill(body_start + length)
+            if len(buf) < body_start + length:
+                raise ValueError(
+                    f"{path}: truncated WARC payload — header declares "
+                    f"{length} bytes, {len(buf) - body_start} available")
+            payload = bytes(buf[body_start:body_start + length])
+            del buf[:body_start + length]
+
+            rtype = fields.get("warc-type", "").lower()
+            if self._record_types is None or rtype in self._record_types:
+                rows["warc_type"].append(fields.get("warc-type"))
+                rows["record_id"].append(fields.get("warc-record-id"))
+                rows["target_uri"].append(fields.get("warc-target-uri"))
+                rows["warc_date"].append(fields.get("warc-date"))
+                rows["content_type"].append(fields.get("content-type"))
+                rows["content_length"].append(length)
+                rows["payload"].append(payload)
+                pending_bytes += length
+                if (pending_bytes >= _BLOCK_BYTES
+                        or len(rows["warc_type"]) >= _BLOCK_RECORDS):
+                    t = _flush()
+                    if t is not None:
+                        yield t
+
+        t = _flush()
+        if t is not None:
+            yield t
+
+
+def read_warc(paths, *, record_types: "tuple[str, ...] | None" = None,
+              decode_text: bool = False, columns: "list[str] | None" = None,
+              filesystem=None, **kwargs) -> "ray.data.Dataset":
+    """WARC archive(s) → Dataset of records (module docstring schema).
+
+    ``record_types``: keep only these ``WARC-Type`` values (case-insensitive),
+    filtered INSIDE the read task so unwanted payloads never enter the object
+    store. ``decode_text``: decode payloads as UTF-8 (replace) into ``text``
+    instead of a ``payload`` binary column."""
+    ds = ray.data.read_datasource(
+        WarcDatasource(paths, record_types=record_types,
+                       decode_text=decode_text, filesystem=filesystem,
+                       **kwargs))
+    if columns:
+        ds = ds.select_columns(columns)
+    return ds
+
+
+def read_wet(paths, *, columns: "list[str] | None" = None, filesystem=None,
+             **kwargs) -> "ray.data.Dataset":
+    """Common Crawl WET text extraction: ``conversion`` records only, payload
+    decoded to a ``text`` column — the table a quality-filter pipeline
+    consumes directly."""
+    return read_warc(paths, record_types=("conversion",), decode_text=True,
+                     columns=columns, filesystem=filesystem, **kwargs)

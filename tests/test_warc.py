@@ -1,0 +1,145 @@
+"""WARC/WET reader (sources/warc.py): handcrafted ISO-28500 fixtures —
+plain and gzip (including multi-member gz, Common Crawl's layout), payloads
+that contain WARC magic, truncation and header-error paths, read_source
+format inference through the compression suffix."""
+
+import gzip
+
+import pytest
+
+import ray.data
+
+from data_quality_automated_evaluator_ray.sources.warc import (
+    read_warc, read_wet)
+
+
+def _rec(rtype: str, payload: bytes, uri: "str | None" = None,
+         rid: str = "<urn:uuid:1>", date: str = "2024-01-02T03:04:05Z",
+         ctype: str = "text/plain", length: "int | None" = None) -> bytes:
+    head = [b"WARC/1.0",
+            b"WARC-Type: " + rtype.encode(),
+            b"WARC-Record-ID: " + rid.encode(),
+            b"WARC-Date: " + date.encode(),
+            b"Content-Type: " + ctype.encode()]
+    if uri is not None:
+        head.append(b"WARC-Target-URI: " + uri.encode())
+    n = len(payload) if length is None else length
+    head.append(b"Content-Length: " + str(n).encode())
+    return b"\r\n".join(head) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+
+
+def _wet_bytes() -> bytes:
+    return (_rec("warcinfo", b"software: test\r\n")
+            + _rec("conversion", "first page text\nwith two lines".encode(),
+                   uri="http://a.example/x", rid="<urn:uuid:a>")
+            + _rec("conversion", "unicode é中 ok".encode(),
+                   uri="http://b.example/y", rid="<urn:uuid:b>"))
+
+
+def test_read_wet_conversion_records_only(ray_session, tmp_path):
+    p = tmp_path / "crawl.wet"
+    p.write_bytes(_wet_bytes())
+    df = read_wet(str(p)).to_pandas().sort_values("record_id")
+    assert list(df["warc_type"]) == ["conversion", "conversion"]
+    assert list(df["target_uri"]) == ["http://a.example/x",
+                                      "http://b.example/y"]
+    assert df["text"].iloc[0] == "first page text\nwith two lines"
+    assert df["text"].iloc[1] == "unicode é中 ok"
+    assert list(df["content_length"]) == [
+        len(b"first page text\nwith two lines"),
+        len("unicode é中 ok".encode())]
+    assert (df["warc_date"] == "2024-01-02T03:04:05Z").all()
+
+
+def test_payload_containing_warc_magic_does_not_desync(ray_session, tmp_path):
+    evil = b"WARC/1.0\r\nWARC-Type: response\r\n\r\nfake"
+    p = tmp_path / "t.warc"
+    p.write_bytes(_rec("response", evil, uri="http://x/")
+                  + _rec("response", b"tail", uri="http://y/",
+                         rid="<urn:uuid:2>"))
+    df = read_warc(str(p)).to_pandas().sort_values("record_id")
+    assert len(df) == 2
+    assert bytes(df["payload"].iloc[0]) == evil
+    assert bytes(df["payload"].iloc[1]) == b"tail"
+
+
+def test_multimember_gzip(ray_session, tmp_path):
+    # Common Crawl gzips each record as its own member; the stream must
+    # read across member boundaries
+    p = tmp_path / "crawl.wet.gz"
+    members = [gzip.compress(_rec("conversion", b"one", uri="http://1/",
+                                  rid="<urn:uuid:1>")),
+               gzip.compress(_rec("conversion", b"two", uri="http://2/",
+                                  rid="<urn:uuid:2>"))]
+    p.write_bytes(b"".join(members))
+    df = read_wet(str(p)).to_pandas().sort_values("record_id")
+    assert list(df["text"]) == ["one", "two"]
+
+
+def test_invalid_utf8_replaced_and_binary_kept(ray_session, tmp_path):
+    raw = b"ok \xff\xfe bytes"
+    p = tmp_path / "t.warc"
+    p.write_bytes(_rec("conversion", raw, uri="http://x/"))
+    txt = read_warc(str(p), decode_text=True).to_pandas()
+    assert txt["text"].iloc[0] == "ok �� bytes"
+    binr = read_warc(str(p)).to_pandas()
+    assert bytes(binr["payload"].iloc[0]) == raw
+
+
+def test_record_type_filter_and_columns(ray_session, tmp_path):
+    p = tmp_path / "t.warc"
+    p.write_bytes(_wet_bytes())
+    df = read_warc(str(p), record_types=("warcinfo",),
+                   columns=["warc_type", "content_length"]).to_pandas()
+    assert list(df.columns) == ["warc_type", "content_length"]
+    assert list(df["warc_type"]) == ["warcinfo"]
+
+
+def test_truncated_payload_raises(ray_session, tmp_path):
+    p = tmp_path / "t.warc"
+    p.write_bytes(_rec("conversion", b"abc", length=50))
+    with pytest.raises(Exception, match="truncated WARC payload"):
+        read_warc(str(p)).materialize()
+
+
+def test_missing_content_length_raises(ray_session, tmp_path):
+    p = tmp_path / "t.warc"
+    p.write_bytes(b"WARC/1.0\r\nWARC-Type: conversion\r\n\r\nbody\r\n\r\n")
+    with pytest.raises(Exception, match="Content-Length"):
+        read_warc(str(p)).materialize()
+
+
+def test_not_a_warc_file_raises(ray_session, tmp_path):
+    p = tmp_path / "t.warc"
+    p.write_bytes(b"PK\x03\x04 definitely a zip\r\n\r\n")
+    with pytest.raises(Exception, match="not a WARC"):
+        read_warc(str(p)).materialize()
+
+
+def test_read_source_inference_through_gz(ray_session, tmp_path):
+    from data_quality_automated_evaluator_ray.sources.readers import (
+        read_source)
+
+    plain = tmp_path / "c.wet"
+    plain.write_bytes(_wet_bytes())
+    gzp = tmp_path / "c2.wet.gz"
+    gzp.write_bytes(gzip.compress(_wet_bytes()))
+    for path in (plain, gzp):
+        df = read_source({"path": str(path)}).to_pandas()
+        assert len(df) == 2 and "text" in df.columns
+    # explicit warc format + record_types knob from config
+    df = read_source({"path": str(plain), "format": "warc",
+                      "record_types": ["warcinfo"]}).to_pandas()
+    assert list(df["warc_type"]) == ["warcinfo"]
+
+
+def test_wet_feeds_quality_pipeline(ray_session, tmp_path):
+    # the actual production shape: WET text straight into a batch transform
+    p = tmp_path / "crawl.wet"
+    p.write_bytes(_wet_bytes())
+    from data_quality_automated_evaluator_ray.stages.text import (
+        text_features)
+
+    out = read_wet(str(p), columns=["record_id", "text"]).map_batches(
+        text_features, batch_format="pyarrow").to_pandas()
+    assert len(out) == 2 and "n_tokens" in out.columns
