@@ -74,7 +74,9 @@ def run_bench() -> dict:
     # min-of-k (default 2, round-2 method change — round 1 was single-shot):
     # this box is multi-tenant and a single run can land in a load burst
     # (measured band 42k–104k files/s on UNCHANGED code; see BASELINE.md)
-    headline_reps = int(os.environ.get("GRAFT_HEADLINE_REPS", "2"))
+    # min-of-3 since round 4 (was 2): this host's steal bursts spike single
+    # runs 1.5-2x; a third rep costs ~12 s and materially tightens the floor
+    headline_reps = int(os.environ.get("GRAFT_HEADLINE_REPS", "3"))
     runs = []
     for _ in range(max(1, headline_reps)):
         shutil.rmtree(out_dir, ignore_errors=True)
@@ -189,7 +191,10 @@ def run_bench() -> dict:
                           "span_dedup_documents",
                           "gopher_quality_documents",
                           "dsir_select_documents",
-                          "bpe_train_documents"]}
+                          "bpe_train_documents",
+                          # round 4 (late): SoftDeDup reweighting — tracks
+                          # the two hashed-ngram streaming passes
+                          "softdedup_documents"]}
     suite.update(singles)
     suite.update(extra)
     # min-of-k per suite query (default 2; round-4 method change — rounds 1-3
