@@ -1,0 +1,224 @@
+"""Avro object-container source — block-streamed reads on Ray Data's
+``FileBasedDatasource``, decoding with the repo's own from-scratch Avro
+codec (``sources/avro_codec.py``, built for the Iceberg metadata walk and
+reused here for generic ``.avro`` data files).
+
+Each input file becomes a read task; ``_read_stream`` decodes one Avro
+*block* at a time off the stream (the container format frames blocks with
+``count``/``size``/``sync``, so a file never needs to materialize whole)
+and yields Arrow tables of at most ``_BLOCK_RECORDS`` rows.
+
+The writer schema maps onto an explicit Arrow schema (primitives, nullable
+``["null", T]`` unions, nested records → struct, arrays → list, maps →
+map<string, T>, fixed → binary, enum → string) so every block of every file
+carries identical metadata; schemas the mapper cannot express (general
+multi-branch unions) fall back to Arrow's per-block inference with a
+documented caveat.
+
+No counterpart in ``/root/reference`` (readers stop at
+parquet/csv/xlsx/iceberg, handle_data.py:74-130).
+"""
+
+from __future__ import annotations
+
+import json
+import zlib
+from typing import Any, Iterator, Optional
+
+import pyarrow as pa
+
+import ray
+import ray.data
+from ray.data.datasource import FileBasedDatasource
+
+from .avro_codec import _MAGIC, _Reader, _decode, _register_named
+
+_BLOCK_RECORDS = 4096
+_CHUNK = 1 << 20
+
+
+class _StreamReader:
+    """Minimal buffered reader over a NativeFile: exact reads + Avro
+    zigzag-varint longs, filling from the stream on demand."""
+
+    def __init__(self, f: "pa.NativeFile") -> None:
+        self._f = f
+        self._buf = bytearray()
+        self._pos = 0
+        self._eof = False
+
+    def _fill(self, need: int) -> None:
+        while not self._eof and len(self._buf) - self._pos < need:
+            chunk = self._f.read(max(_CHUNK, need))
+            if not chunk:
+                self._eof = True
+                break
+            self._buf.extend(chunk)
+        if self._pos > (1 << 22):  # compact consumed prefix
+            del self._buf[:self._pos]
+            self._pos = 0
+
+    def at_eof(self) -> bool:
+        self._fill(1)
+        return len(self._buf) - self._pos == 0
+
+    def read(self, n: int) -> bytes:
+        self._fill(n)
+        if len(self._buf) - self._pos < n:
+            raise ValueError("avro container truncated")
+        out = bytes(self._buf[self._pos:self._pos + n])
+        self._pos += n
+        return out
+
+    def read_long(self) -> int:
+        # zigzag varint, ≤10 bytes (avro_codec._Reader.read_long semantics)
+        shift = 0
+        acc = 0
+        for _ in range(10):
+            b = self.read(1)[0]
+            acc |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return (acc >> 1) ^ -(acc & 1)
+            shift += 7
+        raise ValueError("varint too long")
+
+
+def _arrow_type(schema: Any, named: dict[str, Any]) -> pa.DataType:
+    """Avro writer schema → Arrow type; raises NotImplementedError for
+    shapes Arrow can't express one-to-one (general unions)."""
+    if isinstance(schema, str):
+        prim = {"null": pa.null(), "boolean": pa.bool_(), "int": pa.int32(),
+                "long": pa.int64(), "float": pa.float32(),
+                "double": pa.float64(), "bytes": pa.binary(),
+                "string": pa.string()}
+        if schema in prim:
+            return prim[schema]
+        return _arrow_type(named[schema], named)
+    if isinstance(schema, list):  # union
+        branches = [b for b in schema if b != "null"]
+        if len(branches) == 1:
+            return _arrow_type(branches[0], named)  # Arrow fields nullable
+        raise NotImplementedError("general avro union")
+    t = schema["type"]
+    if t in ("null", "boolean", "int", "long", "float", "double",
+             "bytes", "string"):
+        return _arrow_type(t, named)
+    if t == "record":
+        return pa.struct([pa.field(f["name"],
+                                   _arrow_type(f["type"], named))
+                          for f in schema["fields"]])
+    if t == "array":
+        return pa.list_(_arrow_type(schema["items"], named))
+    if t == "map":
+        return pa.map_(pa.string(), _arrow_type(schema["values"], named))
+    if t == "fixed":
+        return pa.binary()
+    if t == "enum":
+        return pa.string()
+    raise NotImplementedError(f"avro type {t!r}")
+
+
+def _table_schema(schema: Any) -> "Optional[pa.Schema]":
+    """Top-level record → Arrow schema, or None when inference must
+    take over (non-record top level, general unions)."""
+    named: dict[str, Any] = {}
+    _register_named(schema, named)
+    if not (isinstance(schema, dict) and schema.get("type") == "record"):
+        return None
+    try:
+        return pa.schema([pa.field(f["name"], _arrow_type(f["type"], named))
+                          for f in schema["fields"]])
+    except NotImplementedError:
+        return None
+
+
+class AvroDatasource(FileBasedDatasource):
+    """Block-streamed Avro object-container datasource."""
+
+    _FILE_EXTENSIONS = ["avro"]
+
+    def __init__(self, paths, *, columns: "Optional[list[str]]" = None,
+                 **kwargs):
+        kwargs.setdefault("file_extensions", None)
+        super().__init__(paths, **kwargs)
+        self._columns = list(columns) if columns else None
+
+    def _read_stream(self, f: "pa.NativeFile", path: str) -> Iterator[pa.Table]:
+        r = _StreamReader(f)
+        if r.read(4) != _MAGIC:
+            raise ValueError(f"{path}: not an Avro object container file")
+        # header metadata map uses the same wire encoding as data
+        meta_reader = r  # map decode needs read_long/read — same interface
+        meta = _decode(meta_reader, {"type": "map", "values": "bytes"}, {})
+        schema = json.loads(meta[b"avro.schema"] if b"avro.schema" in meta
+                            else meta["avro.schema"])
+        codec = meta.get("avro.codec", b"null")
+        codec = (codec.decode()
+                 if isinstance(codec, (bytes, bytearray)) else codec)
+        if codec not in ("null", "deflate"):
+            raise NotImplementedError(f"avro codec {codec!r}")
+        sync = r.read(16)
+        named: dict[str, Any] = {}
+        _register_named(schema, named)
+        arrow_schema = _table_schema(schema)
+        cols = self._columns
+        if cols and arrow_schema is not None:
+            known = set(arrow_schema.names)
+            missing = [c for c in cols if c not in known]
+            if missing:
+                raise ValueError(
+                    f"{path}: avro schema has no column(s) {missing}; "
+                    f"fields are {arrow_schema.names}")
+            arrow_schema = pa.schema([arrow_schema.field(c) for c in cols])
+        is_record = (isinstance(schema, dict)
+                     and schema.get("type") == "record")
+
+        rows: list[dict] = []
+
+        def _flush() -> "Optional[pa.Table]":
+            nonlocal rows
+            if not rows:
+                return None
+            out, rows = rows, []
+            if arrow_schema is not None:
+                return pa.Table.from_pylist(out, schema=arrow_schema)
+            return pa.Table.from_pylist(out)
+
+        any_rows = False
+        while not r.at_eof():
+            count = r.read_long()
+            size = r.read_long()
+            block = r.read(size)
+            if codec == "deflate":
+                block = zlib.decompress(block, -15)  # raw deflate per spec
+            br = _Reader(block)
+            for _ in range(count):
+                rec = _decode(br, schema, named)
+                if not is_record:
+                    rec = {"value": rec}
+                elif cols:
+                    rec = {c: rec.get(c) for c in cols}
+                rows.append(rec)
+                any_rows = True
+                if len(rows) >= _BLOCK_RECORDS:
+                    t = _flush()
+                    if t is not None:
+                        yield t
+            if r.read(16) != sync:
+                raise ValueError(f"{path}: sync marker mismatch")
+        t = _flush()
+        if t is not None:
+            yield t
+        if not any_rows and arrow_schema is not None:
+            yield arrow_schema.empty_table()
+
+
+def read_avro(paths, *, columns: "Optional[list[str]]" = None,
+              filesystem=None, **kwargs) -> "ray.data.Dataset":
+    """Avro object-container file(s) → Dataset; projection applied inside
+    the read task (decoded dict → selected keys) so unused fields never
+    enter the object store. Decoding is the pure-Python codec — fine for
+    metadata-scale files; bulk data should live in Parquet/ORC."""
+    return ray.data.read_datasource(
+        AvroDatasource(paths, columns=columns, filesystem=filesystem,
+                       **kwargs))

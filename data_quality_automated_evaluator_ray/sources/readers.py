@@ -359,6 +359,18 @@ def read_source(source: dict[str, Any]) -> "ray.data.Dataset":
         ds = ray.data.read_json(fs_path, filesystem=fs)
         if columns:
             ds = ds.select_columns(columns)
+    elif fmt == "orc":
+        # Ray Data has no built-in ORC reader; stripe-streamed custom
+        # datasource (sources/orc.py), projection pushed into the decoder
+        from .orc import read_orc
+
+        ds = read_orc(fs_path, columns=columns, filesystem=fs)
+    elif fmt == "avro":
+        # generic Avro object containers via the repo's from-scratch codec
+        # (sources/avro.py; the same codec backs the Iceberg metadata walk)
+        from .avro import read_avro
+
+        ds = read_avro(fs_path, columns=columns, filesystem=fs)
     elif fmt in ("warc", "wet"):
         # Common Crawl web archives (sources/warc.py): beyond-reference
         # ingestion, streaming record parse per file, gz by extension
