@@ -1,0 +1,385 @@
+"""Delta Lake table source — a from-scratch ``_delta_log`` walk (public
+Delta Transaction Log Protocol, delta.io PROTOCOL.md) resolving a version's
+live Parquet data files into the standard parallel Parquet scan, the same
+shape as the Iceberg reader (``sources/iceberg.py``).
+
+No counterpart in ``/root/reference`` (its readers stop at
+parquet/csv/xlsx/iceberg, handle_data.py:74-130); no delta-specific
+dependency is used (the log is JSON lines + a Parquet checkpoint, both
+readable with stdlib + pyarrow).
+
+State reconstruction, per the protocol:
+
+1. ``_delta_log/_last_checkpoint`` (when present) names the newest
+   checkpoint; checkpoint Parquet part files carry one action per row in
+   ``add`` / ``remove`` / ``metaData`` / ``protocol`` struct columns.
+2. JSON commit files ``<version %020d>.json`` after the checkpoint are
+   replayed in order: ``add`` inserts a data file keyed by path, ``remove``
+   tombstones it, the last ``metaData`` / ``protocol`` win.
+3. ``version=`` time-travels by replaying only commits ≤ that version
+   (and ignoring any newer checkpoint).
+
+The reader is deliberately strict about protocol features it cannot honor:
+any ``deletionVector`` on a live file, column-mapping modes other than
+``none``, or reader features outside the supported set raise
+``NotImplementedError`` instead of silently returning resurrected/ wrongly
+named rows (same fail-loud policy as the Iceberg delete handling).
+
+Partitioned tables: Delta data files do NOT contain partition columns —
+values live in each ``add``'s ``partitionValues`` string map. Files are
+grouped by identical partition tuples; each group becomes one pruned
+``read_parquet`` whose batches get the decoded constants appended, and the
+groups union. The partitioning assumption: the number of DISTINCT partition
+tuples is small next to the file count (true of date/lang-partitioned
+corpora); the per-file work still parallelizes inside each group's scan.
+
+``filter=(col, op, value)`` prunes files by partition value exactly and by
+the per-file ``stats`` min/max when present, then still applies the exact
+row-level filter downstream — precise regardless of stats coverage,
+mirroring ``read_iceberg``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import urllib.parse
+from datetime import date, datetime, timezone
+from decimal import Decimal
+from typing import Any, Optional
+
+import pyarrow as pa
+
+_SUPPORTED_READER_FEATURES = {"timestampNtz", "columnMapping",
+                              "deletionVectors", "vacuumProtocolCheck"}
+# columnMapping/deletionVectors may be LISTED as table features while unused;
+# actual use (mapping mode != none, a deletionVector on a live add) is what
+# the reader rejects, checked directly below.
+
+
+# ---------------------------------------------------------------------------
+# schemaString (Spark-style JSON struct) → Arrow
+# ---------------------------------------------------------------------------
+def _arrow_type(t: Any) -> pa.DataType:
+    if isinstance(t, str):
+        prim = {
+            "string": pa.string(), "long": pa.int64(), "integer": pa.int32(),
+            "short": pa.int16(), "byte": pa.int8(), "float": pa.float32(),
+            "double": pa.float64(), "boolean": pa.bool_(),
+            "binary": pa.binary(), "date": pa.date32(),
+            "timestamp": pa.timestamp("us", tz="UTC"),
+            "timestamp_ntz": pa.timestamp("us"),
+        }
+        if t in prim:
+            return prim[t]
+        if t.startswith("decimal"):
+            p, s = t[t.index("(") + 1:t.index(")")].split(",")
+            return pa.decimal128(int(p), int(s))
+        raise NotImplementedError(f"delta type {t!r}")
+    kind = t.get("type")
+    if kind == "struct":
+        return pa.struct([pa.field(f["name"], _arrow_type(f["type"]),
+                                   nullable=f.get("nullable", True))
+                          for f in t["fields"]])
+    if kind == "array":
+        return pa.list_(_arrow_type(t["elementType"]))
+    if kind == "map":
+        return pa.map_(_arrow_type(t["keyType"]), _arrow_type(t["valueType"]))
+    raise NotImplementedError(f"delta type {t!r}")
+
+
+def _table_schema(meta: dict) -> pa.Schema:
+    struct = json.loads(meta["schemaString"])
+    return pa.schema([pa.field(f["name"], _arrow_type(f["type"]),
+                               nullable=f.get("nullable", True))
+                      for f in struct["fields"]])
+
+
+def _partition_value(raw: "Optional[str]", typ: pa.DataType) -> Any:
+    """Decode one partitionValues entry (protocol: the serialized string,
+    null when the value is null)."""
+    if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+        return raw
+    if raw == "":
+        return None  # non-string empty serialization means null
+    if pa.types.is_integer(typ):
+        return int(raw)
+    if pa.types.is_floating(typ):
+        return float(raw)
+    if pa.types.is_boolean(typ):
+        return raw == "true"
+    if pa.types.is_date(typ):
+        return date.fromisoformat(raw)
+    if pa.types.is_timestamp(typ):
+        dt = datetime.fromisoformat(raw)
+        if typ.tz is not None and dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        return dt
+    if pa.types.is_decimal(typ):
+        return Decimal(raw)
+    if pa.types.is_binary(typ):
+        return raw.encode("utf-8")
+    raise NotImplementedError(f"partition value of type {typ}")
+
+
+# ---------------------------------------------------------------------------
+# log replay
+# ---------------------------------------------------------------------------
+def _list_log(log_dir: str) -> "tuple[list[tuple[int, str]], dict | None]":
+    """→ (sorted [(version, json path)], parsed _last_checkpoint or None)."""
+    commits: list[tuple[int, str]] = []
+    last_cp = None
+    for name in os.listdir(log_dir):
+        stem, ext = os.path.splitext(name)
+        if ext == ".json" and stem.isdigit() and len(stem) == 20:
+            commits.append((int(stem), os.path.join(log_dir, name)))
+        elif name == "_last_checkpoint":
+            with open(os.path.join(log_dir, name)) as f:
+                last_cp = json.load(f)
+    commits.sort()
+    return commits, last_cp
+
+
+def _checkpoint_paths(log_dir: str, cp: dict) -> list[str]:
+    v = int(cp["version"])
+    parts = cp.get("parts")
+    if parts:
+        return [os.path.join(
+            log_dir, f"{v:020d}.checkpoint.{i:010d}.{int(parts):010d}.parquet")
+            for i in range(1, int(parts) + 1)]
+    return [os.path.join(log_dir, f"{v:020d}.checkpoint.parquet")]
+
+
+def _row_to_action(kind: str, payload: dict) -> dict:
+    return {kind: payload}
+
+
+def _checkpoint_actions(paths: list[str]):
+    """Yield actions from checkpoint part files (struct columns, one action
+    per row) — reads only the action columns that exist."""
+    import pyarrow.parquet as pq
+
+    for p in paths:
+        t = pq.read_table(p, columns=[c for c in
+                                      ("add", "remove", "metaData", "protocol")
+                                      if c in pq.read_schema(p).names])
+        rows = t.to_pylist()
+        for row in rows:
+            for kind in ("protocol", "metaData", "add", "remove"):
+                payload = row.get(kind)
+                if payload is not None:
+                    yield _row_to_action(kind, payload)
+
+
+def _replay(table_path: str, version: "Optional[int]" = None
+            ) -> "tuple[list[dict], dict, dict]":
+    """→ (live add actions, metaData, protocol) at ``version`` (or latest)."""
+    log_dir = os.path.join(table_path, "_delta_log")
+    if not os.path.isdir(log_dir):
+        raise FileNotFoundError(f"{table_path}: no _delta_log directory — "
+                                "not a Delta table")
+    commits, last_cp = _list_log(log_dir)
+    if not commits and last_cp is None:
+        raise FileNotFoundError(f"{table_path}: empty _delta_log")
+
+    cp_version = -1
+    actions_src: list = []
+    if last_cp is not None and (version is None
+                                or int(last_cp["version"]) <= version):
+        cp_version = int(last_cp["version"])
+        actions_src.append(_checkpoint_actions(
+            _checkpoint_paths(log_dir, last_cp)))
+
+    max_seen = cp_version
+    for v, path in commits:
+        if v <= cp_version:
+            continue
+        if version is not None and v > version:
+            continue
+        max_seen = max(max_seen, v)
+
+        def _json_actions(p=path):
+            with open(p) as f:
+                for line in f:
+                    line = line.strip()
+                    if line:
+                        yield json.loads(line)
+
+        actions_src.append(_json_actions())
+
+    if version is not None and max_seen < version:
+        raise ValueError(f"{table_path}: version {version} not in log "
+                         f"(latest is {max_seen})")
+
+    adds: dict[str, dict] = {}
+    meta: dict | None = None
+    protocol: dict | None = None
+    for src in actions_src:
+        for action in src:
+            if "add" in action and action["add"] is not None:
+                a = action["add"]
+                adds[a["path"]] = a
+            elif "remove" in action and action["remove"] is not None:
+                adds.pop(action["remove"]["path"], None)
+            elif "metaData" in action and action["metaData"] is not None:
+                meta = action["metaData"]
+            elif "protocol" in action and action["protocol"] is not None:
+                protocol = action["protocol"]
+    if meta is None:
+        raise ValueError(f"{table_path}: log has no metaData action")
+    protocol = protocol or {"minReaderVersion": 1}
+
+    feats = set(protocol.get("readerFeatures") or [])
+    unsupported = feats - _SUPPORTED_READER_FEATURES
+    if unsupported:
+        raise NotImplementedError(
+            f"{table_path}: unsupported Delta reader features "
+            f"{sorted(unsupported)}")
+    mapping = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none")
+    if mapping not in ("none", ""):
+        raise NotImplementedError(
+            f"{table_path}: column mapping mode {mapping!r} is not "
+            "supported (physical names would diverge from the schema)")
+    for a in adds.values():
+        if a.get("deletionVector"):
+            raise NotImplementedError(
+                f"{table_path}: live file {a['path']!r} carries a deletion "
+                "vector — reading it raw would resurrect deleted rows")
+    return list(adds.values()), meta, protocol
+
+
+def _resolve_path(table_path: str, p: str) -> str:
+    """add.path is URL-encoded and table-root-relative (absolute allowed)."""
+    decoded = urllib.parse.unquote(p)
+    parsed = urllib.parse.urlparse(decoded)
+    if parsed.scheme in ("", "file"):
+        raw = parsed.path if parsed.scheme == "file" else decoded
+        return raw if os.path.isabs(raw) else os.path.join(table_path, raw)
+    return decoded
+
+
+_OPS = {"==": lambda lo, hi, v: not (v < lo or hi < v) if lo is not None else True,
+        ">=": lambda lo, hi, v: hi is None or hi >= v,
+        ">": lambda lo, hi, v: hi is None or hi > v,
+        "<=": lambda lo, hi, v: lo is None or lo <= v,
+        "<": lambda lo, hi, v: lo is None or lo < v}
+
+
+def _file_may_match(a: dict, col: str, op: str, value: Any,
+                    part_cols: list[str], schema: pa.Schema) -> bool:
+    if col in part_cols:
+        pv = _partition_value((a.get("partitionValues") or {}).get(col),
+                              schema.field(col).type)
+        if pv is None:
+            return False  # null partition never satisfies a comparison
+        return {"==": pv == value, ">=": pv >= value, ">": pv > value,
+                "<=": pv <= value, "<": pv < value}[op]
+    stats = a.get("stats")
+    if not stats:
+        return True
+    s = json.loads(stats) if isinstance(stats, str) else stats
+    lo = (s.get("minValues") or {}).get(col)
+    hi = (s.get("maxValues") or {}).get(col)
+    if lo is None and hi is None:
+        return True
+    try:
+        return _OPS[op](lo, hi, value)
+    except TypeError:
+        return True  # incomparable stats types → keep the file (exact
+        # row filter below stays precise)
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+def delta_data_files(table_path: str, *, version: "Optional[int]" = None
+                     ) -> list[str]:
+    """Resolved absolute paths of the version's live data files."""
+    adds, _, _ = _replay(table_path, version)
+    return sorted(_resolve_path(table_path, a["path"]) for a in adds)
+
+
+def read_delta(table_path: str, *, columns: "Optional[list[str]]" = None,
+               version: "Optional[int]" = None,
+               filter: "Optional[tuple[str, str, Any]]" = None,
+               **read_kwargs: Any):
+    """Delta table → ``ray.data.Dataset`` (column-pruned Parquet scan of the
+    version's live files, partition columns re-attached from the log)."""
+    import ray
+    import ray.data
+
+    adds, meta, _ = _replay(table_path, version)
+    schema = _table_schema(meta)
+    part_cols = list(meta.get("partitionColumns") or [])
+    for c in part_cols:
+        if c not in schema.names:
+            raise ValueError(f"{table_path}: partition column {c!r} missing "
+                             "from schemaString")
+    out_cols = list(columns) if columns else list(schema.names)
+    unknown = [c for c in out_cols if c not in schema.names]
+    if unknown:
+        raise ValueError(f"{table_path}: no column(s) {unknown}; schema is "
+                         f"{schema.names}")
+
+    if filter is not None:
+        col, op, value = filter
+        if op not in _OPS:
+            raise ValueError(f"filter op {op!r} (supported: {sorted(_OPS)})")
+        adds = [a for a in adds
+                if _file_may_match(a, col, op, value, part_cols, schema)]
+
+    data_cols = [c for c in out_cols if c not in part_cols]
+    proj = pa.schema([schema.field(c) for c in out_cols])
+    if not adds:
+        return ray.data.from_arrow(proj.empty_table())
+
+    # group by the decoded partition tuple; one pruned scan per group
+    groups: dict[tuple, list[str]] = {}
+    pv_of: dict[tuple, dict[str, Any]] = {}
+    for a in adds:
+        pv = {c: _partition_value((a.get("partitionValues") or {}).get(c),
+                                  schema.field(c).type)
+              for c in part_cols}
+        key = tuple(sorted(pv.items()))
+        groups.setdefault(key, []).append(_resolve_path(table_path,
+                                                        a["path"]))
+        pv_of[key] = pv
+
+    want_parts = [c for c in out_cols if c in part_cols]
+
+    def _attach(consts: dict[str, Any]):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            arrays, names = [], []
+            for c in out_cols:
+                if c in consts:
+                    typ = schema.field(c).type
+                    arrays.append(pa.array([consts[c]] * n, type=typ))
+                else:
+                    arrays.append(batch.column(c))
+                names.append(c)
+            return pa.table(dict(zip(names, arrays)))
+        return fn
+
+    datasets = []
+    # deterministic group order; key=repr because partition tuples can mix
+    # None with non-None values, which plain tuple comparison rejects
+    for key, files in sorted(groups.items(), key=lambda kv: repr(kv[0])):
+        ds = ray.data.read_parquet(sorted(files),
+                                   columns=data_cols or None, **read_kwargs)
+        consts = {c: pv_of[key][c] for c in want_parts}
+        if consts or list(ds.schema().names) != out_cols:
+            ds = ds.map_batches(_attach(consts), batch_format="pyarrow",
+                                zero_copy_batch=True)
+        datasets.append(ds)
+    out = datasets[0]
+    if len(datasets) > 1:
+        out = out.union(*datasets[1:])
+    if filter is not None:
+        col, op, value = filter
+        # same residual-row-filter shape as read_iceberg (iceberg.py:748-751)
+        out = out.filter(expr=f"{col} {op} {value!r}")
+    return out

@@ -399,6 +399,17 @@ def read_source(source: dict[str, Any]) -> "ray.data.Dataset":
                     and "connect_args" not in source and path):
                 source = {**source, "connect_args": {"database": path}}
         ds = _read_sql(source, columns)
+    elif fmt == "delta":
+        # Delta Lake via a from-scratch _delta_log walk (sources/delta.py —
+        # public Delta Transaction Log Protocol, zero extra deps), same
+        # shape as the iceberg branch below
+        from .delta import read_delta
+
+        f = source.get("filter")
+        d_kw = {"filesystem": fs} if fs is not None else {}
+        ds = read_delta(path, columns=columns,
+                        version=source.get("version"),
+                        filter=tuple(f) if f else None, **d_kw)
     elif fmt == "iceberg":
         # reference handle_data.py:104-127 reads Iceberg via pyiceberg;
         # here: a from-scratch metadata walk (sources/iceberg.py — public
