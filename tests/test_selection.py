@@ -416,3 +416,71 @@ def test_dsir_select_semantics(ray_session):
                        n_buckets=256, k=40)
     pd.testing.assert_frame_equal(out.reset_index(drop=True),
                                   out7.reset_index(drop=True))
+
+
+def test_moore_lewis_select(ray_session):
+    """Moore–Lewis CE-difference: in-domain-looking docs score positive,
+    noise negative; nulls/empties yield null score + keep=False; terms
+    differing only after an embedded NUL stay distinct; block-count
+    invariant."""
+    import pandas as pd
+    import numpy as np
+    import ray
+
+    from data_quality_automated_evaluator_ray.stages.selection import (
+        moore_lewis_select)
+
+    rows = []
+    for i in range(20):
+        rows.append({"doc_id": i, "lang": "en",
+                     "text": "the quick brown fox " * 8})
+    for i in range(20, 60):
+        rows.append({"doc_id": i, "lang": "xx",
+                     "text": f"zzz{i} qqq{i} vvv{i} " * 6})
+    # echo docs: in-domain vocabulary under a different lang label
+    for i in range(60, 70):
+        rows.append({"doc_id": i, "lang": "xx",
+                     "text": "the quick brown fox " * 8})
+    rows.append({"doc_id": 70, "lang": "xx", "text": ""})
+    rows.append({"doc_id": 71, "lang": None, "text": None})
+    rows.append({"doc_id": 72, "lang": "xx", "text": "a\x00b a\x00c"})
+    df = pd.DataFrame(rows)
+    out = moore_lewis_select(ray.data.from_pandas(df), domain_col="lang",
+                             domain_value="en").to_pandas() \
+        .set_index("doc_id").sort_index()
+    # echo docs score exactly like the in-domain docs and are kept
+    assert out.loc[60:69, "keep"].all()
+    assert (out.loc[60:69, "ml_score"].to_numpy()
+            == out.loc[0, "ml_score"]).all()
+    assert out.loc[0, "ml_score"] > 0
+    # noise docs score negative
+    assert (out.loc[20:59, "ml_score"] < 0).all()
+    assert not out.loc[20:59, "keep"].any()
+    # empty / null text → 0 tokens, null score, keep False
+    for d in (70, 71):
+        assert out.loc[d, "n_tokens"] == 0
+        assert pd.isna(out.loc[d, "ml_score"])
+        assert not out.loc[d, "keep"]
+    # NUL-adversarial doc: the two terms differing after the NUL must stay
+    # DISTINCT (conflating them doubles their count and shifts the score).
+    # Check against a hand-built python mini-oracle of the same formula.
+    assert out.loc[72, "n_tokens"] == 2
+    from collections import Counter
+
+    c_all, c_in = Counter(), Counter()
+    for r in rows:
+        toks = [t for t in (r["text"] or "").split(" ") if t]
+        c_all.update(toks)
+        if r["lang"] == "en":
+            c_in.update(toks)
+    V = len(c_all)
+    na, ni = sum(c_all.values()), sum(c_in.values())
+    exp72 = np.mean([np.log((c_in[t] + 1) / (ni + V))
+                     - np.log((c_all[t] + 1) / (na + V))
+                     for t in ("a\x00b", "a\x00c")])
+    assert abs(out.loc[72, "ml_score"] - exp72) < 1e-6
+    # block-count invariance (pure map + broadcast table — no shuffle)
+    out5 = moore_lewis_select(ray.data.from_pandas(df).repartition(5),
+                              domain_col="lang", domain_value="en") \
+        .to_pandas().set_index("doc_id").sort_index()
+    pd.testing.assert_frame_equal(out, out5)
