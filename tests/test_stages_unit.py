@@ -1082,3 +1082,49 @@ def test_kcenter_greedy_fails_loud_on_short_table(ray_session):
         [{"vec_id": i, "embedding": [float(i), 1.0]} for i in range(3)])
     with pytest.raises(ValueError, match="ran out of points"):
         kcenter_greedy(ds, k=5)
+
+
+def test_luhn_cc_scrub_unit(ray_session):
+    """Luhn CC scrub: valid numbers masked (spaced/dashed/bare), checksum
+    failures and short runs untouched, multiple candidates per row, null
+    text passes through, idempotent duplicate replacement."""
+    import pyarrow as pa
+
+    from data_quality_automated_evaluator_ray.stages.scrub import (
+        luhn_cc_scrub, luhn_valid)
+
+    rows = [
+        "pay with 4111 1111 1111 1111 now",          # valid (visa test)
+        "alt 5500-0055-5555-5559 ok",                # valid (mc test)
+        "invalid 4111 1111 1111 1112 stays",          # checksum fail
+        "short 1234 5678 901 stays",                  # 11 digits: no match
+        "two 4111 1111 1111 1111 and 4111 1111 1111 1111",  # dup candidate
+        "mixed 4111 1111 1111 1111 plus 4111 1111 1111 1112",
+        None,
+        "no digits here",
+    ]
+    t = pa.table({"text": pa.array(rows, pa.string())})
+    out = luhn_cc_scrub(t, text_col="text")
+    s = out.column("text_scrubbed").to_pylist()
+    nc = out.column("cc_candidates").to_pylist()
+    nv = out.column("cc_valid").to_pylist()
+    assert s[0] == "pay with <CC> now" and (nc[0], nv[0]) == (1, 1)
+    assert s[1] == "alt <CC> ok" and nv[1] == 1
+    assert s[2] == rows[2] and (nc[2], nv[2]) == (1, 0)
+    assert s[3] == rows[3] and nc[3] == 0
+    assert s[4] == "two <CC> and <CC>" and (nc[4], nv[4]) == (2, 2)
+    assert s[5] == "mixed <CC> plus 4111 1111 1111 1112"
+    assert s[6] is None and nc[6] == 0
+    assert s[7] == rows[7] and nc[7] == 0
+
+    # vectorized checksum agrees with a scalar reference implementation
+    def ref(c):
+        d = [int(x) for x in c if x.isdigit()][::-1]
+        return sum(v if i % 2 == 0 else (v * 2 - 9 if v * 2 > 9 else v * 2)
+                   for i, v in enumerate(d)) % 10 == 0
+
+    cands = ["4111111111111111", "79927398713", "79927398710",
+             "0000000000000", "4111-1111-1111-1111", "1111111111111117"]
+    import numpy as np
+
+    assert np.array_equal(luhn_valid(cands), np.array([ref(c) for c in cands]))
