@@ -50,6 +50,8 @@ from typing import Any, Optional
 
 import pyarrow as pa
 
+from .paths import residual_filter
+
 _SUPPORTED_READER_FEATURES = {"timestampNtz", "columnMapping",
                               "deletionVectors", "vacuumProtocolCheck"}
 # columnMapping/deletionVectors may be LISTED as table features while unused;
@@ -380,6 +382,6 @@ def read_delta(table_path: str, *, columns: "Optional[list[str]]" = None,
         out = out.union(*datasets[1:])
     if filter is not None:
         col, op, value = filter
-        # same residual-row-filter shape as read_iceberg (iceberg.py:748-751)
-        out = out.filter(expr=f"{col} {op} {value!r}")
+        # same residual-row-filter shape as read_iceberg
+        out = residual_filter(out, col, op, value)
     return out

@@ -37,6 +37,7 @@ from typing import Any
 
 from .avro_codec import read_avro_file
 from .paths import fs_path as _fs_path
+from .paths import residual_filter
 from .paths import strip_file_scheme as _strip_scheme
 
 
@@ -746,6 +747,5 @@ def read_iceberg(table_path: str, *, columns: list[str] | None = None,
                                    columns=columns, **read_kwargs)
     if filter is not None:
         col, op, val = filter
-        lit = f"{val!r}" if isinstance(val, str) else repr(val)
-        ds = ds.filter(expr=f"{col} {op} {lit}")
+        ds = residual_filter(ds, col, op, val)
     return ds

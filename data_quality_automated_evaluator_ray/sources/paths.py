@@ -32,3 +32,30 @@ def fs_path(p: str, fs) -> str:
     if fs is None or "://" not in p:
         return p
     return p.split("://", 1)[1]
+
+
+_RESIDUAL_OPS = ("==", ">=", ">", "<=", "<")
+
+
+def residual_filter(ds, col: str, op: str, value):
+    """Exact row-level ``col <op> value`` over a Dataset, applied after a
+    reader's file-level pruning (Iceberg stats / Delta partitionValues+stats
+    keep a superset of matching files; this makes the result precise).
+
+    Implemented as a vectorized Arrow-compute mask inside ``map_batches``
+    rather than ``ds.filter(expr=f"{col} {op} {value!r}")`` — the repr-based
+    expression breaks for ``date``/``datetime``/``Decimal`` literals (their
+    reprs aren't expression syntax) and is fragile for strings containing
+    quotes. SQL comparison semantics: a null never matches."""
+    import pyarrow.compute as pc
+
+    kernel = {"==": pc.equal, ">=": pc.greater_equal, ">": pc.greater,
+              "<=": pc.less_equal, "<": pc.less}[op]
+
+    def _mask(batch):
+        mask = kernel(batch.column(col), value)
+        if mask.null_count:
+            mask = mask.fill_null(False)
+        return batch.filter(mask)
+
+    return ds.map_batches(_mask, batch_format="pyarrow", zero_copy_batch=True)

@@ -258,3 +258,32 @@ def test_read_delta_via_read_source(ray_session, tmp_path):
     out = ds.sort("x").take_batch(10, batch_format="pyarrow")
     assert out.column_names == ["x"]
     assert out.column("x").to_pylist() == [5, 6]
+
+
+def test_read_delta_residual_filter_nonexpr_literals(ray_session, tmp_path):
+    """Residual row filters on date columns and quote-bearing strings — the
+    literals whose reprs are NOT expression syntax (the old
+    ``filter(expr=f"... {v!r}")`` shape crashed on them; residual_filter
+    compares with Arrow kernels instead). Nulls never match (SQL semantics)."""
+    from datetime import date
+
+    root = tmp_path / "tbl"
+    root.mkdir()
+    pq.write_table(
+        pa.table({"d": pa.array([date(2024, 1, 1), date(2024, 3, 1), None],
+                                pa.date32()),
+                  "s": pa.array(["it's", 'say "hi"', None], pa.string())}),
+        str(root / "f0.parquet"))
+    _commit(root / "_delta_log", 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": _meta([("d", "date"), ("s", "string")])},
+        {"add": _add("f0.parquet")},
+    ])
+
+    out = read_delta(str(root), filter=("d", ">=", date(2024, 2, 1)))
+    assert out.take_batch(10, batch_format="pyarrow").column(
+        "d").to_pylist() == [date(2024, 3, 1)]
+
+    out = read_delta(str(root), filter=("s", "==", "it's"))
+    assert out.take_batch(10, batch_format="pyarrow").column(
+        "s").to_pylist() == ["it's"]
