@@ -653,3 +653,42 @@ def moore_lewis_select(ds: "ray.data.Dataset", *, domain_col: str,
 
     return ds.select_columns(cols).map_batches(_score,
                                                batch_format="pyarrow")
+
+
+def temperature_weights(ds: "ray.data.Dataset", *, lang_col: str = "lang",
+                        alpha: float = 0.5) -> pd.DataFrame:
+    """Exponentiated (temperature) language-sampling weights — the
+    multilingual-LM baseline of Lample & Conneau 2019 ("Cross-lingual
+    Language Model Pretraining", §3.1, α=0.5) and mT5 (Xue et al. 2021,
+    α=0.3), and the method UniMax (:func:`unimax_budgets`) benchmarks
+    against: languages are sampled with ``q_l ∝ p_l^α`` where
+    ``p_l = n_l / N``, flattening the head of the Zipf language
+    distribution toward the tail.
+
+    Returns the per-language weight table ``(lang, n_docs, weight)`` where
+    ``weight = q_l · N / n_l`` is the expected per-document replication
+    factor that realizes ``q_l`` while keeping the expected corpus size at
+    ``N`` — exactly the ``weights=`` input :func:`mixture_resample` expands
+    deterministically (floor copies + md5-keyed fractional copy).
+
+    Scale shape: ONE narrow ``groupby(lang).count()`` (only the lang column
+    shuffles, pre-aggregated per block by Ray's aggregate); the ≤#languages
+    weight table computes on the driver. α=0.5 (the XLM default) uses
+    ``sqrt``, which is correctly rounded per IEEE-754 in both numpy and SQL
+    engines, so an oracle matches bit-for-bit before rounding."""
+    from .partitioning import groupby_counts
+
+    c = groupby_counts(ds, [lang_col])
+    c = c.sort_values(lang_col).reset_index(drop=True)
+    if not len(c):
+        return pd.DataFrame({lang_col: pd.Series(dtype=object),
+                             "n_docs": pd.Series(dtype="int64"),
+                             "weight": pd.Series(dtype="float64")})
+    n = c["n"].to_numpy(np.float64)
+    N = n.sum()  # integer-valued — exact in float64 below 2^53
+    p = n / N
+    r = np.sqrt(p) if alpha == 0.5 else np.power(p, alpha)
+    w = r / r.sum() * N / n
+    return pd.DataFrame({lang_col: c[lang_col],
+                         "n_docs": c["n"].astype("int64"),
+                         "weight": w})
