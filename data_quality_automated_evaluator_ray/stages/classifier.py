@@ -198,3 +198,92 @@ def nb_reference_classify(ds: "ray.data.Dataset", *, label_col: str,
 
     return ds.select_columns([id_col, text_col]).map_batches(
         _score, batch_format="pyarrow")
+
+
+def ensemble_quality_buckets(ds: "ray.data.Dataset", *, label_col: str,
+                             pos_values: "list[str]", id_col: str = "doc_id",
+                             text_col: str = "text", n_buckets: int = 20,
+                             n_tiers: int = 5, min_count: int = 5,
+                             alpha: float = 1.0,
+                             num_partitions: int = 16) -> "ray.data.Dataset":
+    """Classifier-ensemble quality bucketing, the Nemotron-CC curation move
+    (Su et al. 2024, arXiv:2412.02595 §3.1.2): score every document with
+    MULTIPLE quality classifiers, convert each classifier's raw scores to
+    corpus-percentile integer buckets (their score-bucketing step — robust
+    to each classifier's arbitrary scale), ensemble with the per-document
+    MAX bucket ("a document is as good as its most enthusiastic
+    classifier"), and map the ensembled bucket onto ``n_tiers`` final
+    quality tiers.
+
+    The two classifiers here are the engine's deterministic stand-ins for
+    Nemotron's model ensemble: the reference-corpus multinomial NB
+    (:func:`nb_reference_classify`, the GPT-3/LLaMA/DCLM family) and the
+    heuristic composite quality score (``stages/text.quality_score``).
+    Bucketing is the exact SQL ``ntile(n_buckets)`` over
+    ``(rounded score, id)`` — ties totally ordered, partitioning-
+    independent, byte-identical to a window-function oracle.
+
+    Scale shape: each classifier is its own streaming pass over the corpus
+    (text never shuffles — NB moves token partials, the heuristic is
+    per-batch); the two (id, score) tables join with a distributed hash
+    join on the row-unique id; each ntile is ONE coarse range-keyed
+    shuffle of the narrow score table (:func:`~..stages.packing.
+    ntile_by_value` — per-range counts to the driver, never corpus rows).
+
+    Returns ``(id_col, bucket_nb, bucket_q, ensemble_bucket, tier)``,
+    all buckets 1-based int64, ``tier = ceil(bucket · n_tiers /
+    n_buckets)`` so tier ``n_tiers`` is the best.
+    """
+    from ..functions.parity import round_half_away
+    from .joins import hash_join
+    from .packing import ntile_by_value
+    from .text import quality_score
+
+    if n_buckets % n_tiers:
+        raise ValueError(f"n_buckets ({n_buckets}) must be a multiple of "
+                         f"n_tiers ({n_tiers})")
+
+    nb = nb_reference_classify(ds, label_col=label_col,
+                               pos_values=pos_values, id_col=id_col,
+                               text_col=text_col, min_count=min_count,
+                               alpha=alpha)
+
+    def _nb_narrow(b: pa.Table) -> pa.Table:
+        return pa.table({id_col: b.column(id_col),
+                         "s_nb": b.column("score")})
+
+    def _q_narrow(b: pa.Table) -> pa.Table:
+        scored = quality_score(b, text_col)
+        q = scored.column("quality_score").to_numpy(zero_copy_only=False)
+        return pa.table({id_col: b.column(id_col),
+                         "s_q": pa.array(round_half_away(q, 6),
+                                         pa.float64())})
+
+    nb_s = nb.map_batches(_nb_narrow, batch_format="pyarrow")
+    q_s = ds.select_columns([id_col, text_col]).map_batches(
+        _q_narrow, batch_format="pyarrow")
+    j = hash_join(nb_s, q_s, on=id_col, num_partitions=num_partitions)
+
+    # ntile ranges: placement-only knobs (clipping never changes output
+    # values); NB log-odds are token-count-scaled, quality is [0,1]
+    j = ntile_by_value(j, value_col="s_nb", tiebreak_col=id_col,
+                       n_tiles=n_buckets, lo=-1000.0, hi=1000.0,
+                       out_col="bucket_nb")
+    j = ntile_by_value(j, value_col="s_q", tiebreak_col=id_col,
+                       n_tiles=n_buckets, lo=0.0, hi=1.0,
+                       out_col="bucket_q")
+
+    per_tier = n_buckets // n_tiers
+
+    def _finish(b: pa.Table) -> pa.Table:
+        bn = b.column("bucket_nb").to_numpy(zero_copy_only=False)
+        bq = b.column("bucket_q").to_numpy(zero_copy_only=False)
+        ens = np.maximum(bn, bq)
+        tier = (ens + per_tier - 1) // per_tier
+        return pa.table({id_col: b.column(id_col),
+                         "bucket_nb": pa.array(bn, pa.int64()),
+                         "bucket_q": pa.array(bq, pa.int64()),
+                         "ensemble_bucket": pa.array(ens, pa.int64()),
+                         "tier": pa.array(tier, pa.int64())})
+
+    return j.map_batches(_finish, batch_format="pyarrow")

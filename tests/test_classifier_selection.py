@@ -248,3 +248,54 @@ def test_softdedup_validates(ray_session):
         softdedup_weights(ray.data.from_pandas(df), n_buckets=0)
     with pytest.raises(ValueError):
         softdedup_weights(ray.data.from_pandas(df), w_min=1.5)
+
+
+def _ensemble(df: pd.DataFrame, **kw):
+    from data_quality_automated_evaluator_ray.stages.classifier import (
+        ensemble_quality_buckets)
+
+    ds = ray.data.from_pandas(df)
+    return (ensemble_quality_buckets(ds, label_col="source",
+                                     pos_values=["src0", "src1"], **kw)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+
+def test_ensemble_buckets_max_and_tiers(ray_session):
+    """Nemotron-CC ensemble semantics: ensemble_bucket is the per-doc MAX
+    of the two classifiers' ntile buckets, tier is ceil(bucket/per_tier),
+    buckets cover 1..n exactly, and the result is independent of the join
+    partition count."""
+    rng = np.random.default_rng(7)
+    n = 40
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "source": [f"src{i % 4}" for i in range(n)],
+        "text": [" ".join(rng.choice(["the", "of", "and", "qq", "zz",
+                                      "good", "bad"], size=5 + i % 9))
+                 for i in range(n)],
+    })
+    out = _ensemble(df, n_buckets=8, n_tiers=4, min_count=1)
+    assert len(out) == n
+    assert (out["ensemble_bucket"]
+            == np.maximum(out["bucket_nb"], out["bucket_q"])).all()
+    assert (out["tier"] == -(-out["ensemble_bucket"] // 2)).all()
+    # ntile over n=40 rows into 8 buckets -> each bucket exactly 5 rows
+    assert out["bucket_nb"].value_counts().eq(5).all()
+    assert out["bucket_q"].value_counts().eq(5).all()
+    assert out["tier"].between(1, 4).all()
+
+    out2 = _ensemble(df, n_buckets=8, n_tiers=4, min_count=1,
+                     num_partitions=3)
+    pd.testing.assert_frame_equal(out, out2)
+
+
+def test_ensemble_buckets_validates(ray_session):
+    from data_quality_automated_evaluator_ray.stages.classifier import (
+        ensemble_quality_buckets)
+
+    df = pd.DataFrame({"doc_id": [1, 2], "source": ["src0", "src9"],
+                       "text": ["a", "b"]})
+    with pytest.raises(ValueError, match="multiple"):
+        ensemble_quality_buckets(ray.data.from_pandas(df),
+                                 label_col="source", pos_values=["src0"],
+                                 n_buckets=7, n_tiers=3)
