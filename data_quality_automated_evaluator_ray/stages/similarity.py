@@ -638,6 +638,115 @@ def semdedup(ds: "ray.data.Dataset", *, n_clusters: int = 16,
                                                   batch_format="pandas")
 
 
+def d4_prune(ds: "ray.data.Dataset", *, n_clusters: int = 16,
+             threshold: float = 0.3, proto_pct: int = 25,
+             sample_size: int = 2000, id_col: str = "vec_id",
+             emb_col: str = "embedding",
+             num_partitions: "int | None" = None) -> "ray.data.Dataset":
+    """D4 data selection (Tirumala et al. 2023, arXiv:2308.12284):
+    SemDeDup semantic deduplication, then RE-cluster the deduplicated
+    corpus and apply SSL-prototype pruning (Sorscher et al. 2022,
+    arXiv:2206.14486) — per cluster, DROP the ``proto_pct`` percent of
+    points MOST similar to their centroid (the easy/prototypical
+    examples), keeping the hard tail. The re-clustering step is the
+    paper's own design: duplicates distort cluster geometry, so the
+    prototype pass runs on centroids fit to the deduped data.
+
+    Determinism / oracle contract: both quantizers are the pure-function
+    Lloyd replay (:func:`train_deterministic_quantizer`); prototype rank
+    order is (round-6 cos-to-centroid DESC, id ASC) so cross-engine float
+    noise can't flip a rank, and the per-cluster drop count is integer
+    math ``n * proto_pct // 100`` — no float boundary anywhere.
+
+    Scale shape: SemDeDup's own one-shuffle bound; the survivor join is a
+    distributed hash join on the row-unique id (each vector moves once);
+    re-assignment is one broadcast-matmul pass emitting narrow
+    (id, cluster, cos) rows; the prototype cut groups those narrow rows
+    by cluster id only. Returns one row per INPUT row:
+    ``(id_col, keep_dedup, keep)`` — ``keep`` is the final D4 verdict
+    (survived dedup AND not prototype-pruned).
+    """
+    from ..functions.parity import round_half_away
+    from .joins import hash_join
+
+    if not 0 <= proto_pct <= 100:
+        raise ValueError(f"proto_pct must be in [0, 100], got {proto_pct}")
+    if num_partitions is None:
+        # the two hash joins' aggregator pools must jointly fit the cluster
+        # (16-partition defaults deadlock a 4-CPU box — see
+        # queries.local_supply_revenue)
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, cpus // 4)
+
+    sd = semdedup(ds, n_clusters=n_clusters, threshold=threshold,
+                  sample_size=sample_size, id_col=id_col, emb_col=emb_col)
+    sd_narrow = sd.select_columns([id_col, "keep"]).materialize()
+
+    # Arrow's hash join can't carry list<float> payload columns — pack each
+    # vector to float64 bytes for the join, unpack on the other side (the
+    # vector still moves exactly once).
+    def _pack(b: pa.Table) -> pa.Table:
+        emb = _matrix(b.column(emb_col))
+        return pa.table({id_col: b.column(id_col),
+                         "_eb": pa.array([r.tobytes() for r in emb],
+                                         pa.large_binary())})
+
+    def _unpack(b: pa.Table) -> pa.Table:
+        vecs = [np.frombuffer(v, dtype=np.float64).tolist()
+                for v in b.column("_eb").to_pylist()]
+        return pa.table({id_col: b.column(id_col),
+                         emb_col: pa.array(vecs, pa.list_(pa.float64()))})
+
+    survivors = hash_join(
+        ds.select_columns([id_col, emb_col]).map_batches(
+            _pack, batch_format="pyarrow"),
+        sd_narrow.filter(expr="keep == True").select_columns([id_col]),
+        on=id_col, num_partitions=num_partitions).map_batches(
+            _unpack, batch_format="pyarrow").materialize()
+
+    cent2 = train_deterministic_quantizer(
+        survivors, n_clusters, sample_size=sample_size, id_col=id_col,
+        emb_col=emb_col)
+    cent_ref = ray.put(cent2)
+
+    def _assign(b: pa.Table) -> pa.Table:
+        cent = ray.get(cent_ref)
+        emb = _normalize(_matrix(b.column(emb_col)))
+        sims = emb @ cent.T
+        cl = np.argmax(sims, axis=1)  # ties → lowest cluster (oracle order)
+        cos_r = round_half_away(sims[np.arange(len(cl)), cl], 6)
+        return pa.table({id_col: b.column(id_col),
+                         "cluster": pa.array(cl, pa.int64()),
+                         "cos_r": pa.array(cos_r, pa.float64())})
+
+    assigned = survivors.map_batches(_assign, batch_format="pyarrow")
+
+    def _cut(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy(dtype=np.int64)
+        cos_r = g["cos_r"].to_numpy(dtype=np.float64)
+        order = np.lexsort((ids, -cos_r))  # (cos_r desc, id asc)
+        n_drop = len(ids) * proto_pct // 100
+        keep = np.empty(len(ids), dtype=bool)
+        keep[order] = np.arange(len(ids)) >= n_drop
+        return pd.DataFrame({id_col: ids, "proto_keep": keep})
+
+    proto = assigned.groupby("cluster").map_groups(
+        _cut, batch_format="pandas")
+
+    joined = hash_join(sd_narrow, proto, on=id_col, join_type="left_outer",
+                       num_partitions=num_partitions)
+
+    def _finish(b: pa.Table) -> pa.Table:
+        kd = b.column("keep").to_numpy(zero_copy_only=False)
+        pk = b.column("proto_keep").to_numpy(zero_copy_only=False)
+        final = kd & np.where(pd.isna(pk), False, pk).astype(bool)
+        return pa.table({id_col: b.column(id_col),
+                         "keep_dedup": pa.array(kd, pa.bool_()),
+                         "keep": pa.array(final, pa.bool_())})
+
+    return joined.map_batches(_finish, batch_format="pyarrow")
+
+
 def kcenter_greedy(ds: "ray.data.Dataset", *, k: int = 8,
                    id_col: str = "vec_id",
                    emb_col: str = "embedding") -> pd.DataFrame:

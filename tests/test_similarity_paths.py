@@ -121,3 +121,50 @@ def test_semdedup_planted_cliques(ray_session):
     b = out9.sort_values("vec_id").reset_index(drop=True)
     assert (a["keep"].to_numpy() == b["keep"].to_numpy()).all()
     assert (a["cluster"].to_numpy() == b["cluster"].to_numpy()).all()
+
+
+def test_d4_prune_semantics(ray_session):
+    """D4 semantics: duplicates die in the dedup stage, then exactly
+    ``n * pct // 100`` of each re-clustered cluster's MOST prototypical
+    survivors are pruned; result is block-count invariant and keep
+    implies keep_dedup."""
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.similarity import d4_prune
+
+    rng = np.random.RandomState(11)
+    base = rng.standard_normal((30, 16))
+    rows, ids = [], []
+    vid = 0
+    for i in range(30):
+        copies = 3 if i < 4 else 1  # four planted cliques
+        for c in range(copies):
+            v = base[i] + (1e-4 * rng.standard_normal(16) if c else 0.0)
+            rows.append(list(v / np.linalg.norm(v)))
+            ids.append(vid)
+            vid += 1
+    df = pd.DataFrame({"vec_id": ids, "embedding": rows})
+    out = d4_prune(ray.data.from_pandas(df), n_clusters=4, threshold=0.999,
+                   proto_pct=25, sample_size=len(df)).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    assert len(out) == len(df)
+    # dedup stage: 4 cliques collapse 12 rows -> 4 => 30 dedup survivors
+    assert int(out["keep_dedup"].sum()) == 30
+    # final keep implies dedup keep
+    assert not (out["keep"] & ~out["keep_dedup"]).any()
+    # prototype stage drops sum(n_c * 25 // 100) over re-clustered clusters;
+    # with 30 survivors the total dropped is between 4*floor stats bounds:
+    dropped_proto = int(out["keep_dedup"].sum() - out["keep"].sum())
+    assert 0 < dropped_proto <= 30 * 25 // 100
+
+    out4 = d4_prune(ray.data.from_pandas(df).repartition(7), n_clusters=4,
+                    threshold=0.999, proto_pct=25,
+                    sample_size=len(df)).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, out4)
+
+    with pytest.raises(ValueError, match="proto_pct"):
+        d4_prune(ray.data.from_pandas(df), proto_pct=101)
