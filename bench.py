@@ -143,10 +143,11 @@ def run_bench() -> dict:
     # bench keeps timing the single-variant functions so the keys stay
     # comparable round-over-round
     from data_quality_automated_evaluator_ray.pipelines.queries import (
-        ann_topk_embeddings, dedup_exact_documents)
+        ann_topk_embeddings, dedup_exact_documents, ivfpq_topk_embeddings)
 
     singles = {"dedup_exact_documents": dedup_exact_documents,
-               "ann_topk_embeddings": ann_topk_embeddings}
+               "ann_topk_embeddings": ann_topk_embeddings,
+               "ivfpq_topk_embeddings": ivfpq_topk_embeddings}
     suite = {name: SQL_QUERIES[name][0]
              for name in ["interval_overview_events", "pricing_summary_lineitem",
                           "topk_revenue_orders",
@@ -194,7 +195,11 @@ def run_bench() -> dict:
                           "bpe_train_documents",
                           # round 4 (late): SoftDeDup reweighting — tracks
                           # the two hashed-ngram streaming passes
-                          "softdedup_documents"]}
+                          "softdedup_documents",
+                          # round 4 (session 9): the codes-only ANN index
+                          # build + ADC search, and the two-quantizer D4
+                          # selection pipeline
+                          "d4_prune_embeddings"]}
     suite.update(singles)
     suite.update(extra)
     # min-of-k per suite query (default 2; round-4 method change — rounds 1-3

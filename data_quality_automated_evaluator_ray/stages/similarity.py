@@ -348,6 +348,154 @@ def ivf_topk(ds: "ray.data.Dataset", queries: np.ndarray, query_ids: list[int],
     return partials.groupby("query_id").map_groups(_merge, batch_format="pandas")
 
 
+def _kmeans_l2(X: np.ndarray, k: int, iters: int,
+               init_idx: np.ndarray) -> np.ndarray:
+    """Deterministic L2 Lloyd (PQ codebook training): assignment ranks by
+    ``c·c − 2x·c`` (the x·x term is constant per row) with ties to the
+    lowest cluster, update is the plain mean (no normalization), empty
+    clusters keep their previous centroid — exactly what the unrolled
+    DuckDB chain replays."""
+    k = min(k, X.shape[0])
+    cent = X[np.asarray(init_idx[:k], dtype=np.int64)].copy()
+    for _ in range(iters):
+        score = (cent ** 2).sum(axis=1)[None, :] - 2.0 * (X @ cent.T)
+        assign = np.argmin(score, axis=1)
+        for j in range(k):
+            m = X[assign == j]
+            if len(m):
+                cent[j] = m.mean(axis=0)
+    return cent
+
+
+def train_pq_codebooks(ds: "ray.data.Dataset", *, m: int = 4,
+                       n_codes: int = 16, iters: int = 5,
+                       sample_size: int = 2000, id_col: str = "vec_id",
+                       emb_col: str = "embedding") -> np.ndarray:
+    """Product-quantization codebooks (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search") as a PURE FUNCTION of the
+    table: the training sample and seeded init follow
+    :func:`train_deterministic_quantizer`'s rule; each of the ``m``
+    subspaces trains an independent L2 k-means codebook over the
+    NORMALIZED full vectors' subvectors. Returns ``(m, n_codes, d/m)``."""
+    sample_df = (ds.select_columns([id_col, emb_col])
+                 .filter(expr=f"{id_col} < {int(sample_size)}")
+                 .to_pandas().sort_values(id_col).reset_index(drop=True))
+    present = np.zeros(sample_size, dtype=bool)
+    ids = sample_df[id_col].to_numpy(dtype=np.int64)
+    present[ids] = True
+    perm = np.random.RandomState(17).permutation(sample_size)
+    init_ids = [v for v in perm if present[v]][:n_codes]
+    init_idx = np.searchsorted(ids, np.asarray(init_ids, dtype=np.int64))
+    X = _normalize(np.array(sample_df[emb_col].tolist(), dtype=np.float64))
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+    ds_ = d // m
+    return np.stack([_kmeans_l2(X[:, s * ds_:(s + 1) * ds_], n_codes,
+                                iters, init_idx) for s in range(m)])
+
+
+class IvfPqIndexer:
+    """Actor stage: IVF-PQ index build — each row reduces to its coarse
+    cluster id plus ``m`` one-byte PQ codes. THIS is the 100-TB ANN memory
+    story: the groupby shuffle and the search never see a raw vector,
+    only (id, cluster, codes)."""
+
+    def __init__(self, refs, id_col: str = "vec_id",
+                 emb_col: str = "embedding") -> None:
+        self.coarse, self.cbs = ray.get(refs)
+        self.id_col, self.emb_col = id_col, emb_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = _normalize(_matrix(batch.column(self.emb_col)))
+        cluster = np.argmax(emb @ self.coarse.T, axis=1).astype(np.int64)
+        cols = {self.id_col: batch.column(self.id_col),
+                "ivf_cluster": pa.array(cluster, pa.int64())}
+        ds_ = self.cbs.shape[2]
+        for s in range(self.cbs.shape[0]):
+            cb = self.cbs[s]
+            score = (cb ** 2).sum(axis=1)[None, :] \
+                - 2.0 * (emb[:, s * ds_:(s + 1) * ds_] @ cb.T)
+            cols[f"code_{s}"] = pa.array(np.argmin(score, axis=1), pa.int64())
+        return pa.table(cols)
+
+
+def ivfpq_topk(ds: "ray.data.Dataset", queries: np.ndarray,
+               query_ids: list[int], k: int = 5, *, n_clusters: int = 16,
+               nprobe: int = 3, m: int = 4, n_codes: int = 16,
+               pq_iters: int = 5, sample_size: int = 2000,
+               id_col: str = "vec_id", emb_col: str = "embedding",
+               concurrency=2) -> "ray.data.Dataset":
+    """IVF-PQ approximate top-k (Jégou et al. 2011): coarse IVF probe +
+    asymmetric-distance (ADC) scoring against per-subspace PQ codes. The
+    index pass reduces every vector to (id, cluster, m codes) — at 100 TB
+    the searched representation is ~1000× smaller than the raw vectors and
+    the per-cluster search is a table lookup per subspace, not a matmul
+    against raw data. Both quantizers are pure functions of the table
+    (deterministic sample + seeded init), ADC ranks by (round-6 score
+    desc, id), so a DuckDB oracle replays the whole path."""
+    from ..functions.parity import round_half_away
+
+    coarse = train_deterministic_quantizer(
+        ds, n_clusters, sample_size=sample_size, id_col=id_col,
+        emb_col=emb_col)
+    cbs = train_pq_codebooks(ds, m=m, n_codes=n_codes, iters=pq_iters,
+                             sample_size=sample_size, id_col=id_col,
+                             emb_col=emb_col)
+    refs = ray.put((coarse, cbs))
+
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    q_by_cluster: dict[int, list[int]] = {}
+    qsims = qn @ coarse.T
+    for j in range(qn.shape[0]):
+        for c in np.argsort(-qsims[j])[:nprobe]:
+            q_by_cluster.setdefault(int(c), []).append(j)
+    # per-query per-subspace ADC lookup tables: (n_queries, m, n_codes)
+    ds_ = cbs.shape[2]
+    luts = np.stack([qn[:, s * ds_:(s + 1) * ds_] @ cbs[s].T
+                     for s in range(m)], axis=1)  # (n_queries, m, n_codes)
+    q_ref = ray.put((list(query_ids), q_by_cluster, luts))
+
+    indexed = ds.select_columns([id_col, emb_col]).map_batches(
+        IvfPqIndexer, fn_constructor_kwargs=dict(
+            refs=refs, id_col=id_col, emb_col=emb_col),
+        batch_format="pyarrow", concurrency=concurrency, num_cpus=1)
+
+    def _cluster_topk(g: pd.DataFrame) -> pd.DataFrame:
+        qids, by_cluster, lut = ray.get(q_ref)
+        js = by_cluster.get(int(g["ivf_cluster"].iloc[0]))
+        if not js:
+            return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                                 "neighbor_id": pd.Series(dtype="int64"),
+                                 "adc": pd.Series(dtype="float64")})
+        ids = g[id_col].to_numpy(dtype=np.int64)
+        codes = [g[f"code_{s}"].to_numpy(dtype=np.int64)
+                 for s in range(lut.shape[1])]
+        out = []
+        for j in js:
+            score = lut[j][0][codes[0]]
+            for s in range(1, lut.shape[1]):
+                score = score + lut[j][s][codes[s]]
+            score = round_half_away(score, 6)
+            order = np.lexsort((ids, -score))[:k]
+            for o in order:
+                out.append({"query_id": qids[j], "neighbor_id": int(ids[o]),
+                            "adc": float(score[o])})
+        return pd.DataFrame(out)
+
+    partials = indexed.groupby("ivf_cluster").map_groups(
+        _cluster_topk, batch_format="pandas")
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["adc", "neighbor_id"], ascending=[False, True]) \
+            .head(k).reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partials.groupby("query_id").map_groups(_merge,
+                                                   batch_format="pandas")
+
+
 def _pair_table(ids_a: np.ndarray, emb_a: np.ndarray,
                 ids_b: np.ndarray, emb_b: np.ndarray,
                 threshold: float, triangular: bool) -> dict:

@@ -168,3 +168,41 @@ def test_d4_prune_semantics(ray_session):
 
     with pytest.raises(ValueError, match="proto_pct"):
         d4_prune(ray.data.from_pandas(df), proto_pct=101)
+
+
+def test_ivfpq_self_retrieval_and_invariance(ray_session):
+    """IVF-PQ: each query's own vector ranks first (PQ reconstruction of
+    the query's own codes dominates ADC for well-separated points), ranks
+    are 1..k dense per query, and the result is block-count invariant."""
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.similarity import (
+        ivfpq_topk)
+
+    rng = np.random.RandomState(3)
+    X = rng.standard_normal((120, 16))
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    df = pd.DataFrame({"vec_id": np.arange(120, dtype=np.int64),
+                       "embedding": [list(r) for r in X]})
+    q = X[:3]
+    out = ivfpq_topk(ray.data.from_pandas(df), q, [0, 1, 2], k=4,
+                     n_clusters=4, nprobe=2, m=4, n_codes=8,
+                     sample_size=120).to_pandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    for j in range(3):
+        g = out[out["query_id"] == j]
+        assert g["rank"].tolist() == [1, 2, 3, 4]
+        # the query vector itself lands in its top-4 (ADC is approximate,
+        # but the point's own codes maximize every subspace lookup term
+        # among its cluster's members for separated random data)
+        assert j in set(g["neighbor_id"])
+
+    out2 = ivfpq_topk(ray.data.from_pandas(df).repartition(9), q, [0, 1, 2],
+                      k=4, n_clusters=4, nprobe=2, m=4, n_codes=8,
+                      sample_size=120).to_pandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out[["query_id", "neighbor_id", "rank"]],
+                                  out2[["query_id", "neighbor_id", "rank"]])
