@@ -199,6 +199,72 @@ def dataset_split(ds: "ray.data.Dataset", *, on: str,
     return ds.map_batches(_fn, batch_format="pyarrow")
 
 
+def fim_transform(ds: "ray.data.Dataset", *, content_col: str = "content",
+                  key_cols: tuple[str, ...] = ("repo", "path"),
+                  fim_rate: float = 0.5, spm_rate: float = 0.5,
+                  out_col: str = "text_fim") -> "ray.data.Dataset":
+    """Fill-in-the-middle transformation for code corpora (Bavarian et al.
+    2022, arXiv:2207.14255): with probability ``fim_rate`` a document is
+    split at two uniform character positions into prefix/middle/suffix and
+    re-serialized with FIM sentinels — PSM
+    ``<fim_prefix>P<fim_suffix>S<fim_middle>M`` or (with probability
+    ``spm_rate`` among applied docs) SPM
+    ``<fim_prefix><fim_suffix>S<fim_middle>PM`` (the StarCoder/Megatron
+    SPM wire format, Li et al. 2023).
+
+    All randomness is content-keyed (md5 of the ``key_cols`` join, the
+    ``dataset_split`` convention): the same file gets the same spans on
+    every run, engine and partitioning, so a SQL oracle replays it with
+    substr arithmetic. Pure per-batch map, no shuffle; the per-row cost is
+    three md5 calls + three slices (same class as the exact-dedup sha
+    stage). Null content passes through unapplied. Adds
+    ``fim_applied`` (bool), ``fim_mode`` ('psm'/'spm'/'none') and
+    ``out_col``."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    apply_cut = int(round(fim_rate * 10000))
+    spm_cut = int(round(spm_rate * 10000))
+
+    def _h(key: str) -> int:
+        return int(hashlib.md5(key.encode()).hexdigest()[:8], 16)
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        keys = ["/".join(str(v) for v in row)
+                for row in zip(*(batch.column(c).to_pylist()
+                                 for c in key_cols))]
+        texts = batch.column(content_col).to_pylist()
+        applied, modes, outs = [], [], []
+        for key, t in zip(keys, texts):
+            if t is None or _h(key) % 10000 >= apply_cut:
+                applied.append(False)
+                modes.append("none")
+                outs.append(t)
+                continue
+            L = len(t)
+            a = _h(key + "#1") % (L + 1)
+            b = _h(key + "#2") % (L + 1)
+            lo, hi = (a, b) if a <= b else (b, a)
+            pre, mid, suf = t[:lo], t[lo:hi], t[hi:]
+            if _h(key + "#m") % 10000 < spm_cut:
+                modes.append("spm")
+                outs.append("<fim_prefix><fim_suffix>" + suf
+                            + "<fim_middle>" + pre + mid)
+            else:
+                modes.append("psm")
+                outs.append("<fim_prefix>" + pre + "<fim_suffix>" + suf
+                            + "<fim_middle>" + mid)
+            applied.append(True)
+        return batch.append_column(
+            "fim_applied", pa.array(np.asarray(applied), pa.bool_())) \
+            .append_column("fim_mode", pa.array(modes, pa.string())) \
+            .append_column(out_col, pa.array(outs, pa.string()))
+
+    return ds.map_batches(_fn, batch_format="pyarrow")
+
+
 def impute_nulls(ds: "ray.data.Dataset", *, value_col: str, by: list[str],
                  out_col: str | None = None) -> "ray.data.Dataset":
     """Fill null values with their group's mean — the standard numeric

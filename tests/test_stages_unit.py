@@ -1128,3 +1128,57 @@ def test_luhn_cc_scrub_unit(ray_session):
     import numpy as np
 
     assert np.array_equal(luhn_valid(cands), np.array([ref(c) for c in cands]))
+
+
+def test_fim_transform_adversarial(ray_session):
+    """FIM determinism and edge cases: null/empty/unicode content, rate 0
+    (identity) and rate 1 (all transformed), reconstruction invariant
+    (sentinel-stripped PSM pieces reassemble the original), and
+    partitioning independence."""
+    import pandas as pd
+
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.transforms import (
+        fim_transform)
+
+    df = pd.DataFrame({
+        "repo": ["r0", "r0", "r1", "r1", "r2"],
+        "path": ["a", "b", "a", "b", "u"],
+        "content": ["hello world", "", None, "x", "héllo ünïcode ⚡"],
+    })
+    out = fim_transform(ray.data.from_pandas(df), fim_rate=1.0) \
+        .to_pandas().set_index(["repo", "path"])
+    # null passes through unapplied; empty/1-char still transform (L+1 ≥ 1)
+    assert not out.loc[("r1", "a"), "fim_applied"]
+    assert out.loc[("r1", "a"), "fim_mode"] == "none"
+    for key in [("r0", "a"), ("r0", "b"), ("r1", "b"), ("r2", "u")]:
+        row = out.loc[key]
+        assert row["fim_applied"]
+        t = row["text_fim"]
+        orig = df.set_index(["repo", "path"]).loc[key, "content"]
+        # reconstruction: strip sentinels, reassemble the original
+        if row["fim_mode"] == "psm":
+            body = t.removeprefix("<fim_prefix>")
+            pre, rest = body.split("<fim_suffix>", 1)
+            suf, mid = rest.split("<fim_middle>", 1)
+            assert pre + mid + suf == orig
+        else:
+            body = t.removeprefix("<fim_prefix><fim_suffix>")
+            suf, premid = body.split("<fim_middle>", 1)
+            assert premid + suf == orig
+
+    # rate 0: identity passthrough
+    out0 = fim_transform(ray.data.from_pandas(df), fim_rate=0.0).to_pandas()
+    assert not out0["fim_applied"].any()
+    assert (out0["fim_mode"] == "none").all()
+
+    # partitioning independence
+    out7 = fim_transform(ray.data.from_pandas(df).repartition(5),
+                         fim_rate=1.0).to_pandas() \
+        .sort_values(["repo", "path"]).reset_index(drop=True)
+    ref = out.reset_index().sort_values(["repo", "path"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        ref[["repo", "path", "fim_mode", "text_fim"]],
+        out7[["repo", "path", "fim_mode", "text_fim"]])
