@@ -1199,3 +1199,120 @@ def stack_rules(batch: pa.Table, text_col: str = "content", *,
             .append_column("hex_frac", _m(hex_frac))
             .append_column("uesc_frac", _m(uesc_frac))
             .append_column("stack_keep", pa.array(stack_keep, pa.bool_())))
+
+
+def bm25_topk(ds: "ray.data.Dataset", query_terms: "dict[int, list[str]]",
+              *, text_col: str = "text", id_col: str = "doc_id",
+              k: int = 10, k1: float = 1.2, b: float = 0.75) -> "ray.data.Dataset":
+    """BM25 top-k retrieval (Robertson & Zaragoza 2009, the Lucene
+    ``(1+ln)``-free variant with idf = ln((N−df+0.5)/(df+0.5)+1)) for a
+    small fixed query set — the retrieval primitive behind search-based
+    decontamination and retrieval-driven data selection at corpus scale.
+
+    Determinism contract: per-document scores sum the per-term
+    contributions in ascending term-string order (the engine's standard
+    bit-stable reduction, see nb_reference_classify) and round to 6
+    decimals before ranking by (score desc, id) — a DuckDB oracle replays
+    the whole computation with an ordered ``list_sum``.
+
+    Scale shape: two streaming passes over the narrow text column, ZERO
+    row-scale shuffles. Pass 1 reduces each batch to ≤ |terms|+1 rows
+    (per-term document frequencies + a totals row); the merged term
+    statistics broadcast back in the closure. Pass 2 re-tokenizes, scores
+    only documents containing a query term, and emits per-batch top-k
+    partials; the final merge groups ≤ k·batches rows per query. Documents
+    matching no query term produce no row (SQL join semantics)."""
+    terms = sorted({t for ts in query_terms.values() for t in ts})
+    if not terms:
+        raise ValueError("query_terms must contain at least one term")
+    term_idx = {t: i for i, t in enumerate(terms)}
+    n_terms = len(terms)
+    q_term_ids = {q: np.asarray(sorted(term_idx[t] for t in ts), np.int64)
+                  for q, ts in query_terms.items()}
+
+    def _explode(texts) -> "tuple[np.ndarray, np.ndarray, np.ndarray]":
+        gd: list[int] = []
+        ti: list[int] = []
+        dl = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            if t is None:
+                continue
+            ts = ascii_tokens(t)
+            dl[i] = len(ts)
+            for tok in ts:
+                j = term_idx.get(tok)
+                if j is not None:
+                    gd.append(i)
+                    ti.append(j)
+        return (np.asarray(gd, np.int64), np.asarray(ti, np.int64), dl)
+
+    # ---- pass 1: per-term document frequencies + corpus totals
+    def _stats(batch: pa.Table) -> pa.Table:
+        gd, ti, dl = _explode(batch.column(text_col).to_pylist())
+        if len(gd):
+            pairs = np.unique(gd * n_terms + ti)
+            df = np.bincount(pairs % n_terms, minlength=n_terms)
+        else:
+            df = np.zeros(n_terms, dtype=np.int64)
+        return pa.table({
+            "term": pa.array(terms + [None], pa.string()),
+            "df": pa.array(np.r_[df, 0], pa.int64()),
+            "n_docs": pa.array([0] * n_terms + [batch.num_rows], pa.int64()),
+            "sum_dl": pa.array([0] * n_terms + [int(dl.sum())], pa.int64()),
+        })
+
+    st = ds.select_columns([text_col]).map_batches(
+        _stats, batch_format="pyarrow").to_pandas()
+    n_docs = int(st["n_docs"].sum())
+    sum_dl = int(st["sum_dl"].sum())
+    if n_docs == 0:
+        raise ValueError("bm25_topk over an empty corpus")
+    avgdl = sum_dl / n_docs
+    df_tot = st.dropna(subset=["term"]).groupby("term", sort=True)["df"] \
+        .sum().reindex(terms).to_numpy(dtype=np.float64)
+    idf = np.log((n_docs - df_tot + 0.5) / (df_tot + 0.5) + 1.0)
+
+    # ---- pass 2: score matching docs, per-batch top-k partials
+    from ..functions.parity import round_half_away
+
+    def _score(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        gd, ti, dl = _explode(batch.column(text_col).to_pylist())
+        out_q, out_d, out_s = [], [], []
+        if len(gd):
+            order = np.lexsort((ti, gd))
+            sg, tt = gd[order], ti[order]
+            bound = np.flatnonzero(np.r_[True, (sg[1:] != sg[:-1])
+                                         | (tt[1:] != tt[:-1])])
+            tf = np.diff(np.r_[bound, len(sg)]).astype(np.float64)
+            ug, ut = sg[bound], tt[bound]
+            dnorm = k1 * ((1.0 - b) + b * (dl.astype(np.float64) / avgdl))
+            contrib = idf[ut] * ((tf * (k1 + 1.0)) / (tf + dnorm[ug]))
+            for q, tids in q_term_ids.items():
+                mask = np.isin(ut, tids)
+                if not mask.any():
+                    continue
+                mg, mc = ug[mask], contrib[mask]
+                starts = np.flatnonzero(np.r_[True, mg[1:] != mg[:-1]])
+                scores = round_half_away(np.add.reduceat(mc, starts), 6)
+                docs = ids[mg[starts]]
+                topk = np.lexsort((docs, -scores))[:k]
+                out_q.extend([q] * len(topk))
+                out_d.extend(docs[topk].tolist())
+                out_s.extend(scores[topk].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         id_col: pa.array(out_d, pa.int64()),
+                         "score": pa.array(out_s, pa.float64())})
+
+    partials = ds.select_columns([id_col, text_col]).map_batches(
+        _score, batch_format="pyarrow")
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", id_col], ascending=[False, True]) \
+            .head(k).reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partials.groupby("query_id").map_groups(_merge,
+                                                   batch_format="pandas")

@@ -1182,3 +1182,45 @@ def test_fim_transform_adversarial(ray_session):
     pd.testing.assert_frame_equal(
         ref[["repo", "path", "fim_mode", "text_fim"]],
         out7[["repo", "path", "fim_mode", "text_fim"]])
+
+
+def test_bm25_topk_semantics(ray_session):
+    """BM25: docs without query terms produce no row, absent-from-corpus
+    terms contribute their (high) idf only through matches (i.e. nothing),
+    ranks are (score desc, id)-dense, and the result is block-count
+    invariant."""
+    import pandas as pd
+
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.text import bm25_topk
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4],
+        "text": ["join join join filter",       # heavy on q0
+                 "join filter",                 # lighter, shorter
+                 "window only here",            # no q0 terms
+                 None,                          # null text
+                 "filter filter filter filter filter filter"],
+    })
+    out = bm25_topk(ray.data.from_pandas(df),
+                    {0: ["join", "filter"], 1: ["window", "zzz_absent"]},
+                    k=3).to_pandas().sort_values(["query_id", "rank"]) \
+        .reset_index(drop=True)
+    g0 = out[out["query_id"] == 0]
+    assert set(g0["doc_id"]) <= {0, 1, 4}      # doc 2/3 match nothing
+    assert g0["rank"].tolist() == list(range(1, len(g0) + 1))
+    g1 = out[out["query_id"] == 1]
+    assert g1["doc_id"].tolist() == [2]        # only doc 2 has 'window'
+    # more matched occurrences with same dl profile scores higher
+    assert g0.iloc[0]["doc_id"] in (0, 4)
+
+    out2 = bm25_topk(ray.data.from_pandas(df).repartition(4),
+                     {0: ["join", "filter"], 1: ["window", "zzz_absent"]},
+                     k=3).to_pandas().sort_values(["query_id", "rank"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, out2)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="at least one term"):
+        bm25_topk(ray.data.from_pandas(df), {0: []})
