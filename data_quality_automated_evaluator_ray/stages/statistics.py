@@ -268,6 +268,81 @@ def grouped_percentiles(ds: "ray.data.Dataset", col: str, by: list[str],
     return out.sort_values(by).reset_index(drop=True)
 
 
+def winsorize(ds: "ray.data.Dataset", col: str, by: list[str], *,
+              p_lo: float = 0.05, p_hi: float = 0.95,
+              out_col: "str | None" = None,
+              num_partitions: int = 32) -> "ray.data.Dataset":
+    """Per-group winsorization: clamp ``col`` to its group's exact
+    [p_lo, p_hi] quantile band (quantile_cont interpolation) — the robust
+    outlier treatment a cleaning pipeline applies before training on
+    heavy-tailed metrics.
+
+    Two-phase stats→broadcast→transform (the impute_nulls shape): the
+    per-group bounds ride :func:`grouped_percentiles`' ONE coarse shuffle
+    of the (keys, value) projection, the tiny bounds table broadcasts via
+    ``ray.put``, and the clamp is a vectorized per-batch map over the full
+    rows (no second shuffle). Null values stay null; a group with no
+    non-null values (or absent from bounds) yields null clamped values —
+    ANSI ``least(greatest(v, lo), hi)`` null semantics, null-safe on the
+    group key. Adds ``out_col`` (default ``{col}_winsorized``), rounded to
+    6 decimals so engine-noise in the interpolated bound can't flip the
+    value hash."""
+    from ..functions.parity import round_half_away
+
+    if not 0 <= p_lo <= p_hi <= 1:
+        raise ValueError(f"need 0 <= p_lo <= p_hi <= 1, got ({p_lo}, {p_hi})")
+    out_col = out_col or f"{col}_winsorized"
+    labels = [f"p{int(round(p * 100))}" for p in (p_lo, p_hi)]
+    if p_lo == p_hi:  # degenerate band: one percentile column serves both
+        bounds = grouped_percentiles(ds, col, by=by, ps=(p_lo,),
+                                     num_partitions=num_partitions)
+        labels[1] = labels[0]
+    elif labels[0] == labels[1]:
+        raise ValueError(
+            f"p_lo={p_lo} and p_hi={p_hi} collide at integer-percent "
+            f"label resolution ({labels[0]}); use values ≥1% apart")
+    else:
+        bounds = grouped_percentiles(ds, col, by=by, ps=(p_lo, p_hi),
+                                     num_partitions=num_partitions)
+
+    def _key(row) -> tuple:
+        return tuple(None if (v is None or (isinstance(v, float)
+                                            and np.isnan(v))) else v
+                     for v in row)
+
+    table = {_key(r): (float(lo), float(hi))
+             for r, lo, hi in zip(bounds[by].itertuples(index=False),
+                                  bounds[labels[0]], bounds[labels[1]])}
+    ref = ray.put(table)
+
+    def _clamp(b: pa.Table) -> pa.Table:
+        tbl = ray.get(ref)
+        keys = list(zip(*(b.column(c).to_pylist() for c in by)))
+        v = b.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        lo = np.empty(len(v))
+        hi = np.empty(len(v))
+        # factorize the (few) distinct keys, then one gather per bound
+        seen: dict = {}
+        codes = np.empty(len(v), dtype=np.int64)
+        uniq: list = []
+        for i, kraw in enumerate(keys):
+            kk = _key(kraw)
+            j = seen.get(kk)
+            if j is None:
+                j = seen[kk] = len(uniq)
+                uniq.append(tbl.get(kk, (np.nan, np.nan)))
+            codes[i] = j
+        if uniq:
+            ulo, uhi = (np.asarray([u[0] for u in uniq]),
+                        np.asarray([u[1] for u in uniq]))
+            lo, hi = ulo[codes], uhi[codes]
+        w = np.minimum(np.maximum(v, lo), hi)
+        return b.append_column(out_col, pa.array(
+            round_half_away(w, 6), pa.float64()))
+
+    return ds.map_batches(_clamp, batch_format="pyarrow")
+
+
 def psi_report(ds_expected: "ray.data.Dataset", ds_actual: "ray.data.Dataset",
                col: str, bins: int = 10, *, lo: float, hi: float
                ) -> pd.DataFrame:

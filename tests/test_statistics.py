@@ -679,3 +679,45 @@ def test_fuzzy_link_short_docs_match_sql_oracle(ray_session, tmp_path):
     want = want[sorted(want.columns)]
     want["jaccard"] = want["jaccard"].round(6)
     pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+
+
+def test_winsorize_null_and_degenerate_groups(ray_session):
+    """Winsorize semantics: null values stay null, a null group key is its
+    own group (null-safe join), an all-null group yields null clamps, and
+    p_lo == p_hi collapses every value to the group median."""
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.statistics import winsorize
+
+    df = pd.DataFrame({
+        "event_id": range(10),
+        "k": ["a"] * 5 + ["b", "b", None, None, "c"],
+        "v": [1.0, 2.0, 3.0, 4.0, 100.0,
+              10.0, None, 7.0, 9.0, None],
+    })
+    out = winsorize(ray.data.from_pandas(df), "v", by=["k"],
+                    p_lo=0.0, p_hi=0.5) \
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    w = out["v_winsorized"]
+    # group a: p0=1, p50=3 -> clamp to [1, 3]
+    assert w[:5].tolist() == [1.0, 2.0, 3.0, 3.0, 3.0]
+    # group b: one non-null value 10 -> band [10, 10]
+    assert w[5] == 10.0 and np.isnan(w[6])
+    # null key group: values 7, 9 -> p50 = 8
+    assert w[7] == 7.0 and w[8] == 8.0
+    # group c all-null -> null out
+    assert np.isnan(w[9])
+
+    # p_lo == p_hi == 0.5: everything collapses to its group median
+    out2 = winsorize(ray.data.from_pandas(df), "v", by=["k"],
+                     p_lo=0.5, p_hi=0.5).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    assert out2["v_winsorized"][:5].tolist() == [3.0] * 5
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="p_lo"):
+        winsorize(ray.data.from_pandas(df), "v", by=["k"],
+                  p_lo=0.9, p_hi=0.1)
