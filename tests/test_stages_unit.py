@@ -1224,3 +1224,56 @@ def test_bm25_topk_semantics(ray_session):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="at least one term"):
         bm25_topk(ray.data.from_pandas(df), {0: []})
+
+
+def test_fim_transform_matches_duckdb_on_unicode(ray_session):
+    """Differential vs the oracle SQL on adversarial content: multi-byte
+    UTF-8 (char-vs-byte indexing is the failure class), sentinel-looking
+    text, newlines, and a 1-char doc."""
+    import duckdb
+    import pandas as pd
+
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.transforms import (
+        fim_transform)
+
+    df = pd.DataFrame({
+        "repo": [f"r{i}" for i in range(6)],
+        "path": ["p"] * 6,
+        "content": ["héllo wörld",            # 2-byte chars
+                    "漢字テキスト永遠",          # 3-byte chars
+                    "emoji 🎉🎉 tail",          # 4-byte chars
+                    "<fim_middle> inside",     # sentinel collision
+                    "a\nb\r\nc\td",
+                    "x"],
+    })
+    got = fim_transform(ray.data.from_pandas(df), fim_rate=1.0) \
+        .to_pandas().sort_values("repo").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute("""
+with c as (
+  select repo, path, content, length(content) as L,
+         ('0x' || substr(md5(repo || '/' || path || '#m'), 1, 8))::ubigint
+           % 10000 as b_mode,
+         ('0x' || substr(md5(repo || '/' || path || '#1'), 1, 8))::ubigint as h1,
+         ('0x' || substr(md5(repo || '/' || path || '#2'), 1, 8))::ubigint as h2
+  from t
+), s as (
+  select repo, b_mode < 5000 as is_spm,
+         least(h1 % (L + 1), h2 % (L + 1))::bigint as lo,
+         greatest(h1 % (L + 1), h2 % (L + 1))::bigint as hi, content
+  from c
+)
+select repo,
+       case when is_spm then '<fim_prefix><fim_suffix>'
+            || substr(content, hi + 1) || '<fim_middle>'
+            || substr(content, 1, lo) || substr(content, lo + 1, hi - lo)
+       else '<fim_prefix>' || substr(content, 1, lo)
+            || '<fim_suffix>' || substr(content, hi + 1)
+            || '<fim_middle>' || substr(content, lo + 1, hi - lo)
+       end as text_fim
+from s order by repo""").df()
+    con.close()
+    assert got["text_fim"].tolist() == want["text_fim"].tolist()
