@@ -170,7 +170,14 @@ def train_deterministic_quantizer(ds: "ray.data.Dataset", n_clusters: int,
     oracle can replay it exactly (see queries._lloyd_prefix_sql)."""
     sample_df = (ds.select_columns([id_col, emb_col])
                  .filter(expr=f"{id_col} < {int(sample_size)}")
-                 .to_pandas().sort_values(id_col).reset_index(drop=True))
+                 .to_pandas())
+    if sample_df.empty:
+        # a zero-row Ray result loses its columns, so fail loud here
+        # rather than with a bare KeyError downstream
+        raise ValueError(
+            f"quantizer training sample is empty — no rows with "
+            f"{id_col} < {sample_size} (empty corpus?)")
+    sample_df = sample_df.sort_values(id_col).reset_index(drop=True)
     present = np.zeros(sample_size, dtype=bool)
     ids = sample_df[id_col].to_numpy(dtype=np.int64)
     present[ids] = True
@@ -379,7 +386,12 @@ def train_pq_codebooks(ds: "ray.data.Dataset", *, m: int = 4,
     NORMALIZED full vectors' subvectors. Returns ``(m, n_codes, d/m)``."""
     sample_df = (ds.select_columns([id_col, emb_col])
                  .filter(expr=f"{id_col} < {int(sample_size)}")
-                 .to_pandas().sort_values(id_col).reset_index(drop=True))
+                 .to_pandas())
+    if sample_df.empty:
+        raise ValueError(
+            f"PQ codebook training sample is empty — no rows with "
+            f"{id_col} < {sample_size} (empty corpus?)")
+    sample_df = sample_df.sort_values(id_col).reset_index(drop=True)
     present = np.zeros(sample_size, dtype=bool)
     ids = sample_df[id_col].to_numpy(dtype=np.int64)
     present[ids] = True

@@ -206,3 +206,28 @@ def test_ivfpq_self_retrieval_and_invariance(ray_session):
         .sort_values(["query_id", "rank"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(out[["query_id", "neighbor_id", "rank"]],
                                   out2[["query_id", "neighbor_id", "rank"]])
+
+
+def test_quantizer_family_fails_loud_on_empty(ray_session):
+    """An empty corpus (or one with no rows under the sample-id bound)
+    cannot train the deterministic quantizer: every member of the family
+    must raise a clear ValueError, not a bare KeyError from the
+    column-less empty frame."""
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages import similarity as S
+
+    df = pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                       "embedding": pd.Series(dtype=object)})
+    ds = ray.data.from_pandas(df)
+    for fn in (lambda: S.semdedup(ds),
+               lambda: S.kmeans_cluster_stats(ds),
+               lambda: S.cluster_balanced_sample(ds),
+               lambda: S.d4_prune(ds),
+               lambda: S.ivfpq_topk(ds, np.zeros((1, 8)), [0]),
+               lambda: S.train_pq_codebooks(ds)):
+        with pytest.raises(ValueError, match="sample is empty"):
+            fn()
