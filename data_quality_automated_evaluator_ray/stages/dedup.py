@@ -825,3 +825,90 @@ def bloom_dedup(ds: "ray.data.Dataset", *, text_col: str = "content",
         })
 
     return ds.map_batches(_flag, batch_format="pyarrow")
+
+
+def _levenshtein_bytes(a: bytes, b: bytes) -> int:
+    """Unit-cost Levenshtein distance over UTF-8 BYTES — DuckDB's
+    ``levenshtein()`` semantics (measured: 'héllo'→'hello' = 2,
+    '🎉a'→'a' = 4), so the oracle agrees on every input. Row DP with
+    numpy: substitutions/deletions are one vector op per row; the
+    insertion dependency resolves with the running-min identity
+    ``min_k≤j (cur[k] + (j−k)) = j + min-accumulate(cur − idx)[j]`` —
+    O(len) memory, no Python inner loop."""
+    if a == b:
+        return 0
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    A = np.frombuffer(a, dtype=np.uint8)
+    B = np.frombuffer(b, dtype=np.uint8)
+    if A.size < B.size:
+        A, B = B, A  # iterate the longer string, vectorize the shorter
+    idx = np.arange(B.size + 1, dtype=np.int64)
+    prev = idx.copy()
+    cur = np.empty_like(prev)
+    for i in range(A.size):
+        sub = prev[:-1] + (B != A[i])
+        cur[0] = i + 1
+        np.minimum(prev[1:] + 1, sub, out=cur[1:])
+        np.minimum(cur, np.minimum.accumulate(cur - idx) + idx, out=cur)
+        prev, cur = cur, prev
+    return int(prev[-1])
+
+
+def edit_verified_pairs(ds: "ray.data.Dataset", *, text_col: str = "text",
+                        id_col: str = "doc_id", max_dist: int = 20,
+                        num_perm: int = 64, bands: int = 16,
+                        concurrency=2,
+                        num_partitions: "int | None" = None
+                        ) -> "ray.data.Dataset":
+    """Candidate verification by exact edit distance: MinHash-LSH proposes
+    near-duplicate pairs, each pair is verified with the exact byte-level
+    Levenshtein distance, and ``is_dup = distance <= max_dist`` marks the
+    confirmed duplicates. This is the classic two-stage fuzzy-dedup shape
+    where the verifier must be a TRUE string metric (catches the
+    shingle-blind edit classes: transpositions inside tokens, single-char
+    typos that shift every shingle).
+
+    Scale shape: the O(len²) DP runs ONLY on LSH candidates (the published
+    bound for this family); candidate texts attach with two distributed
+    hash joins on the row-unique id, so full texts move once per side and
+    only for suspect documents. Output: (id_a, id_b, edit_distance,
+    is_dup) — integers and a bool, immune to float noise."""
+    from .joins import hash_join
+
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, cpus // 4)
+
+    cands = minhash_lsh_candidates(ds, text_col=text_col, id_col=id_col,
+                                   num_perm=num_perm, bands=bands,
+                                   concurrency=concurrency)
+    texts = ds.select_columns([id_col, text_col])
+
+    def _rn(suffix):
+        def fn(b: pa.Table) -> pa.Table:
+            return pa.table({f"__id{suffix}": b.column(id_col),
+                             f"__t{suffix}": b.column(text_col)})
+        return fn
+
+    j = hash_join(cands, texts.map_batches(_rn("a"), batch_format="pyarrow"),
+                  on="id_a", right_on="__ida",
+                  num_partitions=num_partitions)
+    j = hash_join(j, texts.map_batches(_rn("b"), batch_format="pyarrow"),
+                  on="id_b", right_on="__idb",
+                  num_partitions=num_partitions)
+
+    def _verify(b: pa.Table) -> pa.Table:
+        ta = b.column("__ta").to_pylist()
+        tb = b.column("__tb").to_pylist()
+        d = np.fromiter(
+            (_levenshtein_bytes(x.encode("utf-8"), y.encode("utf-8"))
+             for x, y in zip(ta, tb)), dtype=np.int64, count=len(ta))
+        return pa.table({"id_a": b.column("id_a"),
+                         "id_b": b.column("id_b"),
+                         "edit_distance": pa.array(d, pa.int64()),
+                         "is_dup": pa.array(d <= max_dist, pa.bool_())})
+
+    return j.map_batches(_verify, batch_format="pyarrow")

@@ -1277,3 +1277,70 @@ select repo,
 from s order by repo""").df()
     con.close()
     assert got["text_fim"].tolist() == want["text_fim"].tolist()
+
+
+def test_levenshtein_bytes_matches_reference_and_duckdb():
+    """The numpy row-DP Levenshtein equals a brute-force DP on 300 random
+    byte strings and DuckDB's byte-based levenshtein() on unicode."""
+    import random
+
+    import duckdb
+
+    from data_quality_automated_evaluator_ray.stages.dedup import (
+        _levenshtein_bytes as lv)
+
+    def ref(a, b):
+        dp = list(range(len(b) + 1))
+        for i in range(1, len(a) + 1):
+            ndp = [i] + [0] * len(b)
+            for j in range(1, len(b) + 1):
+                ndp[j] = min(dp[j] + 1, ndp[j - 1] + 1,
+                             dp[j - 1] + (a[i - 1] != b[j - 1]))
+            dp = ndp
+        return dp[-1]
+
+    rng = random.Random(1)
+    for _ in range(300):
+        a = bytes(rng.choices(range(97, 104), k=rng.randrange(0, 12)))
+        b = bytes(rng.choices(range(97, 104), k=rng.randrange(0, 12)))
+        assert lv(a, b) == ref(a, b)
+
+    con = duckdb.connect()
+    for x, y in [("héllo", "hello"), ("漢字", "漢子"), ("🎉a", "a"),
+                 ("", "ab"), ("kitten", "sitting"), ("ab", "ba")]:
+        want = con.execute("select levenshtein(?, ?)", [x, y]).fetchone()[0]
+        assert lv(x.encode(), y.encode()) == want, (x, y)
+    con.close()
+
+
+def test_edit_verified_pairs_planted_typo(ray_session):
+    """A planted single-token-typo near-duplicate pair survives LSH and
+    verifies with a small edit distance; the is_dup threshold splits it
+    from a heavier rewrite."""
+    import pandas as pd
+
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.dedup import (
+        edit_verified_pairs)
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon") * 3
+    heavy = base.replace("gamma", "GAMMA").replace("sigma", "SIGMA") \
+                .replace("kappa", "KAPPA").replace("theta", "THETA")
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [base, base.replace("delta", "delzq", 1),  # 2-byte typo
+                 heavy,                                     # heavier rewrite
+                 "completely different content here"],
+    })
+    out = edit_verified_pairs(ray.data.from_pandas(df), max_dist=4) \
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    pairs = set(zip(out["id_a"], out["id_b"]))
+    assert (1, 2) in pairs
+    row12 = out[(out["id_a"] == 1) & (out["id_b"] == 2)].iloc[0]
+    assert row12["edit_distance"] == 2 and bool(row12["is_dup"])
+    # any pair involving the heavy rewrite fails the threshold
+    for _, r in out.iterrows():
+        if 3 in (r["id_a"], r["id_b"]) and 4 not in (r["id_a"], r["id_b"]):
+            assert not r["is_dup"] and r["edit_distance"] > 4
