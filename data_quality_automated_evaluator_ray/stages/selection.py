@@ -692,3 +692,52 @@ def temperature_weights(ds: "ray.data.Dataset", *, lang_col: str = "lang",
     return pd.DataFrame({lang_col: c[lang_col],
                          "n_docs": c["n"].astype("int64"),
                          "weight": w})
+
+
+def weighted_reservoir_sample(ds: "ray.data.Dataset", k: int, *,
+                              weight_col: str, id_col: str = "doc_id"
+                              ) -> pd.DataFrame:
+    """Weighted sampling without replacement, A-ES (Efraimidis & Spirakis
+    2006, "Weighted random sampling with a reservoir"): each row gets key
+    ``u^(1/w)`` and the k largest keys win — P(row in sample) is
+    proportional-to-size without ever materializing the population. Ranked
+    on the monotone-equivalent ``ln(u)/w`` (no pow, less float noise);
+    ``u`` is the engine's content-keyed md5 uniform of the id (the
+    dsir_select convention), so the sample is a pure function of the table
+    and a DuckDB oracle replays it exactly.
+
+    One streaming pass over the (id, weight) projection, ZERO shuffles:
+    each batch emits its local top-k (a row outside its batch's top-k
+    cannot be in the global top-k); the driver merges ≤ k·blocks rows.
+    Rows with null or non-positive weight are excluded (selection
+    probability zero). Returns (id_col, weight_col, rank), rank 1..k."""
+    from .dedup import _stable_u64
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+
+    def _topk(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        w = b.column(weight_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        m = np.isfinite(w) & (w > 0)
+        ids, w = ids[m], w[m]
+        if not len(ids):
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             weight_col: pa.array([], pa.float64()),
+                             "_s": pa.array([], pa.float64())})
+        h = _stable_u64([str(int(i)) for i in ids])
+        u = np.maximum(h, np.uint64(1)).astype(np.float64) / 2.0 ** 64
+        s = np.log(u) / w
+        top = np.lexsort((ids, -s))[:k]
+        return pa.table({id_col: pa.array(ids[top], pa.int64()),
+                         weight_col: pa.array(w[top], pa.float64()),
+                         "_s": pa.array(s[top], pa.float64())})
+
+    merged = ds.select_columns([id_col, weight_col]).map_batches(
+        _topk, batch_format="pyarrow").to_pandas()
+    merged = merged.sort_values(["_s", id_col],
+                                ascending=[False, True]).head(k) \
+        .reset_index(drop=True)
+    merged["rank"] = np.arange(1, len(merged) + 1, dtype=np.int64)
+    return merged[[id_col, weight_col, "rank"]]

@@ -484,3 +484,44 @@ def test_moore_lewis_select(ray_session):
                               domain_col="lang", domain_value="en") \
         .to_pandas().set_index("doc_id").sort_index()
     pd.testing.assert_frame_equal(out, out5)
+
+
+def test_weighted_reservoir_sample_semantics(ray_session):
+    """A-ES invariants: k >= population returns everyone (ranked), rows
+    with null/zero/negative weight are excluded, heavier rows
+    stochastically dominate (verified deterministically: with one huge
+    weight the row's key ln(u)/w approaches 0 and must rank first), and
+    the result is block-count invariant."""
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.selection import (
+        weighted_reservoir_sample)
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(8, dtype=np.int64),
+        "w": [1.0, 2.0, 1e12, 0.5, 0.0, -3.0, None, 4.0],
+    })
+    out = weighted_reservoir_sample(ray.data.from_pandas(df), 10,
+                                    weight_col="w")
+    # zero/negative/null weights excluded -> 5 eligible rows
+    assert len(out) == 5
+    assert set(out["doc_id"]) == {0, 1, 2, 3, 7}
+    assert out["rank"].tolist() == [1, 2, 3, 4, 5]
+    # the 1e12-weight row wins rank 1 (key ln(u)/w ~ 0 beats all others)
+    assert out.iloc[0]["doc_id"] == 2
+
+    out3 = weighted_reservoir_sample(
+        ray.data.from_pandas(df).repartition(5), 10, weight_col="w")
+    pd.testing.assert_frame_equal(out, out3)
+
+    out_k2 = weighted_reservoir_sample(ray.data.from_pandas(df), 2,
+                                       weight_col="w")
+    assert out_k2["doc_id"].tolist() == out["doc_id"].tolist()[:2]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="k must be positive"):
+        weighted_reservoir_sample(ray.data.from_pandas(df), 0,
+                                  weight_col="w")
