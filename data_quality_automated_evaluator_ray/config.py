@@ -227,9 +227,15 @@ def _run_dedup(cfg: dict[str, Any], out_dir: str) -> dict[str, Any]:
     """``"pipeline": "dedup"`` — config surface over the dedup family:
 
     {"pipeline": "dedup",
-     "dedup": {"method": "exact" | "fuzzy",     # sha256 vs MinHash-LSH+CC
+     "dedup": {"method": "exact" | "fuzzy" | "edit",
+               # exact: sha256 min-id keeper; fuzzy: MinHash-LSH + CC;
+               # edit: LSH candidates VERIFIED by exact byte-Levenshtein
+               # (<= max_edit_distance) before the component pass — kills
+               # LSH false positives at the cost of the O(len^2) DP on
+               # candidate pairs only
                "text_column": "text", "id_column": "doc_id",
-               "num_perm"?: 64, "bands"?: 16},  # fuzzy knobs
+               "num_perm"?: 64, "bands"?: 16,   # fuzzy/edit knobs
+               "max_edit_distance"?: 20},        # edit knob
      "output": {"dir": ..., "format"?: "parquet"|"csv"|"jsonl",
                 "partition_by"?: [...], "compression"?: "zstd"}}
 
@@ -253,18 +259,36 @@ def _run_dedup(cfg: dict[str, Any], out_dir: str) -> dict[str, Any]:
     rows_in = ds.count()
     if method == "exact":
         kept = exact_dedup(ds, text_col=text_col, id_col=id_col)
-    elif method == "fuzzy":
-        comp = duplicate_groups(ds.select_columns([id_col, text_col]),
-                                text_col=text_col, id_col=id_col,
-                                num_perm=d.get("num_perm", 64),
-                                bands=d.get("bands", 16))
+    elif method in ("fuzzy", "edit"):
+        if method == "fuzzy":
+            comp = duplicate_groups(ds.select_columns([id_col, text_col]),
+                                    text_col=text_col, id_col=id_col,
+                                    num_perm=d.get("num_perm", 64),
+                                    bands=d.get("bands", 16))
+        else:
+            from .stages.dedup import (connected_components,
+                                       edit_verified_pairs)
 
-        def _drops(b: pa.Table) -> pa.Table:
-            mask = pc.not_equal(b.column(id_col), b.column("component"))
-            return b.filter(mask).select([id_col])
+            verified = edit_verified_pairs(
+                ds.select_columns([id_col, text_col]), text_col=text_col,
+                id_col=id_col, max_dist=d.get("max_edit_distance", 20),
+                num_perm=d.get("num_perm", 64), bands=d.get("bands", 16)) \
+                .filter(expr="is_dup == True") \
+                .select_columns(["id_a", "id_b"]).materialize()
+            # CC over an EMPTY verified-pair set: nothing to drop
+            comp = (connected_components(verified)
+                    if verified.count() else None)
 
-        kept = shuffle_anti_join(
-            ds, comp.map_batches(_drops, batch_format="pyarrow"), on=id_col)
+        if comp is None:
+            kept = ds
+        else:
+            def _drops(b: pa.Table) -> pa.Table:
+                mask = pc.not_equal(b.column(id_col), b.column("component"))
+                return b.filter(mask).select([id_col])
+
+            kept = shuffle_anti_join(
+                ds, comp.map_batches(_drops, batch_format="pyarrow"),
+                on=id_col)
     else:
         raise ValueError(f"unknown dedup method {method!r}")
     from .sources.sinks import write_output

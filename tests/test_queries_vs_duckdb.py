@@ -128,9 +128,17 @@ def test_rows_only_queries_run(ray_session):
     # last driver-hash evidence was round 2
     names = list(q)
     window = set(names[:50])
+    # never-driver-green entries (the session-9 additions) sort first and
+    # must all sit inside the window, together with the stalest r2-green
+    # entries; r2-green entries displaced past 50 by new operators rotate
+    # into the next round's window by construction
     assert {"qf_code_corpus", "partition_metrics_code_corpus",
-            "skewed_events_by_type", "decontaminate_documents",
-            "text_quality_documents", "embedding_neardup"} <= window
+            "ensemble_buckets_documents", "d4_prune_embeddings",
+            "fim_transform_code_corpus", "bm25_topk_documents",
+            "winsorize_value_events", "edit_dedup_documents",
+            "weighted_sample_documents",
+            "skewed_events_by_type", "text_quality_documents",
+            "embedding_neardup"} <= window
 
 
 def test_staleness_ordered_names():

@@ -237,6 +237,22 @@ def test_config_dedup_pipeline(ray_session, tmp_path):
     got = pd.read_parquet(out_fuzzy)
     assert {"doc_id", "text", "lang", "source"} <= set(got.columns)
 
+    # edit method: LSH candidates verified by exact Levenshtein — keeps
+    # at least as many rows as unverified fuzzy (false positives survive),
+    # and with max_edit_distance=0 only byte-identical pairs drop, i.e.
+    # exactly the exact-dedup row count
+    out_edit = str(tmp_path / "edit")
+    s3 = run_config({"source": {"path": src}, "pipeline": "dedup",
+                     "dedup": {"method": "edit", "max_edit_distance": 50},
+                     "output": {"dir": out_edit}})
+    assert s2["rows_out"] <= s3["rows_out"] <= want
+
+    out_edit0 = str(tmp_path / "edit0")
+    s4 = run_config({"source": {"path": src}, "pipeline": "dedup",
+                     "dedup": {"method": "edit", "max_edit_distance": 0},
+                     "output": {"dir": out_edit0}})
+    assert s4["rows_out"] == want
+
 
 def test_two_level_scan_operators_empty_input(ray_session):
     # the driver-side range-sum prep of every two-level-scan operator gets
