@@ -246,10 +246,15 @@ def grouped_percentiles(ds: "ray.data.Dataset", col: str, by: list[str],
     """
     from .partitioning import partitioned_groupby
 
+    from .partitioning import escape_nul_keys, restore_nul_keys
+
     labels = [f"p{int(round(p * 100))}" for p in ps]
 
     def _pct(part: pd.DataFrame) -> pd.DataFrame:
         part = part.dropna(subset=[col])
+        # escape→group→restore WITHIN the partition: pandas' string groupby
+        # conflates keys differing only after an embedded NUL byte
+        part, _ch = escape_nul_keys(part, by)
         rows = []
         # dropna=False: a null key is its own group, as in ANSI GROUP BY
         for key, g in part.groupby(by, sort=False, dropna=False):
@@ -259,7 +264,8 @@ def grouped_percentiles(ds: "ray.data.Dataset", col: str, by: list[str],
                              n=np.int64(len(v)),
                              **{lb: np.percentile(v, p * 100)
                                 for lb, p in zip(labels, ps)}))
-        return pd.DataFrame(rows, columns=by + ["n"] + labels)
+        return restore_nul_keys(pd.DataFrame(rows, columns=by + ["n"]
+                                             + labels), _ch)
 
     out = partitioned_groupby(ds.select_columns(by + [col]), by, _pct,
                               num_partitions=num_partitions).to_pandas()

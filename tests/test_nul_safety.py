@@ -114,3 +114,33 @@ def test_attach_median_pivot_nul_keys(ray_session):
     assert set(out["repo"]) == {K1, K2}
     m = out.set_index("repo")["n_chars_median"]
     assert m.loc[K1] == 2.0 and m.loc[K2] == 30.0
+
+
+def test_grouped_percentiles_and_winsorize_nul_keys(ray_session):
+    """Keys differing only after an embedded NUL must stay distinct groups
+    through grouped_percentiles (and therefore winsorize bounds)."""
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.statistics import (
+        grouped_percentiles, winsorize)
+
+    df = pd.DataFrame({
+        "k": ["a\x00b"] * 3 + ["a\x00c"] * 3,
+        "v": [1.0, 2.0, 3.0, 10.0, 20.0, 30.0],
+    })
+    out = grouped_percentiles(ray.data.from_pandas(df), "v", by=["k"],
+                              ps=(0.5,))
+    assert len(out) == 2
+    # boolean-mask lookups: pandas' own index .loc conflates NUL keys too
+    assert out[out["k"] == "a\x00b"]["p50"].iloc[0] == 2.0
+    assert out[out["k"] == "a\x00c"]["p50"].iloc[0] == 20.0
+
+    w = winsorize(ray.data.from_pandas(df), "v", by=["k"],
+                  p_lo=0.5, p_hi=0.5).to_pandas()
+    assert w[(w["k"] == "a\x00b")
+             & (w["v"] == 1.0)]["v_winsorized"].iloc[0] == 2.0
+    assert w[(w["k"] == "a\x00c")
+             & (w["v"] == 10.0)]["v_winsorized"].iloc[0] == 20.0
