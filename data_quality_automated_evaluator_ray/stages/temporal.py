@@ -111,3 +111,64 @@ def interval_aggregate(
     out = ds.drop_columns([date_col]) if date_col != "time_interval" else ds
     return out.groupby("time_interval").map_groups(_agg, batch_format="pandas") \
               .sort("time_interval")
+
+
+def cohort_retention(ds: "ray.data.Dataset", *, user_col: str = "user_id",
+                     ts_col: str = "ts",
+                     num_partitions: int = 32) -> pd.DataFrame:
+    """Cohort retention matrix — the product-analytics audit of an events
+    table: cohort = ISO week of each user's FIRST event, cell value =
+    distinct users from that cohort active ``week_n`` weeks later
+    (``week_n`` = whole weeks between the week-truncated first event and
+    the week-truncated event).
+
+    Scale shape — two coarse shuffles of a deduped two-column table, NO
+    join (first-seen and cell derivation share one user-keyed
+    co-location, exploiting floor-monotonicity: min of week-floors ==
+    week-floor of min):
+
+    1. per-batch (user, week) floor + dedup — each block collapses to its
+       distinct (user, week) pairs before anything moves;
+    2. ONE coarse hash shuffle on the user id co-locates each user's
+       weeks; inside the partition a vectorized transform('min') yields
+       the cohort and ``week_n`` per (user, week) — no join, no
+       empty-block schema hazards;
+    3. cell counts — one coarse shuffle on the (cohort, week_n) cell key,
+       exact ``nunique`` per cell inside the partition.
+
+    Week truncation is ``pc.floor_temporal(unit="week")`` ==
+    ``date_trunc('week', …)`` (Monday ISO weeks, verified), so a DuckDB
+    oracle replays the matrix exactly. Returns
+    (cohort_week, week_n, n_users) sorted."""
+    from .partitioning import partitioned_groupby
+
+    ev = ds.select_columns([user_col, ts_col])
+
+    def _wk(b: pa.Table) -> pa.Table:
+        wk = pc.cast(pc.floor_temporal(b.column(ts_col), unit="week"),
+                     pa.timestamp("us"))
+        t = pa.table({user_col: b.column(user_col), "__wk": wk})
+        return pa.Table.from_pandas(t.to_pandas().drop_duplicates(),
+                                    preserve_index=False)
+
+    def _user_cells(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.drop_duplicates()  # cross-batch (user, week) dups
+        first = part.groupby(user_col, sort=False)["__wk"].transform("min")
+        week_n = ((part["__wk"] - first).dt.days // 7).astype(np.int64)
+        return pd.DataFrame({"cohort_week": first.to_numpy(),
+                             "week_n": week_n.to_numpy(),
+                             user_col: part[user_col].to_numpy()})
+
+    cells = partitioned_groupby(
+        ev.map_batches(_wk, batch_format="pyarrow"), [user_col],
+        _user_cells, num_partitions=num_partitions)
+
+    def _count(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby(["cohort_week", "week_n"], sort=False)[user_col] \
+            .nunique().reset_index().rename(columns={user_col: "n_users"})
+        g["n_users"] = g["n_users"].astype(np.int64)
+        return g
+
+    out = partitioned_groupby(cells, ["cohort_week", "week_n"], _count,
+                              num_partitions=num_partitions).to_pandas()
+    return out.sort_values(["cohort_week", "week_n"]).reset_index(drop=True)

@@ -126,3 +126,37 @@ def test_auto_columns_reference_semantics(ray_session):
         want["value_mean"].to_numpy(), rtol=1e-9)
     assert got.sort_values("time_interval")["event_type_nunique"].tolist() == \
         want["et_nunique"].astype(int).tolist()
+
+
+def test_cohort_retention_matrix(ray_session):
+    """Hand-computed cohort matrix: two cohorts, known week_n cells,
+    duplicate events per (user, week) count once, block-count invariant."""
+    import datetime as dt
+
+    import pandas as pd
+
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.temporal import (
+        cohort_retention)
+
+    W0 = dt.datetime(2024, 1, 1)          # a Monday
+    W1 = W0 + dt.timedelta(days=7)
+    W2 = W0 + dt.timedelta(days=14)
+    rows = [
+        # user 1: first in W0, active W0 (twice) and W2
+        (1, W0 + dt.timedelta(hours=3)), (1, W0 + dt.timedelta(days=2)),
+        (1, W2 + dt.timedelta(days=1)),
+        # user 2: first in W0, active W0 and W1
+        (2, W0 + dt.timedelta(days=5)), (2, W1),
+        # user 3: first in W1 only
+        (3, W1 + dt.timedelta(days=6, hours=23)),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts"])
+    out = cohort_retention(ray.data.from_pandas(df))
+    got = {(r.cohort_week.to_pydatetime(), int(r.week_n)): int(r.n_users)
+           for r in out.itertuples()}
+    assert got == {(W0, 0): 2, (W0, 1): 1, (W0, 2): 1, (W1, 0): 1}
+
+    out2 = cohort_retention(ray.data.from_pandas(df).repartition(4))
+    pd.testing.assert_frame_equal(out, out2)
