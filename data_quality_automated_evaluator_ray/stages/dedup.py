@@ -126,30 +126,32 @@ def exact_dedup(ds: "ray.data.Dataset", text_col: str = "text",
                 num_partitions: int = 16) -> "ray.data.Dataset":
     """Keep exactly one row per distinct content: the minimum ``id_col``.
 
-    1. min-id per content hash — the shuffle moves only (64-hex hash, id);
-       the per-hash min runs as a C-level pandas groupby inside coarse hash
-       partitions (_apply_per_bucket), because the group cardinality is
-       ≈ the number of distinct contents and Ray's sort-based Aggregate
-       pays per-GROUP Python cost at that cardinality.
-    2. a hash join of the keeper-id table back to the full rows on the
-       row-unique ``id_col`` (``Dataset.join``; both sides partition by id).
-    """
+    ONE coarse hash shuffle on the content hash co-locates each distinct
+    content's rows; inside the partition a C-level ``transform('min')``
+    keeps the minimum-id row per hash — no keeper join. (The previous
+    keeper-table + ``Dataset.join`` design moved the full rows through the
+    join shuffle anyway, so this is strictly fewer stages — and it removes
+    the sparse-input hazard where map_groups' schema-less empty blocks
+    crash the join aggregator, since map_batches is bypassed on empty
+    blocks and cannot re-normalize them.) Per-hash group cardinality is
+    ≈ the number of distinct contents, the regime where Ray's sort-based
+    per-group aggregation pays Python cost per group — hence the coarse
+    partition + pandas groupby (_apply_per_bucket)."""
     hashed = ds.map_batches(lambda b: add_content_hash(b, text_col),
                             batch_format="pyarrow", zero_copy_batch=True) \
                .materialize()
     if hashed.count() == 0:
         return ds  # empty input: nothing to dedup (schema survives on ds)
-    keepers = _apply_per_bucket(
-        hashed.select_columns(["content_hash", id_col]), ["content_hash"],
-        lambda part: part.groupby("content_hash", as_index=False, sort=False,
-                                  dropna=False)[[id_col]].min()
-                         .rename(columns={id_col: "__keeper_id"})) \
-        .select_columns(["__keeper_id"])
     cols = [c for c in hashed.schema().names if c != "content_hash"]
-    out = hashed.drop_columns(["content_hash"]).join(
-        keepers, join_type="inner", num_partitions=num_partitions,
-        on=(id_col,), right_on=("__keeper_id",))
-    return out.select_columns(cols)
+
+    def _keep_min(part: pd.DataFrame) -> pd.DataFrame:
+        keep = part.groupby("content_hash", sort=False,
+                            dropna=False)[id_col].transform("min") \
+            == part[id_col]
+        return part.loc[keep, cols]
+
+    return _apply_per_bucket(hashed, ["content_hash"], _keep_min,
+                             num_partitions=num_partitions)
 
 
 # ---------------------------------------------------------------------------
@@ -882,9 +884,14 @@ def edit_verified_pairs(ds: "ray.data.Dataset", *, text_col: str = "text",
         cpus = int(ray.cluster_resources().get("CPU", 8))
         num_partitions = max(2, cpus // 4)
 
-    cands = minhash_lsh_candidates(ds, text_col=text_col, id_col=id_col,
-                                   num_perm=num_perm, bands=bands,
-                                   concurrency=concurrency)
+    from .partitioning import compact_blocks
+
+    # compact: the candidate pairs come out of map_groups, whose
+    # schema-less empty blocks on sparse inputs crash the join aggregator
+    cands = compact_blocks(
+        minhash_lsh_candidates(ds, text_col=text_col, id_col=id_col,
+                               num_perm=num_perm, bands=bands,
+                               concurrency=concurrency), num_partitions)
     texts = ds.select_columns([id_col, text_col])
 
     def _rn(suffix):

@@ -316,3 +316,18 @@ def partitioned_groupby(ds: "ray.data.Dataset", key_cols: list[str],
 
     return ds.map_batches(_addpart, batch_format="pandas") \
         .groupby("__part").map_groups(_part_fn, batch_format="pandas")
+
+
+def compact_blocks(ds: "ray.data.Dataset",
+                   num_blocks: int = 8) -> "ray.data.Dataset":
+    """Erase schema-less EMPTY blocks before a hash join. Ray's sort-based
+    ``map_groups`` emits column-less empty pandas blocks on sparse inputs,
+    ``map_batches`` is BYPASSED on empty blocks (so a normalizing map can
+    never fix them), and the hash-join aggregator rejects a block whose
+    key column is missing ("No match or multiple matches for key field").
+    ``repartition`` is the one lineage step that CONCATENATES blocks, so
+    the empties merge away into typed blocks. Use on any
+    map_groups-derived dataset that feeds ``Dataset.join``; sort-based
+    consumers (groupby, shuffle_anti_join, partitioned_groupby) tolerate
+    the empties and don't need this."""
+    return ds.repartition(num_blocks)

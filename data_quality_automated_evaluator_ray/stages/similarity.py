@@ -838,9 +838,14 @@ def d4_prune(ds: "ray.data.Dataset", *, n_clusters: int = 16,
         cpus = int(ray.cluster_resources().get("CPU", 8))
         num_partitions = max(2, cpus // 4)
 
+    from .partitioning import compact_blocks
+
     sd = semdedup(ds, n_clusters=n_clusters, threshold=threshold,
                   sample_size=sample_size, id_col=id_col, emb_col=emb_col)
-    sd_narrow = sd.select_columns([id_col, "keep"]).materialize()
+    # compact: semdedup's map_groups can emit schema-less empty blocks on
+    # sparse inputs, which the downstream hash joins reject
+    sd_narrow = compact_blocks(sd.select_columns([id_col, "keep"]),
+                               num_partitions).materialize()
 
     # Arrow's hash join can't carry list<float> payload columns — pack each
     # vector to float64 bytes for the join, unpack on the other side (the
@@ -890,8 +895,9 @@ def d4_prune(ds: "ray.data.Dataset", *, n_clusters: int = 16,
         keep[order] = np.arange(len(ids)) >= n_drop
         return pd.DataFrame({id_col: ids, "proto_keep": keep})
 
-    proto = assigned.groupby("cluster").map_groups(
-        _cut, batch_format="pandas")
+    proto = compact_blocks(
+        assigned.groupby("cluster").map_groups(_cut, batch_format="pandas"),
+        num_partitions)
 
     joined = hash_join(sd_narrow, proto, on=id_col, join_type="left_outer",
                        num_partitions=num_partitions)

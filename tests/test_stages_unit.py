@@ -1344,3 +1344,28 @@ def test_edit_verified_pairs_planted_typo(ray_session):
     for _, r in out.iterrows():
         if 3 in (r["id_a"], r["id_b"]) and 4 not in (r["id_a"], r["id_b"]):
             assert not r["is_dup"] and r["edit_distance"] > 4
+
+
+def test_exact_dedup_sparse_blocks(ray_session):
+    """Regression: sparse repartitioned input used to crash the keeper
+    join with 'No match ... key field' (map_groups' schema-less empty
+    blocks reach a hash-join aggregator; map_batches is bypassed on empty
+    blocks so they can't be normalized downstream). The join-free rewrite
+    must dedup a 3-row/3-block input and keep all columns."""
+    import pandas as pd
+
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.dedup import exact_dedup
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "text": ["a", "a", "b"],
+                       "lang": ["x", "y", "z"]})
+    out = exact_dedup(ray.data.from_pandas(df).repartition(3)).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 3]
+    assert set(out.columns) == {"doc_id", "text", "lang"}
+
+    # null text is its own dedup group (one keeper)
+    df2 = pd.DataFrame({"doc_id": [5, 6, 7, 8],
+                        "text": [None, None, "x", "x"]})
+    out2 = exact_dedup(ray.data.from_pandas(df2)).to_pandas()
+    assert sorted(out2["doc_id"]) == [5, 7]
