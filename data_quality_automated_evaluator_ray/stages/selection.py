@@ -695,7 +695,8 @@ def temperature_weights(ds: "ray.data.Dataset", *, lang_col: str = "lang",
 
 
 def weighted_reservoir_sample(ds: "ray.data.Dataset", k: int, *,
-                              weight_col: str, id_col: str = "doc_id"
+                              weight_col: str, id_col: str = "doc_id",
+                              group_col: "str | None" = None
                               ) -> pd.DataFrame:
     """Weighted sampling without replacement, A-ES (Efraimidis & Spirakis
     2006, "Weighted random sampling with a reservoir"): each row gets key
@@ -706,38 +707,69 @@ def weighted_reservoir_sample(ds: "ray.data.Dataset", k: int, *,
     dsir_select convention), so the sample is a pure function of the table
     and a DuckDB oracle replays it exactly.
 
-    One streaming pass over the (id, weight) projection, ZERO shuffles:
-    each batch emits its local top-k (a row outside its batch's top-k
-    cannot be in the global top-k); the driver merges ≤ k·blocks rows.
-    Rows with null or non-positive weight are excluded (selection
-    probability zero). Returns (id_col, weight_col, rank), rank 1..k."""
+    One streaming pass over the narrow projection, ZERO shuffles: each
+    batch emits its local top-k (a row outside its batch's top-k cannot
+    be in the global top-k); the driver merges ≤ k·blocks rows. With
+    ``group_col`` the draw is per group (the stratified PPS variant —
+    ≤ k rows per group per batch reach the driver, so keep the group
+    cardinality audit-sized: langs/sources, not user ids). Rows with
+    null or non-positive weight are excluded (selection probability
+    zero); a null group is its own stratum. Returns
+    (group_col?, id_col, weight_col, rank), rank 1..k (per group)."""
     from .dedup import _stable_u64
 
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
+    gcols = [group_col] if group_col else []
 
     def _topk(b: pa.Table) -> pa.Table:
-        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        w = b.column(weight_col).to_numpy(zero_copy_only=False) \
-            .astype(np.float64)
-        m = np.isfinite(w) & (w > 0)
-        ids, w = ids[m], w[m]
-        if not len(ids):
-            return pa.table({id_col: pa.array([], pa.int64()),
-                             weight_col: pa.array([], pa.float64()),
-                             "_s": pa.array([], pa.float64())})
+        df = b.to_pandas()
+        w = df[weight_col].to_numpy(dtype=np.float64)
+        df = df[np.isfinite(w) & (w > 0)]
+        if not len(df):
+            cols = {c: pa.array([], pa.string()) for c in gcols}
+            cols[id_col] = pa.array([], pa.int64())
+            cols[weight_col] = pa.array([], pa.float64())
+            cols["_s"] = pa.array([], pa.float64())
+            return pa.table(cols)
+        ids = df[id_col].to_numpy(dtype=np.int64)
+        w = df[weight_col].to_numpy(dtype=np.float64)
         h = _stable_u64([str(int(i)) for i in ids])
         u = np.maximum(h, np.uint64(1)).astype(np.float64) / 2.0 ** 64
-        s = np.log(u) / w
-        top = np.lexsort((ids, -s))[:k]
-        return pa.table({id_col: pa.array(ids[top], pa.int64()),
-                         weight_col: pa.array(w[top], pa.float64()),
-                         "_s": pa.array(s[top], pa.float64())})
+        df = df.assign(_s=np.log(u) / w)
+        if group_col:
+            from .partitioning import escape_nul_keys, restore_nul_keys
 
-    merged = ds.select_columns([id_col, weight_col]).map_batches(
+            df, _ch = escape_nul_keys(df, gcols)  # NUL-exact strata
+            df = df.sort_values(["_s", id_col], ascending=[False, True])
+            df = df[df.groupby(group_col, sort=False,
+                               dropna=False).cumcount() < k]
+            df = restore_nul_keys(df, _ch)
+        else:
+            df = df.sort_values(["_s", id_col],
+                                ascending=[False, True]).head(k)
+        out = df[gcols + [id_col, weight_col, "_s"]]
+        return pa.Table.from_pandas(out.astype({id_col: np.int64,
+                                                weight_col: np.float64}),
+                                    preserve_index=False)
+
+    merged = ds.select_columns(gcols + [id_col, weight_col]).map_batches(
         _topk, batch_format="pyarrow").to_pandas()
-    merged = merged.sort_values(["_s", id_col],
-                                ascending=[False, True]).head(k) \
-        .reset_index(drop=True)
-    merged["rank"] = np.arange(1, len(merged) + 1, dtype=np.int64)
-    return merged[[id_col, weight_col, "rank"]]
+    merged = merged.sort_values(["_s", id_col], ascending=[False, True])
+    if group_col:
+        from .partitioning import escape_nul_keys, restore_nul_keys
+
+        merged, _ch = escape_nul_keys(merged, gcols)
+        merged = merged[merged.groupby(group_col, sort=False,
+                                       dropna=False).cumcount() < k]
+        merged = merged.reset_index(drop=True)
+        merged["rank"] = merged.groupby(group_col, sort=False,
+                                        dropna=False).cumcount() + 1
+        merged = restore_nul_keys(merged, _ch)
+        merged = merged.sort_values([group_col, "rank"]) \
+            .reset_index(drop=True)
+    else:
+        merged = merged.head(k).reset_index(drop=True)
+        merged["rank"] = np.arange(1, len(merged) + 1, dtype=np.int64)
+    merged["rank"] = merged["rank"].astype(np.int64)
+    return merged[gcols + [id_col, weight_col, "rank"]]

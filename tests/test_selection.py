@@ -541,3 +541,35 @@ def test_weighted_reservoir_sample_semantics(ray_session):
     with _pytest.raises(ValueError, match="k must be positive"):
         weighted_reservoir_sample(ray.data.from_pandas(df), 0,
                                   weight_col="w")
+
+
+def test_weighted_reservoir_grouped_nul_strata(ray_session):
+    """Stratified PPS: per-group ranks are dense 1..k, strata with fewer
+    than k eligible rows return all of them, and NUL-divergent group keys
+    stay distinct strata."""
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.selection import (
+        weighted_reservoir_sample)
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(10, dtype=np.int64),
+        "g": ["a\x00b"] * 4 + ["a\x00c"] * 4 + [None] * 2,
+        "w": [1.0, 2.0, 3.0, 4.0, 1.0, 2.0, 0.0, None, 5.0, 6.0],
+    })
+    out = weighted_reservoir_sample(ray.data.from_pandas(df), 3,
+                                    weight_col="w", group_col="g")
+    cnt = out.groupby("g", dropna=False)["doc_id"].count()
+    assert cnt["a\x00b"] == 3          # 4 eligible -> top 3
+    assert cnt["a\x00c"] == 2          # only 2 eligible (0-weight + null out)
+    assert cnt.loc[cnt.index.isna()].iloc[0] == 2
+    for _, grp in out.groupby("g", dropna=False):
+        assert grp["rank"].tolist() == list(range(1, len(grp) + 1))
+    # partition invariance
+    out2 = weighted_reservoir_sample(ray.data.from_pandas(df).repartition(4),
+                                     3, weight_col="w", group_col="g")
+    pd.testing.assert_frame_equal(out.reset_index(drop=True),
+                                  out2.reset_index(drop=True))
