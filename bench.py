@@ -199,7 +199,12 @@ def run_bench() -> dict:
                           # round 4 (session 9): the codes-only ANN index
                           # build + ADC search, and the two-quantizer D4
                           # selection pipeline
-                          "d4_prune_embeddings"]}
+                          "d4_prune_embeddings",
+                          # round 4 (session 9, late): retrieval, verified
+                          # dedup, and the join-free cohort matrix
+                          "bm25_topk_documents",
+                          "edit_dedup_documents",
+                          "cohort_retention_events"]}
     suite.update(singles)
     suite.update(extra)
     # min-of-k per suite query (default 2; round-4 method change — rounds 1-3
