@@ -182,3 +182,68 @@ class ImageResizer:
                 .append_column("height", pa.array([self.h] * n, pa.int32()))
                 .append_column("resized_sha256", pa.array(out_sha,
                                                           pa.string())))
+
+
+class AudioChunker:
+    """Actor-pool stage: split each audio payload into fixed-duration
+    chunks — the audio member of the multimodal triad (image features /
+    video frame-sample / AUDIO duration-chunking). ONE input row expands
+    to ``ceil(n_samples / chunk_len)`` output rows where ``chunk_len =
+    sample_rate · chunk_ms // 1000`` (integer math end to end), the
+    flat-map shape of audio segmentation for ASR/embedding pipelines; the
+    parent payload is dropped on the way out so only small chunk rows
+    continue downstream.
+
+    ``__init__`` is where a real backend would load the audio codec once
+    per actor. ``decode_backend="stub"`` raises (honest default);
+    ``"fake"`` treats the utf-8 payload's characters as samples and emits
+    each chunk's sample count, sha256, and a deterministic pseudo-RMS
+    energy (sha-digest → [0, 1), the ImageFeatureExtractor convention) —
+    all SQL-replayable. Reads ``sample_rate`` per row (typed metadata
+    column); null payloads and non-positive rates produce no chunks.
+    """
+
+    def __init__(self, chunk_ms: int = 20, decode_backend: str = "stub",
+                 rate_col: str = "sample_rate") -> None:
+        if decode_backend not in ("stub", "fake"):
+            raise ValueError(f"unknown decode_backend {decode_backend!r}")
+        if chunk_ms <= 0:
+            raise ValueError("chunk_ms must be positive")
+        self.chunk_ms = chunk_ms
+        self.backend = decode_backend
+        self.rate_col = rate_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.backend == "stub":
+            raise NotImplementedError(
+                "audio decoding requires a codec library not present in "
+                "this environment; use decode_backend='fake' for pipeline "
+                "testing")
+        ids, idxs, ns, energies, shas = [], [], [], [], []
+        for item_id, payload, rate in zip(
+                batch.column("item_id").to_pylist(),
+                batch.column("payload").to_pylist(),
+                batch.column(self.rate_col).to_pylist()):
+            if payload is None or rate is None or rate <= 0:
+                continue
+            chars = payload.decode("utf-8")
+            L = len(chars)
+            cl = int(rate) * self.chunk_ms // 1000
+            if cl <= 0:
+                continue
+            for i in range((L + cl - 1) // cl):
+                chunk = chars[i * cl:(i + 1) * cl]
+                digest = hashlib.sha256(chunk.encode()).digest()[:8]
+                ids.append(item_id)
+                idxs.append(i)
+                ns.append(len(chunk))
+                energies.append(int.from_bytes(digest, "big")
+                                % 10000 / 10000.0)
+                shas.append(hashlib.sha256(chunk.encode()).hexdigest())
+        return pa.table({
+            "item_id": pa.array(ids, pa.int64()),
+            "chunk_idx": pa.array(idxs, pa.int64()),
+            "n_samples": pa.array(ns, pa.int64()),
+            "energy": pa.array(energies, pa.float64()),
+            "chunk_sha256": pa.array(shas, pa.string()),
+        })

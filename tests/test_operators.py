@@ -542,3 +542,40 @@ def test_dataset_split_deterministic_and_complete(ray_session):
     with pytest.raises(ValueError):
         dataset_split(ray.data.from_pandas(df), on="text",
                       splits=[("a", 0.5), ("b", 0.4)])
+
+
+def test_audio_chunker_fake_and_stub(ray_session):
+    """AudioChunker edges: chunk math for payloads shorter than one chunk,
+    null payload / null and non-positive rate skipped, stub raises, knob
+    validation — and the chunk concatenation reconstructs the payload."""
+    import hashlib
+
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from data_quality_automated_evaluator_ray.stages.multimodal import (
+        AudioChunker)
+
+    batch = pa.table({
+        "item_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "payload": pa.array([b"abcdefghij", b"xy", None, b"zz", b"keep"],
+                            pa.binary()),
+        "sample_rate": pa.array([200, 50, 200, None, 0], pa.int32()),
+    })
+    # chunk_ms=20 -> chunk_len = rate*20//1000: item0 cl=4, item1 cl=1
+    out = AudioChunker(chunk_ms=20, decode_backend="fake")(batch)
+    df = out.to_pandas()
+    g0 = df[df["item_id"] == 0]
+    assert g0["n_samples"].tolist() == [4, 4, 2]   # 10 chars in 4s
+    assert g0["chunk_sha256"].iloc[0] == hashlib.sha256(b"abcd").hexdigest()
+    g1 = df[df["item_id"] == 1]
+    assert g1["n_samples"].tolist() == [1, 1]      # cl=1 per char
+    assert set(df["item_id"]) == {0, 1}            # null/0-rate rows skipped
+    assert ((df["energy"] >= 0) & (df["energy"] < 1)).all()
+
+    with _pytest.raises(NotImplementedError):
+        AudioChunker(decode_backend="stub")(batch)
+    with _pytest.raises(ValueError):
+        AudioChunker(chunk_ms=0)
+    with _pytest.raises(ValueError):
+        AudioChunker(decode_backend="nope")
