@@ -887,11 +887,17 @@ def edit_verified_pairs(ds: "ray.data.Dataset", *, text_col: str = "text",
     from .partitioning import compact_blocks
 
     # compact: the candidate pairs come out of map_groups, whose
-    # schema-less empty blocks on sparse inputs crash the join aggregator
+    # schema-less empty blocks on sparse inputs crash the join aggregator.
+    # MATERIALIZE so the MinHasher actor pool completes and releases its
+    # CPUs before the two join aggregator pools start — in one streaming
+    # DAG the three pools (2 + 2·num_partitions actors) exceed a small
+    # cluster's CPUs and Ray Data deadlocks waiting for actors (the
+    # local_supply_revenue sizing rule: concurrent pools must co-fit)
     cands = compact_blocks(
         minhash_lsh_candidates(ds, text_col=text_col, id_col=id_col,
                                num_perm=num_perm, bands=bands,
-                               concurrency=concurrency), num_partitions)
+                               concurrency=concurrency),
+        num_partitions).materialize()
     texts = ds.select_columns([id_col, text_col])
 
     def _rn(suffix):
