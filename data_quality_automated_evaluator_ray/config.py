@@ -283,8 +283,12 @@ def _run_dedup(cfg: dict[str, Any], out_dir: str) -> dict[str, Any]:
             kept = ds
         else:
             def _drops(b: pa.Table) -> pa.Table:
-                mask = pc.not_equal(b.column(id_col), b.column("component"))
-                return b.filter(mask).select([id_col])
+                # connected_components labels its output (doc_id, component)
+                # regardless of the configured id column — read doc_id and
+                # emit under id_col so the anti join keys line up
+                mask = pc.not_equal(b.column("doc_id"),
+                                    b.column("component"))
+                return pa.table({id_col: b.filter(mask).column("doc_id")})
 
             kept = shuffle_anti_join(
                 ds, comp.map_batches(_drops, batch_format="pyarrow"),

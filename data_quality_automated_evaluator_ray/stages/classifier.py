@@ -254,10 +254,15 @@ def ensemble_quality_buckets(ds: "ray.data.Dataset", *, label_col: str,
 
     def _q_narrow(b: pa.Table) -> pa.Table:
         scored = quality_score(b, text_col)
-        q = scored.column("quality_score").to_numpy(zero_copy_only=False)
+        q = round_half_away(
+            scored.column("quality_score").to_numpy(zero_copy_only=False), 6)
+        # null-text docs: the oracle's ntile orders s_q ASC NULLS LAST with
+        # doc_id tiebreak — a sentinel above the score range (scores are
+        # [0,1]) reproduces that ordering exactly; NaN into the ntile rank
+        # would be undefined
+        q = np.where(np.isnan(q), 2.0, q)
         return pa.table({id_col: b.column(id_col),
-                         "s_q": pa.array(round_half_away(q, 6),
-                                         pa.float64())})
+                         "s_q": pa.array(q, pa.float64())})
 
     nb_s = nb.map_batches(_nb_narrow, batch_format="pyarrow")
     q_s = ds.select_columns([id_col, text_col]).map_batches(

@@ -233,13 +233,13 @@ class AudioChunker:
                 continue
             for i in range((L + cl - 1) // cl):
                 chunk = chars[i * cl:(i + 1) * cl]
-                digest = hashlib.sha256(chunk.encode()).digest()[:8]
+                h = hashlib.sha256(chunk.encode())
                 ids.append(item_id)
                 idxs.append(i)
                 ns.append(len(chunk))
-                energies.append(int.from_bytes(digest, "big")
+                energies.append(int.from_bytes(h.digest()[:8], "big")
                                 % 10000 / 10000.0)
-                shas.append(hashlib.sha256(chunk.encode()).hexdigest())
+                shas.append(h.hexdigest())
         return pa.table({
             "item_id": pa.array(ids, pa.int64()),
             "chunk_idx": pa.array(idxs, pa.int64()),

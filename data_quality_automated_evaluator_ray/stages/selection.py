@@ -727,7 +727,10 @@ def weighted_reservoir_sample(ds: "ray.data.Dataset", k: int, *,
         w = df[weight_col].to_numpy(dtype=np.float64)
         df = df[np.isfinite(w) & (w > 0)]
         if not len(df):
-            cols = {c: pa.array([], pa.string()) for c in gcols}
+            # empty-after-filter block: type the group columns from the
+            # INPUT schema (a hardcoded string type would diverge from
+            # sibling blocks for non-string group columns)
+            cols = {c: pa.array([], b.schema.field(c).type) for c in gcols}
             cols[id_col] = pa.array([], pa.int64())
             cols[weight_col] = pa.array([], pa.float64())
             cols["_s"] = pa.array([], pa.float64())

@@ -316,7 +316,12 @@ def ivf_topk(ds: "ray.data.Dataset", queries: np.ndarray, query_ids: list[int],
     q_by_cluster: dict[int, list[int]] = {}
     qsims = qn @ centroids.T
     for j in range(qn.shape[0]):
-        for c in np.argsort(-qsims[j])[:nprobe]:
+        # stable (sim desc, cluster asc) probe order — np.argsort is
+        # UNSTABLE at this size, and duplicate centroids (empty-cluster
+        # carry-forward, duplicate sample vectors) make exact ties real;
+        # the SQL oracle orders by (dot desc, cluster)
+        order = np.lexsort((np.arange(qsims.shape[1]), -qsims[j]))
+        for c in order[:nprobe]:
             q_by_cluster.setdefault(int(c), []).append(j)
     q_ref = ray.put((qn, list(query_ids), q_by_cluster))
 
@@ -460,7 +465,12 @@ def ivfpq_topk(ds: "ray.data.Dataset", queries: np.ndarray,
     q_by_cluster: dict[int, list[int]] = {}
     qsims = qn @ coarse.T
     for j in range(qn.shape[0]):
-        for c in np.argsort(-qsims[j])[:nprobe]:
+        # stable (sim desc, cluster asc) probe order — np.argsort is
+        # UNSTABLE at this size, and duplicate centroids (empty-cluster
+        # carry-forward, duplicate sample vectors) make exact ties real;
+        # the SQL oracle orders by (dot desc, cluster)
+        order = np.lexsort((np.arange(qsims.shape[1]), -qsims[j]))
+        for c in order[:nprobe]:
             q_by_cluster.setdefault(int(c), []).append(j)
     # per-query per-subspace ADC lookup tables: (n_queries, m, n_codes)
     ds_ = cbs.shape[2]

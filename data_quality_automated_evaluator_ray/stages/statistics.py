@@ -246,15 +246,13 @@ def grouped_percentiles(ds: "ray.data.Dataset", col: str, by: list[str],
     """
     from .partitioning import partitioned_groupby
 
-    from .partitioning import escape_nul_keys, restore_nul_keys
-
     labels = [f"p{int(round(p * 100))}" for p in ps]
 
     def _pct(part: pd.DataFrame) -> pd.DataFrame:
+        # NUL-divergent string keys stay exact: partitioned_groupby escapes
+        # key columns around this callback (partitioning._part_fn), so the
+        # pandas groupby below never sees a raw NUL
         part = part.dropna(subset=[col])
-        # escape→group→restore WITHIN the partition: pandas' string groupby
-        # conflates keys differing only after an embedded NUL byte
-        part, _ch = escape_nul_keys(part, by)
         rows = []
         # dropna=False: a null key is its own group, as in ANSI GROUP BY
         for key, g in part.groupby(by, sort=False, dropna=False):
@@ -264,8 +262,7 @@ def grouped_percentiles(ds: "ray.data.Dataset", col: str, by: list[str],
                              n=np.int64(len(v)),
                              **{lb: np.percentile(v, p * 100)
                                 for lb, p in zip(labels, ps)}))
-        return restore_nul_keys(pd.DataFrame(rows, columns=by + ["n"]
-                                             + labels), _ch)
+        return pd.DataFrame(rows, columns=by + ["n"] + labels)
 
     out = partitioned_groupby(ds.select_columns(by + [col]), by, _pct,
                               num_partitions=num_partitions).to_pandas()
@@ -342,9 +339,15 @@ def winsorize(ds: "ray.data.Dataset", col: str, by: list[str], *,
             ulo, uhi = (np.asarray([u[0] for u in uniq]),
                         np.asarray([u[1] for u in uniq]))
             lo, hi = ulo[codes], uhi[codes]
-        w = np.minimum(np.maximum(v, lo), hi)
-        return b.append_column(out_col, pa.array(
-            round_half_away(w, 6), pa.float64()))
+        w = round_half_away(np.minimum(np.maximum(v, lo), hi), 6)
+        # null-in → null-out (the documented ANSI semantics): a null value
+        # or a group with no bounds must yield an Arrow NULL, not a stored
+        # NaN — downstream is_null()/count() over the written column would
+        # otherwise diverge from the oracle
+        null_in = pc.is_null(b.column(col)).to_numpy(zero_copy_only=False)
+        mask = null_in | np.isnan(lo)
+        return b.append_column(out_col, pa.array(w, pa.float64(),
+                                                 mask=mask))
 
     return ds.map_batches(_clamp, batch_format="pyarrow")
 

@@ -145,6 +145,11 @@ def cohort_retention(ds: "ray.data.Dataset", *, user_col: str = "user_id",
     ev = ds.select_columns([user_col, ts_col])
 
     def _wk(b: pa.Table) -> pa.Table:
+        # null user or null ts rows carry no cohort signal — drop them here
+        # (the SQL oracle's join-on-user_id drops null users the same way;
+        # the oracle filters null ts explicitly)
+        b = b.filter(pc.and_(pc.is_valid(b.column(user_col)),
+                             pc.is_valid(b.column(ts_col))))
         wk = pc.cast(pc.floor_temporal(b.column(ts_col), unit="week"),
                      pa.timestamp("us"))
         t = pa.table({user_col: b.column(user_col), "__wk": wk})

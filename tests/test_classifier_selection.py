@@ -299,3 +299,37 @@ def test_ensemble_buckets_validates(ray_session):
         ensemble_quality_buckets(ray.data.from_pandas(df),
                                  label_col="source", pos_values=["src0"],
                                  n_buckets=7, n_tiers=3)
+
+
+def test_ensemble_buckets_null_text_matches_duckdb(ray_session):
+    """Null-text documents: the quality side ranks NULLS LAST in the
+    oracle's ntile — the engine's sentinel must reproduce the identical
+    buckets (differential on a registered frame)."""
+    from data_quality_automated_evaluator_ray.pipelines.queries import (
+        _ensemble_buckets_sql)
+
+    rng = np.random.default_rng(3)
+    n = 30
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "source": [f"src{i % 6}" for i in range(n)],
+        "text": [None if i % 7 == 0 else
+                 " ".join(rng.choice(["the", "of", "qq", "zz", "good"],
+                                     size=4 + i % 5))
+                 for i in range(n)],
+    })
+    from data_quality_automated_evaluator_ray.stages.classifier import (
+        ensemble_quality_buckets)
+
+    got = ensemble_quality_buckets(
+        ray.data.from_pandas(df), label_col="source",
+        pos_values=["src0", "src1", "src2", "src3"],
+        n_buckets=20, n_tiers=5) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", df)
+    want = con.execute(_ensemble_buckets_sql()).df() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con.close()
+    for c in ["bucket_nb", "bucket_q", "ensemble_bucket", "tier"]:
+        assert got[c].tolist() == want[c].tolist(), c

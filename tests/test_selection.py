@@ -573,3 +573,25 @@ def test_weighted_reservoir_grouped_nul_strata(ray_session):
                                      3, weight_col="w", group_col="g")
     pd.testing.assert_frame_equal(out.reset_index(drop=True),
                                   out2.reset_index(drop=True))
+
+
+def test_config_dedup_custom_id_column(ray_session, tmp_path):
+    """Regression: fuzzy/edit dedup with a non-default id_column crashed
+    in the drop-list projection (connected_components labels its output
+    doc_id/component regardless of the configured id column)."""
+    import pyarrow.parquet as pq_mod
+
+    from data_quality_automated_evaluator_ray.config import run_config
+
+    full = pd.read_parquet(f"{SF}/documents.parquet") \
+        .rename(columns={"doc_id": "rid"})
+    src = str(tmp_path / "renamed.parquet")
+    full.to_parquet(src, index=False)
+    for method in ("fuzzy", "edit"):
+        out = str(tmp_path / method)
+        s = run_config({"source": {"path": src}, "pipeline": "dedup",
+                        "dedup": {"method": method, "id_column": "rid"},
+                        "output": {"dir": out}})
+        assert 0 < s["rows_out"] <= s["rows_in"]
+        got = pd.read_parquet(out)
+        assert "rid" in got.columns

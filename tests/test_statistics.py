@@ -721,3 +721,28 @@ def test_winsorize_null_and_degenerate_groups(ray_session):
     with _pytest.raises(ValueError, match="p_lo"):
         winsorize(ray.data.from_pandas(df), "v", by=["k"],
                   p_lo=0.9, p_hi=0.1)
+
+
+def test_winsorize_nulls_are_arrow_nulls(ray_session):
+    """Null inputs (and groups without bounds) must come out as Arrow
+    NULLs in the winsorized column, not stored NaN — a parquet round trip
+    preserves the distinction and count()/is_null() see it."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray
+
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.statistics import winsorize
+
+    df = pd.DataFrame({"event_id": [0, 1, 2, 3],
+                       "k": ["a", "a", "a", "b"],
+                       "v": [1.0, 2.0, None, None]})
+    out = winsorize(ray.data.from_pandas(df), "v", by=["k"],
+                    p_lo=0.0, p_hi=1.0)
+    tbl = pa.concat_tables([ray.get(r) for r in out.to_arrow_refs()])
+    col = tbl.column("v_winsorized")
+    assert col.null_count == 2          # the null value AND the b group
+    valid = [x for x in col.to_pylist() if x is not None]
+    assert valid == [1.0, 2.0]

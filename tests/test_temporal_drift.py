@@ -160,3 +160,26 @@ def test_cohort_retention_matrix(ray_session):
 
     out2 = cohort_retention(ray.data.from_pandas(df).repartition(4))
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_cohort_retention_null_user_and_ts(ray_session):
+    """Null user_id / null ts rows carry no cohort signal: they are
+    excluded (the oracle's join-on-user semantics), not a crash."""
+    import datetime as dt
+
+    import pandas as pd
+
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.temporal import (
+        cohort_retention)
+
+    W0 = dt.datetime(2024, 1, 1)
+    df = pd.DataFrame({
+        "user_id": [1, 1, None, 2, None],
+        "ts": [W0, None, W0, W0 + dt.timedelta(days=8), None],
+    })
+    out = cohort_retention(ray.data.from_pandas(df))
+    got = {(r.cohort_week.to_pydatetime(), int(r.week_n)): int(r.n_users)
+           for r in out.itertuples()}
+    assert got == {(W0, 0): 1, (W0 + dt.timedelta(days=7), 0): 1}
