@@ -739,7 +739,12 @@ def weighted_reservoir_sample(ds: "ray.data.Dataset", k: int, *,
         w = df[weight_col].to_numpy(dtype=np.float64)
         h = _stable_u64([str(int(i)) for i in ids])
         u = np.maximum(h, np.uint64(1)).astype(np.float64) / 2.0 ** 64
-        df = df.assign(_s=np.log(u) / w)
+        # round the rank key to 12 decimals (the repo's cross-engine
+        # float-noise convention): numpy log and DuckDB ln can differ by
+        # ULPs, and an unrounded key lets near-ties flip rank order
+        # between the engine and the oracle
+        from ..functions.parity import round_half_away
+        df = df.assign(_s=round_half_away(np.log(u) / w, 12))
         if group_col:
             from .partitioning import escape_nul_keys, restore_nul_keys
 

@@ -285,9 +285,12 @@ def winsorize(ds: "ray.data.Dataset", col: str, by: list[str], *,
     of the (keys, value) projection, the tiny bounds table broadcasts via
     ``ray.put``, and the clamp is a vectorized per-batch map over the full
     rows (no second shuffle). Null values stay null; a group with no
-    non-null values (or absent from bounds) yields null clamped values —
-    ANSI ``least(greatest(v, lo), hi)`` null semantics, null-safe on the
-    group key. Adds ``out_col`` (default ``{col}_winsorized``), rounded to
+    non-null values (or absent from bounds) yields null clamped values.
+    NOTE: this is stricter than DuckDB's ``least(greatest(v, lo), hi)``,
+    whose least/greatest IGNORE NULLs (a NULL value clamps to ``lo``
+    there) — a SQL oracle must guard with
+    ``case when v is null or lo is null then null else ... end``.
+    Adds ``out_col`` (default ``{col}_winsorized``), rounded to
     6 decimals so engine-noise in the interpolated bound can't flip the
     value hash."""
     from ..functions.parity import round_half_away

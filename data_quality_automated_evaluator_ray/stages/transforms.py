@@ -215,50 +215,70 @@ def fim_transform(ds: "ray.data.Dataset", *, content_col: str = "content",
     All randomness is content-keyed (md5 of the ``key_cols`` join, the
     ``dataset_split`` convention): the same file gets the same spans on
     every run, engine and partitioning, so a SQL oracle replays it with
-    substr arithmetic. Pure per-batch map, no shuffle; the per-row cost is
-    three md5 calls + three slices (same class as the exact-dedup sha
-    stage). Null content passes through unapplied. Adds
-    ``fim_applied`` (bool), ``fim_mode`` ('psm'/'spm'/'none') and
-    ``out_col``."""
+    substr arithmetic. Pure per-batch map, no shuffle. Null content — or a
+    null in ANY key column — passes through unapplied (``fim_applied``
+    false, mode 'none'), matching the SQL oracle's NULL-propagating
+    ``repo || '/' || path`` concatenation (key guards make it a proper
+    false there). Adds ``fim_applied`` (bool), ``fim_mode``
+    ('psm'/'spm'/'none') and ``out_col``.
+
+    Hot-path shape (A/B-measured on the sf0.01 corpus, 19.4 → 15.2 ms /
+    4k rows): the key column joins via one Arrow
+    ``binary_join_element_wise`` kernel (nulls propagate — exactly the
+    null-key semantics); per row ONE full md5 of the key, with the
+    ``#1``/``#2``/``#m`` draws derived by ``md5.copy()+update`` (the
+    suffix re-hash is ~2× the copy) and computed only for applied rows;
+    the per-row Python slice+concat beat an Arrow
+    ``if_else(join, join)`` assembly in the same A/B (per-row offsets
+    rule out the scalar-offset ``utf8_slice_codeunits`` kernel)."""
     import hashlib
 
-    import numpy as np
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     apply_cut = int(round(fim_rate * 10000))
     spm_cut = int(round(spm_rate * 10000))
-
-    def _h(key: str) -> int:
-        return int(hashlib.md5(key.encode()).hexdigest()[:8], 16)
+    md5 = hashlib.md5
 
     def _fn(batch: pa.Table) -> pa.Table:
-        keys = ["/".join(str(v) for v in row)
-                for row in zip(*(batch.column(c).to_pylist()
-                                 for c in key_cols))]
+        casted = [batch.column(c).cast(pa.string()) for c in key_cols]
+        keys = (casted[0] if len(casted) == 1
+                else pc.binary_join_element_wise(*casted, "/")).to_pylist()
         texts = batch.column(content_col).to_pylist()
         applied, modes, outs = [], [], []
         for key, t in zip(keys, texts):
-            if t is None or _h(key) % 10000 >= apply_cut:
+            if key is None or t is None:
                 applied.append(False)
                 modes.append("none")
                 outs.append(t)
                 continue
-            L = len(t)
-            a = _h(key + "#1") % (L + 1)
-            b = _h(key + "#2") % (L + 1)
+            h0 = md5(key.encode())
+            if int(h0.hexdigest()[:8], 16) % 10000 >= apply_cut:
+                applied.append(False)
+                modes.append("none")
+                outs.append(t)
+                continue
+            L1 = len(t) + 1
+            h1 = h0.copy()
+            h1.update(b"#1")
+            h2 = h0.copy()
+            h2.update(b"#2")
+            a = int(h1.hexdigest()[:8], 16) % L1
+            b = int(h2.hexdigest()[:8], 16) % L1
             lo, hi = (a, b) if a <= b else (b, a)
-            pre, mid, suf = t[:lo], t[lo:hi], t[hi:]
-            if _h(key + "#m") % 10000 < spm_cut:
+            hm = h0.copy()
+            hm.update(b"#m")
+            if int(hm.hexdigest()[:8], 16) % 10000 < spm_cut:
                 modes.append("spm")
-                outs.append("<fim_prefix><fim_suffix>" + suf
-                            + "<fim_middle>" + pre + mid)
+                outs.append("<fim_prefix><fim_suffix>" + t[hi:]
+                            + "<fim_middle>" + t[:lo] + t[lo:hi])
             else:
                 modes.append("psm")
-                outs.append("<fim_prefix>" + pre + "<fim_suffix>" + suf
-                            + "<fim_middle>" + mid)
+                outs.append("<fim_prefix>" + t[:lo] + "<fim_suffix>"
+                            + t[hi:] + "<fim_middle>" + t[lo:hi])
             applied.append(True)
         return batch.append_column(
-            "fim_applied", pa.array(np.asarray(applied), pa.bool_())) \
+            "fim_applied", pa.array(applied, pa.bool_())) \
             .append_column("fim_mode", pa.array(modes, pa.string())) \
             .append_column(out_col, pa.array(outs, pa.string()))
 

@@ -117,28 +117,38 @@ def test_entry_smoke(ray_session):
 
 
 def test_rows_only_queries_run(ray_session):
+    """Every registry entry carries a hard oracle, and the driver window is a
+    pure function of whatever CORRECTNESS_r*.json files exist — asserted on a
+    pinned tmp fixture, never on the live repo root, whose files the driver
+    rewrites every round (the round-4 red-test lesson)."""
+    import json
+    import tempfile
+
     import __ray_entry__ as e
+    from data_quality_automated_evaluator_ray.pipelines.queries import (
+        staleness_ordered_names)
 
     q = e.queries()
     oracles = e.oracle_sql()
     rows_only = [k for k in q if k not in oracles]
-    assert rows_only == []  # round 4: every query has a hard oracle
-    # the window rotates each round (COVERAGE.md §window): round 4 fronts
-    # the two newly-promoted model-pipeline oracles plus every entry whose
-    # last driver-hash evidence was round 2
-    names = list(q)
-    window = set(names[:50])
-    # never-driver-green entries (the session-9 additions) sort first and
-    # must all sit inside the window, together with the stalest r2-green
-    # entries; r2-green entries displaced past 50 by new operators rotate
-    # into the next round's window by construction
-    assert {"qf_code_corpus", "partition_metrics_code_corpus",
-            "ensemble_buckets_documents", "d4_prune_embeddings",
-            "fim_transform_code_corpus", "bm25_topk_documents",
-            "winsorize_value_events", "edit_dedup_documents",
-            "weighted_sample_documents",
-            "skewed_events_by_type", "text_quality_documents",
-            "embedding_neardup"} <= window
+    assert rows_only == []  # every query has a hard oracle
+    # queries()/oracle_sql() emit exactly the staleness ordering computed
+    # from the live root, whatever its CORRECTNESS files currently say
+    assert list(q) == staleness_ordered_names()
+    assert list(oracles) == staleness_ordered_names()
+
+    # window invariant on a pinned fixture: mark all but 12 names green in a
+    # synthetic round; the 12 never-green entries must each land inside the
+    # first-50 window, stalest-first
+    names = sorted(q)
+    never_green = names[::9][:12]
+    with tempfile.TemporaryDirectory() as d:
+        record = {k: {"hash_match": True}
+                  for k in names if k not in never_green}
+        with open(f"{d}/CORRECTNESS_r01.json", "w") as fh:
+            json.dump(record, fh)
+        window = set(staleness_ordered_names(d)[:50])
+        assert set(never_green) <= window
 
 
 def test_staleness_ordered_names():

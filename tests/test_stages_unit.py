@@ -1143,15 +1143,24 @@ def test_fim_transform_adversarial(ray_session):
         fim_transform)
 
     df = pd.DataFrame({
-        "repo": ["r0", "r0", "r1", "r1", "r2"],
-        "path": ["a", "b", "a", "b", "u"],
-        "content": ["hello world", "", None, "x", "héllo ünïcode ⚡"],
+        "repo": ["r0", "r0", "r1", "r1", "r2", None, "r3"],
+        "path": ["a", "b", "a", "b", "u", "p", None],
+        "content": ["hello world", "", None, "x", "héllo ünïcode ⚡",
+                    "null repo", "null path"],
     })
     out = fim_transform(ray.data.from_pandas(df), fim_rate=1.0) \
         .to_pandas().set_index(["repo", "path"])
     # null passes through unapplied; empty/1-char still transform (L+1 ≥ 1)
     assert not out.loc[("r1", "a"), "fim_applied"]
     assert out.loc[("r1", "a"), "fim_mode"] == "none"
+    # a null in ANY key column → unapplied passthrough (the oracle's
+    # repo || '/' || path is NULL there; its guards make fim_applied false)
+    flat = out.reset_index()
+    nullkey = flat[flat["repo"].isna() | flat["path"].isna()]
+    assert len(nullkey) == 2
+    assert not nullkey["fim_applied"].any()
+    assert (nullkey["fim_mode"] == "none").all()
+    assert sorted(nullkey["text_fim"]) == ["null path", "null repo"]
     for key in [("r0", "a"), ("r0", "b"), ("r1", "b"), ("r2", "u")]:
         row = out.loc[key]
         assert row["fim_applied"]

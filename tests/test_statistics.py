@@ -746,3 +746,46 @@ def test_winsorize_nulls_are_arrow_nulls(ray_session):
     assert col.null_count == 2          # the null value AND the b group
     valid = [x for x in col.to_pylist() if x is not None]
     assert valid == [1.0, 2.0]
+
+
+def test_winsorize_oracle_parity_with_null_values(ray_session, tmp_path):
+    """Run the REGISTERED winsorize query/oracle pair on an events fixture
+    that actually contains NULL values and an all-NULL group — the class the
+    sf fixtures can't exercise (zero null values there). Catches the DuckDB
+    least/greatest-IGNORE-NULLs divergence the round-4 advisor flagged: an
+    unguarded oracle clamps a NULL value to lo; the engine emits NULL."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from data_quality_automated_evaluator_ray.pipelines.queries import (
+        WINSORIZE_VALUE_EVENTS_SQL, winsorize_value_events)
+
+    df = pd.DataFrame({
+        "event_id": range(12),
+        "event_type": ["a"] * 6 + ["b", "b", "b", "c", "c", None],
+        "value": [1.0, 2.0, 3.0, 4.0, 100.0, None,
+                  10.0, None, 30.0, None, None, 5.0],
+    })
+    df.to_parquet(tmp_path / "events.parquet", index=False)
+
+    got = winsorize_value_events(str(tmp_path))
+    con = duckdb.connect()
+    con.execute(
+        f"create view events as select * from '{tmp_path}/events.parquet'")
+    want = con.execute(WINSORIZE_VALUE_EVENTS_SQL).df()
+    con.close()
+
+    assert len(got) == len(want) == 12
+    assert sorted(got.columns) == sorted(want.columns)
+    for c in sorted(got.columns):
+        a, b = got[c].tolist(), want[c].tolist()
+        for i, (x, y) in enumerate(zip(a, b)):
+            xn = x is None or (isinstance(x, float) and np.isnan(x))
+            yn = y is None or (isinstance(y, float) and np.isnan(y))
+            assert xn == yn and (xn or x == y), f"{c}[{i}]: {x!r} != {y!r}"
+    # the critical rows: NULL value in a bounded group stays NULL; the
+    # all-NULL group c yields NULL for every row
+    w = got.set_index("event_id")["value_winsorized"]
+    assert np.isnan(w[5]) and np.isnan(w[7]) and np.isnan(w[9]) \
+        and np.isnan(w[10])
