@@ -537,7 +537,8 @@ def _pair_table(ids_a: np.ndarray, emb_a: np.ndarray,
 def embedding_neardup_exact(ds: "ray.data.Dataset", threshold: float = 0.9,
                             *, id_col: str = "vec_id",
                             emb_col: str = "embedding",
-                            chunk_rows: int = 2000) -> "ray.data.Dataset":
+                            chunk_rows: int = 2000,
+                            max_rows: int = 100_000) -> "ray.data.Dataset":
     """Exact all-(id_a < id_b) pairs with cosine ≥ threshold, fully
     distributed — the standard blocked all-pairs join, no driver-side
     materialization of the corpus:
@@ -549,11 +550,25 @@ def embedding_neardup_exact(ds: "ray.data.Dataset", threshold: float = 0.9,
     3. one groupby over (chunk_a, chunk_b); each group does a single numpy
        matmul between its two chunk slices.
 
-    O(N²) work is inherent to exact all-pairs; at corpus scale use
-    ``embedding_neardup_pairs`` (LSH-bucketed, documented recall) and keep
-    this as the verification oracle / small-N path.
+    O(N²) work is inherent to exact all-pairs (the explode step ships
+    N·ceil(N/chunk_rows) narrow rows — quadratic in N); ``max_rows``
+    fail-louds anything larger instead of launching a shuffle that can
+    never finish at corpus scale. At corpus scale use
+    ``embedding_neardup_pairs`` (LSH-bucketed, documented recall, and it
+    auto-routes small inputs back here) and keep this as the
+    verification oracle / small-N path. Raise ``max_rows`` explicitly
+    only for a deliberate offline verification run.
     """
     n = ds.count()
+    if n > max_rows:
+        raise ValueError(
+            f"embedding_neardup_exact got {n} rows > max_rows={max_rows}: "
+            f"the blocked-exact path ships N*ceil(N/chunk_rows) exploded "
+            f"rows (O(N^2) shuffle + compute) and is the small-N / "
+            f"verification path only. Use embedding_neardup_pairs (banded "
+            f"LSH with exact in-bucket verification, documented recall) "
+            f"for corpus-scale inputs, or pass max_rows explicitly for a "
+            f"deliberate exact run.")
     c_chunks = max(1, -(-n // chunk_rows))
 
     def _explode(batch: pa.Table) -> pa.Table:
@@ -646,8 +661,11 @@ def embedding_neardup_pairs(ds: "ray.data.Dataset", threshold: float = 0.9,
     the verification oracle."""
     n = ds.count()
     if n <= exact_max_rows:
+        # honor a caller-raised exact_max_rows: the exact path's own gate
+        # must not re-trip below the routing threshold chosen here
         return embedding_neardup_exact(ds, threshold, id_col=id_col,
-                                       emb_col=emb_col)
+                                       emb_col=emb_col,
+                                       max_rows=exact_max_rows)
 
     dim = len(ds.take(1)[0][emb_col])
     banded = ds.select_columns([id_col, emb_col]).map_batches(

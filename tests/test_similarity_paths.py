@@ -231,3 +231,32 @@ def test_quantizer_family_fails_loud_on_empty(ray_session):
                lambda: S.train_pq_codebooks(ds)):
         with pytest.raises(ValueError, match="sample is empty"):
             fn()
+
+
+def test_embedding_neardup_exact_scale_gate(ray_session):
+    """The blocked-exact path is O(N^2) in shuffle AND compute; feeding it
+    more than max_rows must fail loudly, pointing at the banded-LSH path,
+    instead of launching a quadratic explode. The pairs router must still
+    honor a caller-raised exact_max_rows without re-tripping the gate."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.similarity import (
+        embedding_neardup_exact, embedding_neardup_pairs)
+
+    df = pd.DataFrame({"vec_id": range(60),
+                       "embedding": [np.eye(4)[i % 4].tolist()
+                                     for i in range(60)]})
+    ds = ray.data.from_pandas(df)
+    with pytest.raises(ValueError, match="embedding_neardup_pairs"):
+        embedding_neardup_exact(ds, max_rows=50)
+    # explicit raise is a deliberate exact run
+    out = embedding_neardup_exact(ds, threshold=0.9, max_rows=60).to_pandas()
+    assert len(out) > 0
+    # router path: exact_max_rows above the exact gate's default still works
+    out2 = embedding_neardup_pairs(ds, threshold=0.9,
+                                   exact_max_rows=60).to_pandas()
+    assert len(out2) == len(out)
