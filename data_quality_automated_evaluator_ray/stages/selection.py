@@ -91,6 +91,21 @@ def token_budget_select(ds: "ray.data.Dataset", budget: int, *,
                          "tokens": toks, "alpha": score, "rkey": rkey})
 
     narrow = ds.map_batches(_narrow, batch_format="pyarrow").materialize()
+    return _budget_scan(narrow, budget, part_col=part_col, id_col=id_col)
+
+
+def _budget_scan(narrow: "ray.data.Dataset", budget: int, *,
+                 part_col: str, id_col: str) -> "ray.data.Dataset":
+    """Steps 2–3 of the token-budget scan over an already-built narrow
+    ``(id, part, tokens, alpha, rkey)`` dataset (rkey = -(score//range_g);
+    caller materializes so scoring ran once): tiny per-(part, rkey) SUM →
+    driver prefix offsets → budget prune → co-locating groupby with local
+    sort + cumsum + broadcast base. Shared by :func:`token_budget_select`
+    (whitespace token cost) and :func:`fertility_token_budget_select`
+    (trained-tokenizer cost)."""
+    if budget < 0:
+        raise ValueError("budget must be non-negative")
+    ds = narrow
 
     sums = (narrow.groupby([part_col, "rkey"])
             .aggregate(Sum("tokens", alias_name="rtotal")).to_pandas())
@@ -131,6 +146,92 @@ def token_budget_select(ds: "ray.data.Dataset", budget: int, *,
     return (narrow.map_batches(_prune, batch_format="pandas")
             .groupby([part_col, "rkey"])
             .map_groups(_select, batch_format="pandas"))
+
+
+class _FertilityNarrow:
+    """Actor stage for :func:`fertility_token_budget_select`: per-doc cost
+    in TRAINED-tokenizer tokens via the broadcast word→n_tokens map (one
+    dict per actor, the ``bpe_fertility`` encode shape), plus the budget
+    scan's (alpha, rkey) score columns. Dict lookups run once per DISTINCT
+    batch word; Python dicts hash embedded NULs correctly."""
+
+    def __init__(self, lut_ref, id_col: str, part_col: str, text_col: str,
+                 range_g: int) -> None:
+        words, ntok = ray.get(lut_ref)
+        self.lut = dict(zip(words.tolist(), ntok.tolist()))
+        self.id_col, self.part_col = id_col, part_col
+        self.text_col, self.range_g = text_col, range_g
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .partitioning import exact_factorize
+
+        n = batch.num_rows
+        txt = pc.cast(batch.column(self.text_col), pa.string())
+        valid = pc.is_valid(txt).to_numpy(zero_copy_only=False).astype(bool)
+        tokens = np.zeros(n, dtype=np.int64)
+        if valid.any():
+            lst = pc.split_pattern_regex(pc.drop_null(txt),
+                                         pattern="[ \t\n\r]+")
+            flat = pc.list_flatten(lst)
+            par = pc.list_parent_indices(lst) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            nonempty = pc.not_equal(flat, "")
+            flat = pc.filter(flat, nonempty)
+            par = par[nonempty.to_numpy(zero_copy_only=False)]
+            if len(par):
+                wc, wu = exact_factorize(pd.Series(
+                    np.asarray(flat.to_pylist(), dtype=object)))
+                lut = self.lut
+                per_uniq = np.fromiter((lut[w] for w in wu), dtype=np.int64,
+                                       count=len(wu))  # KeyError = fail loud
+                per_row = np.bincount(par, weights=per_uniq[wc].astype(
+                    np.float64), minlength=int(valid.sum())).astype(np.int64)
+                tokens[np.flatnonzero(valid)] = per_row
+        alpha = pc.fill_null(pc.cast(
+            pc.count_substring_regex(txt, _ALPHA_PATTERN), pa.int64()), 0)
+        rkey = pc.negate_checked(pc.divide(
+            alpha, pa.scalar(self.range_g, pa.int64())))
+        return pa.table({self.id_col: pc.cast(batch.column(self.id_col),
+                                              pa.int64()),
+                         self.part_col: batch.column(self.part_col),
+                         "tokens": pa.array(tokens, pa.int64()),
+                         "alpha": alpha, "rkey": rkey})
+
+
+def fertility_token_budget_select(ds: "ray.data.Dataset", budget: int, *,
+                                  part_col: str = "lang",
+                                  id_col: str = "doc_id",
+                                  text_col: str = "text",
+                                  n_merges: int = 8, range_g: int = 64,
+                                  concurrency=(1, 8)
+                                  ) -> "ray.data.Dataset":
+    """Token-budget selection where a document's cost is its count of
+    TRAINED-tokenizer tokens (after ``n_merges`` learned BPE merges), not
+    whitespace words — the budget a real pre-training data pipeline
+    actually spends. Composes the two existing scale shapes end-to-end:
+    :func:`~.tokenizer.bpe_fertility`'s histogram-trained broadcast
+    word→n_tokens map (vocab-bounded shuffle, one dict per actor, the
+    corpus is never re-segmented) feeding :func:`token_budget_select`'s
+    distributed prefix-sum scan with budget pruning (score = alphabetic
+    chars, integer ⇒ bit-exact order). Null/wordless documents cost 0
+    tokens, as in the whitespace variant. Returns
+    (id, part, tokens, alpha, cum_tokens) rows with ``cum_tokens`` the
+    inclusive running total in (alpha desc, id asc) order per part."""
+    from .tokenizer import _merge_loop, word_histogram
+
+    if budget < 0:
+        raise ValueError("budget must be non-negative")
+    hist = word_histogram(ds, text_col=text_col)
+    words = hist["word"].to_numpy(dtype=object)
+    _, ntok = _merge_loop(words, hist["f"].to_numpy(np.int64), n_merges)
+    lut_ref = ray.put((words, ntok))
+
+    narrow = ds.select_columns([id_col, part_col, text_col]).map_batches(
+        _FertilityNarrow,
+        fn_constructor_args=(lut_ref, id_col, part_col, text_col, range_g),
+        batch_format="pyarrow", concurrency=concurrency,
+        num_cpus=1).materialize()
+    return _budget_scan(narrow, budget, part_col=part_col, id_col=id_col)
 
 
 def quota_cap(ds: "ray.data.Dataset", k: int, *, key_col: str = "source",

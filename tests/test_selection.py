@@ -595,3 +595,62 @@ def test_config_dedup_custom_id_column(ray_session, tmp_path):
         assert 0 < s["rows_out"] <= s["rows_in"]
         got = pd.read_parquet(out)
         assert "rid" in got.columns
+
+
+def test_fertility_token_budget_select(ray_session):
+    """The fertility-aware budget costs documents in trained-BPE tokens:
+    the tokens column must equal the sum of the word→n_tokens map built by
+    the same histogram+merge loop, cum_tokens is the inclusive prefix sum
+    in (alpha desc, doc_id) order per lang, and the result is block-count
+    invariant. Null text costs 0 tokens."""
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.selection import (
+        fertility_token_budget_select)
+    from data_quality_automated_evaluator_ray.stages.tokenizer import (
+        _merge_loop, word_histogram)
+
+    df = pd.DataFrame({
+        "doc_id": range(8),
+        "lang": ["en"] * 4 + ["de"] * 3 + ["en"],
+        "text": ["the cat sat on the mat", "the the the", "cat mat",
+                 None, "der der hund", "der", "hund hund hund hund",
+                 "aaaa bbbb the cat"],
+    })
+    ds = ray.data.from_pandas(df)
+    out = fertility_token_budget_select(ds, budget=10**9, n_merges=3) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # every doc survives under an unbounded budget
+    assert len(out) == 8
+
+    hist = word_histogram(ray.data.from_pandas(df))
+    words = hist["word"].to_numpy(dtype=object)
+    _, ntok = _merge_loop(words, hist["f"].to_numpy(np.int64), 3)
+    lut = dict(zip(words.tolist(), ntok.tolist()))
+    for _, r in out.iterrows():
+        t = df.set_index("doc_id").loc[r["doc_id"], "text"]
+        want = 0 if t is None else sum(lut[w] for w in t.split() if w)
+        assert r["tokens"] == want, (r["doc_id"], r["tokens"], want)
+
+    # cum_tokens: inclusive prefix sum in (alpha desc, doc_id) per lang
+    chk = out.sort_values(["lang", "alpha", "doc_id"],
+                          ascending=[True, False, True])
+    for _, g in chk.groupby("lang"):
+        assert g["cum_tokens"].tolist() == \
+            np.cumsum(g["tokens"].to_numpy()).tolist()
+
+    # a tight budget keeps exactly the prefix within budget
+    b = int(chk[chk["lang"] == "en"]["cum_tokens"].iloc[1])
+    tight = fertility_token_budget_select(ds, budget=b, n_merges=3) \
+        .to_pandas()
+    en = tight[tight["lang"] == "en"]
+    assert len(en) == 2 and en["cum_tokens"].max() <= b
+
+    # block-count invariance
+    out5 = fertility_token_budget_select(ds.repartition(5), budget=10**9,
+                                         n_merges=3) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, out5)
