@@ -898,6 +898,16 @@ def edit_verified_pairs(ds: "ray.data.Dataset", *, text_col: str = "text",
                                num_perm=num_perm, bands=bands,
                                concurrency=concurrency),
         num_partitions).materialize()
+    if cands.count() == 0:
+        # zero LSH candidates (a clean corpus): the empty blocks would lose
+        # the id_a schema and crash the verify join's hash aggregator — the
+        # measured empty-block hazard class (SURVEY §10). Return the typed
+        # empty pair table directly.
+        return ray.data.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "edit_distance": pa.array([], pa.int64()),
+            "is_dup": pa.array([], pa.bool_())}))
     texts = ds.select_columns([id_col, text_col])
 
     def _rn(suffix):

@@ -102,17 +102,14 @@ def _budget_scan(narrow: "ray.data.Dataset", budget: int, *,
     driver prefix offsets → budget prune → co-locating groupby with local
     sort + cumsum + broadcast base. Shared by :func:`token_budget_select`
     (whitespace token cost) and :func:`fertility_token_budget_select`
-    (trained-tokenizer cost)."""
-    if budget < 0:
-        raise ValueError("budget must be non-negative")
-    ds = narrow
-
+    (trained-tokenizer cost); both validate ``budget`` up front, before any
+    scoring work runs."""
     sums = (narrow.groupby([part_col, "rkey"])
             .aggregate(Sum("tokens", alias_name="rtotal")).to_pandas())
     if sums.empty:  # empty input: nothing to budget (and the empty
         from .partitioning import empty_result  # aggregate has no columns)
 
-        return empty_result(ds, [part_col],
+        return empty_result(narrow, [part_col],
                             {id_col: pa.int64(), "tokens": pa.int64(),
                              "alpha": pa.int64(),
                              "cum_tokens": pa.int64()})

@@ -1378,3 +1378,60 @@ def test_exact_dedup_sparse_blocks(ray_session):
                         "text": [None, None, "x", "x"]})
     out2 = exact_dedup(ray.data.from_pandas(df2)).to_pandas()
     assert sorted(out2["doc_id"]) == [5, 7]
+
+
+def test_edit_verified_pairs_zero_candidates(ray_session):
+    """A clean corpus (no MinHash bucket collisions) must yield an EMPTY
+    TYPED pair table, not an ArrowInvalid from the verify join's hash
+    aggregator losing the id_a schema on empty blocks — the round-5 review
+    repro (empty-block hazard class, SURVEY §10). The config 'edit' dedup
+    path builds on this via connected_components(empty) -> keep all."""
+    import pandas as pd
+
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.dedup import (
+        edit_verified_pairs)
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["alpha bravo charlie delta echo",
+                 "one two three four five six",
+                 "zebra yak xylophone walrus vulture",
+                 "red orange yellow green blue indigo"],
+    })
+    out = edit_verified_pairs(ray.data.from_pandas(df), max_dist=8)
+    assert out.count() == 0
+    # schema asserted on the DATASET: Ray's to_pandas() on zero rows drops
+    # columns (the known zero-row quirk, TODO.md) but the stream is typed
+    assert [f.name for f in out.schema().base_schema] == \
+        ["id_a", "id_b", "edit_distance", "is_dup"]
+
+
+def test_wet_corpus_path_invalidates_on_content_change(ray_session, tmp_path,
+                                                       monkeypatch):
+    """The WET archive cache stamp is keyed on the documents TABLE CONTENT:
+    regenerating the table at the same sf path must rebuild the archive
+    (a stale archive makes the engine read old docs while the oracle
+    computes from the new view — a phantom driver mismatch)."""
+    import gzip
+
+    import pandas as pd
+
+    from data_quality_automated_evaluator_ray.pipelines.queries import (
+        wet_corpus_path)
+
+    sf = tmp_path / "sfX"
+    sf.mkdir()
+    pd.DataFrame({"doc_id": [1, 2], "text": ["first text", "second text"]}) \
+        .to_parquet(sf / "documents.parquet", index=False)
+    p1 = wet_corpus_path(str(sf))
+    raw1 = gzip.open(p1, "rb").read()
+    assert b"first text" in raw1
+    # unchanged content → cache hit (same bytes, no rewrite needed)
+    assert wet_corpus_path(str(sf)) == p1
+
+    pd.DataFrame({"doc_id": [1, 2], "text": ["CHANGED text", "second text"]}) \
+        .to_parquet(sf / "documents.parquet", index=False)
+    raw2 = gzip.open(wet_corpus_path(str(sf)), "rb").read()
+    assert b"CHANGED text" in raw2 and b"first text" not in raw2
