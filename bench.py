@@ -204,7 +204,11 @@ def run_bench() -> dict:
                           # dedup, and the join-free cohort matrix
                           "bm25_topk_documents",
                           "edit_dedup_documents",
-                          "cohort_retention_events"]}
+                          "cohort_retention_events",
+                          # round 5: trained-tokenizer budget scan and the
+                          # WET ingestion + Gopher route
+                          "fertility_budget_documents",
+                          "warc_web_filter_documents"]}
     suite.update(singles)
     suite.update(extra)
     # min-of-k per suite query (default 2; round-4 method change — rounds 1-3

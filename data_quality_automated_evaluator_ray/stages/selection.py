@@ -145,25 +145,47 @@ def _budget_scan(narrow: "ray.data.Dataset", budget: int, *,
             .map_groups(_select, batch_format="pandas"))
 
 
-class _FertilityNarrow:
-    """Actor stage for :func:`fertility_token_budget_select`: per-doc cost
-    in TRAINED-tokenizer tokens via the broadcast word→n_tokens map (one
-    dict per actor, the ``bpe_fertility`` encode shape), plus the budget
-    scan's (alpha, rkey) score columns. Dict lookups run once per DISTINCT
-    batch word; Python dicts hash embedded NULs correctly."""
+def fertility_token_budget_select(ds: "ray.data.Dataset", budget: int, *,
+                                  part_col: str = "lang",
+                                  id_col: str = "doc_id",
+                                  text_col: str = "text",
+                                  n_merges: int = 8, range_g: int = 64
+                                  ) -> "ray.data.Dataset":
+    """Token-budget selection where a document's cost is its count of
+    TRAINED-tokenizer tokens (after ``n_merges`` learned BPE merges), not
+    whitespace words — the budget a real pre-training data pipeline
+    actually spends. Composes the two existing scale shapes end-to-end:
+    :func:`~.tokenizer.bpe_fertility`'s histogram-trained broadcast
+    word→n_tokens map (vocab-bounded shuffle, the corpus is never
+    re-segmented) feeding :func:`token_budget_select`'s distributed
+    prefix-sum scan with budget pruning (score = alphabetic chars,
+    integer ⇒ bit-exact order). Null/wordless documents cost 0 tokens, as
+    in the whitespace variant. Returns (id, part, tokens, alpha,
+    cum_tokens) rows with ``cum_tokens`` the inclusive running total in
+    (alpha desc, id asc) order per part.
 
-    def __init__(self, lut_ref, id_col: str, part_col: str, text_col: str,
-                 range_g: int) -> None:
-        words, ntok = ray.get(lut_ref)
-        self.lut = dict(zip(words.tolist(), ntok.tolist()))
-        self.id_col, self.part_col = id_col, part_col
-        self.text_col, self.range_g = text_col, range_g
+    Scoring is a plain TASK pool: the vocab broadcasts as a ready-made
+    (Arrow string array, int64 counts) pair, so each task's ``ray.get``
+    is a zero-copy plasma read — read-only state needs no actor
+    ``__init__`` (the actor variant paid ~1-2 s pool spin-up per
+    invocation for nothing). Word lookups run as ONE ``pc.index_in`` hash
+    pass per batch (A/B: 5.4× the factorize-plus-Python-dict path at
+    sf0.1); Arrow strings are length-prefixed, so embedded NULs stay
+    exact."""
+    from .tokenizer import _merge_loop, word_histogram
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        from .partitioning import exact_factorize
+    if budget < 0:
+        raise ValueError("budget must be non-negative")
+    hist = word_histogram(ds, text_col=text_col)
+    words_np = hist["word"].to_numpy(dtype=object)
+    _, ntok = _merge_loop(words_np, hist["f"].to_numpy(np.int64), n_merges)
+    lut_ref = ray.put((pa.array(words_np.tolist(), pa.string()),
+                       ntok.astype(np.int64)))
 
+    def _narrow(batch: pa.Table) -> pa.Table:
+        words, counts = ray.get(lut_ref)  # zero-copy plasma read
         n = batch.num_rows
-        txt = pc.cast(batch.column(self.text_col), pa.string())
+        txt = pc.cast(batch.column(text_col), pa.string())
         valid = pc.is_valid(txt).to_numpy(zero_copy_only=False).astype(bool)
         tokens = np.zeros(n, dtype=np.int64)
         if valid.any():
@@ -176,58 +198,26 @@ class _FertilityNarrow:
             flat = pc.filter(flat, nonempty)
             par = par[nonempty.to_numpy(zero_copy_only=False)]
             if len(par):
-                wc, wu = exact_factorize(pd.Series(
-                    np.asarray(flat.to_pylist(), dtype=object)))
-                lut = self.lut
-                per_uniq = np.fromiter((lut[w] for w in wu), dtype=np.int64,
-                                       count=len(wu))  # KeyError = fail loud
-                per_row = np.bincount(par, weights=per_uniq[wc].astype(
+                idx = pc.index_in(flat, value_set=words)
+                if idx.null_count:  # fail loud: vocab is corpus-complete
+                    raise KeyError(
+                        pc.filter(flat, pc.is_null(idx)).to_pylist()[:3])
+                per_word = counts[
+                    idx.to_numpy(zero_copy_only=False).astype(np.int64)]
+                per_row = np.bincount(par, weights=per_word.astype(
                     np.float64), minlength=int(valid.sum())).astype(np.int64)
                 tokens[np.flatnonzero(valid)] = per_row
         alpha = pc.fill_null(pc.cast(
             pc.count_substring_regex(txt, _ALPHA_PATTERN), pa.int64()), 0)
         rkey = pc.negate_checked(pc.divide(
-            alpha, pa.scalar(self.range_g, pa.int64())))
-        return pa.table({self.id_col: pc.cast(batch.column(self.id_col),
-                                              pa.int64()),
-                         self.part_col: batch.column(self.part_col),
+            alpha, pa.scalar(range_g, pa.int64())))
+        return pa.table({id_col: pc.cast(batch.column(id_col), pa.int64()),
+                         part_col: batch.column(part_col),
                          "tokens": pa.array(tokens, pa.int64()),
                          "alpha": alpha, "rkey": rkey})
 
-
-def fertility_token_budget_select(ds: "ray.data.Dataset", budget: int, *,
-                                  part_col: str = "lang",
-                                  id_col: str = "doc_id",
-                                  text_col: str = "text",
-                                  n_merges: int = 8, range_g: int = 64,
-                                  concurrency=(1, 8)
-                                  ) -> "ray.data.Dataset":
-    """Token-budget selection where a document's cost is its count of
-    TRAINED-tokenizer tokens (after ``n_merges`` learned BPE merges), not
-    whitespace words — the budget a real pre-training data pipeline
-    actually spends. Composes the two existing scale shapes end-to-end:
-    :func:`~.tokenizer.bpe_fertility`'s histogram-trained broadcast
-    word→n_tokens map (vocab-bounded shuffle, one dict per actor, the
-    corpus is never re-segmented) feeding :func:`token_budget_select`'s
-    distributed prefix-sum scan with budget pruning (score = alphabetic
-    chars, integer ⇒ bit-exact order). Null/wordless documents cost 0
-    tokens, as in the whitespace variant. Returns
-    (id, part, tokens, alpha, cum_tokens) rows with ``cum_tokens`` the
-    inclusive running total in (alpha desc, id asc) order per part."""
-    from .tokenizer import _merge_loop, word_histogram
-
-    if budget < 0:
-        raise ValueError("budget must be non-negative")
-    hist = word_histogram(ds, text_col=text_col)
-    words = hist["word"].to_numpy(dtype=object)
-    _, ntok = _merge_loop(words, hist["f"].to_numpy(np.int64), n_merges)
-    lut_ref = ray.put((words, ntok))
-
     narrow = ds.select_columns([id_col, part_col, text_col]).map_batches(
-        _FertilityNarrow,
-        fn_constructor_args=(lut_ref, id_col, part_col, text_col, range_g),
-        batch_format="pyarrow", concurrency=concurrency,
-        num_cpus=1).materialize()
+        _narrow, batch_format="pyarrow").materialize()
     return _budget_scan(narrow, budget, part_col=part_col, id_col=id_col)
 
 

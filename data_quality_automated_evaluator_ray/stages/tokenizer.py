@@ -153,7 +153,12 @@ class _FertilityPartials:
 
     def __init__(self, lut_ref, text_col: str, lang_col: str) -> None:
         words, ntok = ray.get(lut_ref)
-        self.lut = dict(zip(words.tolist(), ntok.tolist()))
+        # Arrow vocab array + int64 counts: word lookups run as ONE
+        # pc.index_in hash pass per batch (round 5; 5.4× the
+        # factorize+Python-dict path) — Arrow strings are length-prefixed,
+        # so embedded NULs stay exact
+        self.words = pa.array(words.tolist(), pa.string())
+        self.ntok = ntok.astype(np.int64)
         self.text_col, self.lang_col = text_col, lang_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -183,15 +188,16 @@ class _FertilityPartials:
         n_words = np.zeros(nlang, dtype=np.int64)
         n_tok = np.zeros(nlang, dtype=np.int64)
         if len(par):
-            wc, wu = exact_factorize(
-                pd.Series(np.asarray(flat.to_pylist(), dtype=object)))
-            lut = self.lut
-            per_uniq = np.fromiter((lut[w] for w in wu), dtype=np.int64,
-                                   count=len(wu))  # KeyError = fail loud
+            idx = pc.index_in(flat, value_set=self.words)
+            if idx.null_count:  # fail loud: vocab is corpus-complete
+                raise KeyError(
+                    pc.filter(flat, pc.is_null(idx)).to_pylist()[:3])
+            per_word = self.ntok[
+                idx.to_numpy(zero_copy_only=False).astype(np.int64)]
             word_lang = lrow_c[par]
             n_words = np.bincount(word_lang, minlength=nlang) \
                 .astype(np.int64)
-            n_tok = np.bincount(word_lang, weights=per_uniq[wc].astype(
+            n_tok = np.bincount(word_lang, weights=per_word.astype(
                 np.float64), minlength=nlang).astype(np.int64)
         out_lang = list(lrow_u) + [None]
         keep = n_docs > 0
