@@ -553,6 +553,91 @@ def duplicate_groups(ds: "ray.data.Dataset", *, text_col: str = "text",
     return connected_components(pairs)
 
 
+def dedup_keep_best(ds: "ray.data.Dataset", *, text_col: str = "text",
+                    id_col: str = "doc_id", num_perm: int = 64,
+                    bands: int = 16, score_round: int = 6,
+                    num_partitions: int = 32) -> "ray.data.Dataset":
+    """Best-of-cluster near-duplicate dedup: the standard curation practice
+    of keeping the HIGHEST-QUALITY member of each near-dup cluster rather
+    than the lowest id. MinHash-LSH components (``duplicate_groups``) pick
+    the clusters; the winner per component is argmax on (rounded
+    ``quality_score`` desc, id asc); singleton docs are their own
+    component and always keep. Output: (id, component, quality_score,
+    keep) for EVERY input doc.
+
+    Scale shape: component labels carry (id, component) only; scores are a
+    shuffle-free per-batch map; the component attach and the per-cluster
+    rank are each ONE coarse ``partitioned_groupby`` shuffle of the narrow
+    (id, score, component) projection — no ``Dataset.join`` (and therefore
+    no empty-block join hazard, SURVEY §10), no driver materialization.
+    The rounded score keeps the cross-engine rank order ULP-proof (the
+    repo's 6-d.p. value convention)."""
+    from ..functions.parity import round_half_away
+    from .partitioning import partitioned_groupby
+    from .text import quality_score
+
+    def _scored(b: pa.Table) -> pa.Table:
+        q = quality_score(b, text_col)
+        s = round_half_away(q.column("quality_score")
+                            .to_numpy(zero_copy_only=False), score_round)
+        n = b.num_rows
+        return pa.table({
+            id_col: pc.cast(b.column(id_col), pa.int64()),
+            "quality_score": pa.array(s, pa.float64()),
+            "component": pa.array([None] * n, pa.int64()),
+            "__side": pa.array(np.zeros(n, np.int8), pa.int8())})
+
+    scored = ds.select_columns([id_col, text_col]).map_batches(
+        _scored, batch_format="pyarrow")
+
+    comp = duplicate_groups(ds.select_columns([id_col, text_col]),
+                            text_col=text_col, id_col=id_col,
+                            num_perm=num_perm, bands=bands).materialize()
+
+    def _rank(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["component", "quality_score", id_col],
+                                ascending=[True, False, True],
+                                kind="mergesort")
+        part["keep"] = part.groupby("component", sort=False).cumcount() == 0
+        return part[[id_col, "component", "quality_score", "keep"]]
+
+    if comp.count() == 0:  # clean corpus: every doc is its own winner
+        def _all_keep(b: pa.Table) -> pa.Table:
+            return pa.table({
+                id_col: b.column(id_col),
+                "component": b.column(id_col),
+                "quality_score": b.column("quality_score"),
+                "keep": pa.array(np.ones(b.num_rows, bool), pa.bool_())})
+
+        return scored.map_batches(_all_keep, batch_format="pyarrow")
+
+    def _tag_comp(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            id_col: pc.cast(b.column("doc_id"), pa.int64()),
+            "quality_score": pa.array([None] * n, pa.float64()),
+            "component": pc.cast(b.column("component"), pa.int64()),
+            "__side": pa.array(np.ones(n, np.int8), pa.int8())})
+
+    unioned = scored.union(comp.map_batches(_tag_comp,
+                                            batch_format="pyarrow"))
+
+    def _attach(part: pd.DataFrame) -> pd.DataFrame:
+        left = part[part["__side"] == 0][[id_col, "quality_score"]]
+        right = part[part["__side"] == 1][[id_col, "component"]]
+        out = left.merge(right, on=id_col, how="left")
+        c = out["component"].to_numpy(np.float64)  # NaN = singleton
+        out["component"] = np.where(np.isnan(c),
+                                    out[id_col].to_numpy(np.float64),
+                                    c).astype(np.int64)
+        return out
+
+    attached = partitioned_groupby(unioned, [id_col], _attach,
+                                   num_partitions=num_partitions)
+    return partitioned_groupby(attached, ["component"], _rank,
+                               num_partitions=num_partitions)
+
+
 # ---------------------------------------------------------------------------
 # Exact n-gram Jaccard
 # ---------------------------------------------------------------------------

@@ -91,11 +91,13 @@ def token_budget_select(ds: "ray.data.Dataset", budget: int, *,
                          "tokens": toks, "alpha": score, "rkey": rkey})
 
     narrow = ds.map_batches(_narrow, batch_format="pyarrow").materialize()
-    return _budget_scan(narrow, budget, part_col=part_col, id_col=id_col)
+    return _budget_scan(narrow, budget, part_col=part_col, id_col=id_col,
+                        schema_from=ds)
 
 
 def _budget_scan(narrow: "ray.data.Dataset", budget: int, *,
-                 part_col: str, id_col: str) -> "ray.data.Dataset":
+                 part_col: str, id_col: str,
+                 schema_from: "ray.data.Dataset") -> "ray.data.Dataset":
     """Steps 2–3 of the token-budget scan over an already-built narrow
     ``(id, part, tokens, alpha, rkey)`` dataset (rkey = -(score//range_g);
     caller materializes so scoring ran once): tiny per-(part, rkey) SUM →
@@ -109,7 +111,10 @@ def _budget_scan(narrow: "ray.data.Dataset", budget: int, *,
     if sums.empty:  # empty input: nothing to budget (and the empty
         from .partitioning import empty_result  # aggregate has no columns)
 
-        return empty_result(narrow, [part_col],
+        # type the empty result from the INPUT dataset: an empty DERIVED
+        # narrow has already lost its schema (map_batches is bypassed on
+        # empty blocks), so its part_col type is unrecoverable
+        return empty_result(schema_from, [part_col],
                             {id_col: pa.int64(), "tokens": pa.int64(),
                              "alpha": pa.int64(),
                              "cum_tokens": pa.int64()})
@@ -177,8 +182,17 @@ def fertility_token_budget_select(ds: "ray.data.Dataset", budget: int, *,
     if budget < 0:
         raise ValueError("budget must be non-negative")
     hist = word_histogram(ds, text_col=text_col)
-    words_np = hist["word"].to_numpy(dtype=object)
-    _, ntok = _merge_loop(words_np, hist["f"].to_numpy(np.int64), n_merges)
+    if hist.empty:
+        # empty or wordless corpus: no vocab to train (the merge loop
+        # fails loud on zero pairs by design) — every doc has zero words,
+        # so an EMPTY lookup table gives the right cost-0 tokens and the
+        # scan keeps wordless docs exactly like token_budget_select does
+        words_np = np.array([], dtype=object)
+        ntok = np.array([], dtype=np.int64)
+    else:
+        words_np = hist["word"].to_numpy(dtype=object)
+        _, ntok = _merge_loop(words_np, hist["f"].to_numpy(np.int64),
+                              n_merges)
     lut_ref = ray.put((pa.array(words_np.tolist(), pa.string()),
                        ntok.astype(np.int64)))
 
@@ -218,7 +232,8 @@ def fertility_token_budget_select(ds: "ray.data.Dataset", budget: int, *,
 
     narrow = ds.select_columns([id_col, part_col, text_col]).map_batches(
         _narrow, batch_format="pyarrow").materialize()
-    return _budget_scan(narrow, budget, part_col=part_col, id_col=id_col)
+    return _budget_scan(narrow, budget, part_col=part_col, id_col=id_col,
+                        schema_from=ds)
 
 
 def quota_cap(ds: "ray.data.Dataset", k: int, *, key_col: str = "source",

@@ -654,3 +654,19 @@ def test_fertility_token_budget_select(ray_session):
                                          n_merges=3) \
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(out, out5)
+
+    # degenerate corpora: empty input → typed zero-row result; wordless
+    # docs (empty histogram, merge loop unrunnable) → kept at cost 0,
+    # matching token_budget_select semantics
+    empty = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": pd.Series(dtype="int64"),
+        "lang": pd.Series(dtype=str), "text": pd.Series(dtype=str)}))
+    e = fertility_token_budget_select(empty, 100)
+    assert e.count() == 0
+    assert set(e.schema().names) == {"doc_id", "lang", "tokens", "alpha",
+                                     "cum_tokens"}
+    wordless = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": [1, 2], "lang": ["en", "de"], "text": ["", "   "]}))
+    w = fertility_token_budget_select(wordless, 100).to_pandas()
+    assert len(w) == 2 and (w["tokens"] == 0).all() \
+        and (w["cum_tokens"] == 0).all()

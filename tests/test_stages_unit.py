@@ -1435,3 +1435,51 @@ def test_wet_corpus_path_invalidates_on_content_change(ray_session, tmp_path,
         .to_parquet(sf / "documents.parquet", index=False)
     raw2 = gzip.open(wet_corpus_path(str(sf)), "rb").read()
     assert b"CHANGED text" in raw2 and b"first text" not in raw2
+
+
+def test_dedup_keep_best_semantics(ray_session):
+    """Best-of-cluster dedup: the highest-rounded-quality member of each
+    LSH component keeps (ties break to the lower doc_id), singletons keep
+    themselves, every input doc appears exactly once, and a clean corpus
+    (zero LSH candidates) takes the all-keep fast path. Block-count
+    invariant."""
+    import pandas as pd
+
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.dedup import (
+        dedup_keep_best)
+
+    # two near-identical docs (single-word edit so the LSH bands collide)
+    # plus a singleton; the higher-quality duplicate must win its cluster
+    dup_a = "the cat sat on the mat and looked out of the window " * 6
+    dup_b = dup_a.replace("cat sat", "caterpillar sat", 1)
+    df = pd.DataFrame({
+        "doc_id": [10, 20, 30],
+        "text": [dup_a, dup_b, "completely unrelated singleton text here"],
+    })
+    out = dedup_keep_best(ray.data.from_pandas(df)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == [10, 20, 30]
+    assert out["component"].tolist() == [10, 10, 30]
+    cluster = out[out["component"] == 10].set_index("doc_id")
+    winner = cluster["quality_score"].idxmax()  # no tie by construction
+    assert cluster["quality_score"].nunique() == 2
+    assert cluster["keep"].to_dict() == {winner: True,
+                                         ({10, 20} - {winner}).pop(): False}
+    assert out.set_index("doc_id")["keep"][30]
+
+    # clean corpus: zero candidates → all keep, component = own id
+    clean = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["alpha bravo charlie delta", "nine eight seven six five"],
+    })
+    out2 = dedup_keep_best(ray.data.from_pandas(clean)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out2["keep"].all()
+    assert out2["component"].tolist() == [1, 2]
+
+    # block-count invariance
+    out5 = dedup_keep_best(ray.data.from_pandas(df).repartition(3)) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, out5)
