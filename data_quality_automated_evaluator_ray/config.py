@@ -57,6 +57,8 @@ def _run_web_filter(cfg: dict[str, Any], out_dir: str) -> dict[str, Any]:
     LLM-pretraining heuristic filters (stages/text.py):
 
     {"pipeline": "web_filter",
+     "url_rules"?: {"url_column"?, "blocked_domains"?, "cap_per_domain"?,
+                    "id_column"?},   # URL-policy pre-stage (stages/web.py)
      "source": {...},
      "text_column": "text",
      "rule_sets": {"gopher"?: {<gopher_rules threshold overrides>},
@@ -95,6 +97,56 @@ def _run_web_filter(cfg: dict[str, Any], out_dir: str) -> dict[str, Any]:
     keep_signals = bool(cfg.get("keep_signals", False))
 
     ds = read_source(cfg["source"])
+
+    # optional URL-policy pre-stage (stages/web.py) — the pass a crawl
+    # pipeline runs BEFORE any content rule:
+    #   "url_rules": {"url_column"?: "url", "blocked_domains"?: [...],
+    #                 "cap_per_domain"?: N, "id_column"?: "doc_id"}
+    # Blocklist-only is shuffle-free (parse + broadcast is_in per batch);
+    # a per-domain cap runs url_curate on the NARROW (id, url) projection
+    # and drops capped/blocked ids with one shuffle_anti_join — full rows
+    # never enter the domain-rank shuffle.
+    url_stats: dict[str, int] = {}
+    url_cfg = cfg.get("url_rules")
+    if url_cfg:
+        import ray
+
+        from .stages.joins import shuffle_anti_join
+        from .stages.web import extract_domains, url_curate
+
+        ucol = url_cfg.get("url_column", "url")
+        blocked = {d.lower() for d in url_cfg.get("blocked_domains", [])}
+        cap = url_cfg.get("cap_per_domain")
+        url_stats["url_rows_in"] = ds.count()
+        if cap is None:
+            blocked_ref = ray.put(pa.array(sorted(blocked), pa.string()))
+
+            def _urlkeep(b: pa.Table) -> pa.Table:
+                flagged = extract_domains(b, ucol)
+                dom = flagged.column("domain")
+                bl = ray.get(blocked_ref)
+                is_blocked = (pc.fill_null(
+                    pc.is_in(dom, value_set=bl), False) if len(bl)
+                    else pa.array([False] * b.num_rows, pa.bool_()))
+                return b.filter(pc.and_(pc.is_valid(dom),
+                                        pc.invert(is_blocked)))
+
+            ds = ds.map_batches(_urlkeep, batch_format="pyarrow")
+        else:
+            uid = url_cfg.get("id_column", "doc_id")
+            policy = url_curate(ds.select_columns([uid, ucol]),
+                                url_col=ucol, id_col=uid,
+                                blocked_domains=blocked,
+                                cap_per_domain=int(cap))
+            drops = policy.filter(expr="kept == False") \
+                .select_columns([uid]).materialize()
+            if drops.count():
+                ds = shuffle_anti_join(ds, drops, on=uid)
+        ds = ds.materialize()  # both tally + sink consume the filtered set
+        url_stats["url_rows_kept"] = ds.count()
+        url_stats["url_rows_dropped"] = (url_stats["url_rows_in"]
+                                         - url_stats["url_rows_kept"])
+
     flag_cols: list[str] = []
     if "gopher" in rule_sets:
         gkw = dict(rule_sets["gopher"] or {})
@@ -174,6 +226,7 @@ def _run_web_filter(cfg: dict[str, Any], out_dir: str) -> dict[str, Any]:
         "rows_out": rows_out,
         "keep_rate": rows_out / rows_in if rows_in else 0.0,
         "kept_per_rule": {c: int(sums[f"sum({c})"]) for c in flag_cols},
+        **url_stats,
         "output": out_dir,
     }
 

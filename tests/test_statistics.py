@@ -789,3 +789,51 @@ def test_winsorize_oracle_parity_with_null_values(ray_session, tmp_path):
     w = got.set_index("event_id")["value_winsorized"]
     assert np.isnan(w[5]) and np.isnan(w[7]) and np.isnan(w[9]) \
         and np.isnan(w[10])
+
+
+def test_web_filter_url_rules_config(ray_session, tmp_path):
+    """web_filter's url_rules pre-stage: blocklist-only mode (shuffle-free)
+    drops blocked/unparseable URLs before content rules; cap mode caps
+    pages per domain via the narrow-projection policy pass + anti join.
+    Stats rows surface in the summary."""
+    import json
+
+    from data_quality_automated_evaluator_ray.config import (load_config,
+                                                             run_config)
+
+    good = ("the cat sat on the mat and the dog barked at the door "
+            "with the usual morning noise and a cup of tea ") * 2
+    df = pd.DataFrame({
+        "doc_id": range(6),
+        "url": ["https://ok.org/0", "https://m.ok.org/1",
+                "https://ok.org/2",
+                "https://bad.com/x", "https://www.bad.com/y",
+                "no-scheme/unparseable"],
+        "text": [good + str(i) for i in range(6)],
+    })
+    src = tmp_path / "pages.parquet"
+    df.to_parquet(src, index=False)
+
+    base = {"pipeline": "web_filter",
+            "source": {"path": str(src), "format": "parquet"},
+            "rule_sets": {"gopher": {"min_words": 5, "min_stopwords": 1}},
+            "output": {"dir": None}}
+
+    # blocklist-only: bad.com (+ subdomain) and the unparseable row drop
+    cfg = dict(base, url_rules={"blocked_domains": ["BAD.com"]},
+               output={"dir": str(tmp_path / "out1")})
+    p = tmp_path / "c1.json"
+    p.write_text(json.dumps(cfg))
+    s1 = run_config(load_config(str(p)))
+    assert s1["url_rows_in"] == 6
+    assert s1["url_rows_kept"] == 3 and s1["url_rows_dropped"] == 3
+    assert s1["rows_in"] == 3
+
+    # per-domain cap: ok.org capped at 2 (lowest doc_ids win)
+    cfg2 = dict(base, url_rules={"blocked_domains": ["bad.com"],
+                                 "cap_per_domain": 2},
+                output={"dir": str(tmp_path / "out2")})
+    p2 = tmp_path / "c2.json"
+    p2.write_text(json.dumps(cfg2))
+    s2 = run_config(load_config(str(p2)))
+    assert s2["url_rows_kept"] == 2 and s2["url_rows_dropped"] == 4
