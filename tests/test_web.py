@@ -67,3 +67,46 @@ def test_url_curate_policy(ray_session):
 
     with pytest.raises(ValueError, match="cap_per_domain"):
         url_curate(ray.data.from_pandas(df), cap_per_domain=0)
+
+
+def test_extract_domains_matches_urllib_property():
+    """Property check vs an independent oracle: for generated scheme-ful
+    URLs (no IPv6 brackets, no tab/CR/LF — urlsplit strips those; no
+    backslashes), extract_domains' host must equal
+    urllib.parse.urlsplit().hostname. Hypothesis shrinks any parser
+    divergence to a minimal URL."""
+    from urllib.parse import urlsplit
+
+    import pyarrow as pa
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from data_quality_automated_evaluator_ray.stages.web import (
+        extract_domains)
+
+    label = st.from_regex(r"[A-Za-z0-9]([A-Za-z0-9-]{0,6}[A-Za-z0-9])?",
+                          fullmatch=True)
+    host = st.lists(label, min_size=1, max_size=4).map(".".join)
+    userinfo = st.one_of(
+        st.just(""),
+        st.from_regex(r"[A-Za-z0-9:._%-]{1,12}@", fullmatch=True))
+    port = st.one_of(st.just(""),
+                     st.integers(1, 65535).map(lambda p: f":{p}"))
+    tail = st.one_of(
+        st.just(""),
+        st.text(alphabet=st.characters(
+            blacklist_characters="[]\\\t\r\n",
+            min_codepoint=32, max_codepoint=126), max_size=20)
+        .map(lambda t: "/" + t))
+    scheme = st.sampled_from(["http", "https", "ftp", "wss", "HTTPS"])
+
+    @settings(max_examples=300, deadline=None)
+    @given(scheme=scheme, ui=userinfo, h=host, p=port, t=tail)
+    def check(scheme, ui, h, p, t):
+        url = f"{scheme}://{ui}{h}{p}{t}"
+        got = extract_domains(pa.table({"url": pa.array([url])}),
+                              "url").column("host").to_pylist()[0]
+        want = urlsplit(url).hostname  # lowercased, no userinfo/port
+        assert got == want, (url, got, want)
+
+    check()
