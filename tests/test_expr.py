@@ -42,6 +42,9 @@ SUPPORTED = [
     "(a + b) * 2 > 30 and s != 'w'",
     "a * 1.5 + x",
     "3",                  # constant broadcast
+    "s in ['u', 'v']",    # literal in-list (no nulls here: pandas agrees)
+    "a not in [1, 2, 3]",
+    "abs(a - b) > 5",
 ]
 
 
@@ -63,8 +66,11 @@ def test_matches_pandas_eval(expr):
 
 UNSUPPORTED = [
     "s.str.upper()",          # method call
-    "a in [1, 2, 3]",         # membership
+    "a in [1, b]",            # non-literal in-list element
+    "a in b",                 # membership against a column, not a list
+    "[a, b] == [a, b]",       # list literal outside an in-list
     "f(a)",                   # call
+    "abs(a, 2)",              # wrong arity
     "a if flag else b",       # conditional
     "[a, b]",                 # list
     "@external",              # pandas local-variable ref (syntax error in ast)
@@ -208,3 +214,21 @@ def test_apply_transformations_date_function(ray_session):
          "n": "v.astype('int64')"}).to_pandas()
     assert out2["d"].dtype.kind == "M"
     assert list(out2["n"]) == [1, 2]
+
+
+def test_in_list_null_semantics_match_duckdb():
+    """ANSI IN: a NULL input yields NULL (DuckDB), not pandas eval's
+    False — the compiler follows the oracle side by contract. NOT IN on a
+    NULL input is NULL too."""
+    import duckdb
+
+    batch = pa.table({"v": pa.array([1, None, 3], pa.int64()),
+                      "s": pa.array(["u", None, "w"], pa.string())})
+    for expr, sql in [("v in (1, 2)", "v in (1, 2)"),
+                      ("v not in (1, 2)", "v not in (1, 2)"),
+                      ("s in ('u', 'v')", "s in ('u', 'v')"),
+                      ("s not in ('u', 'v')", "s not in ('u', 'v')")]:
+        got = eval_expr(batch, compile_expr(expr)).to_pylist()
+        want = [r[0] for r in duckdb.sql(
+            f"select {sql} from batch").fetchall()]
+        assert got == want, expr
