@@ -112,7 +112,7 @@ def _run_web_filter(cfg: dict[str, Any], out_dir: str) -> dict[str, Any]:
         import ray
 
         from .stages.joins import shuffle_anti_join
-        from .stages.web import extract_domains, url_curate
+        from .stages.web import blocklist_mask, extract_domains, url_curate
 
         ucol = url_cfg.get("url_column", "url")
         blocked = {d.lower() for d in url_cfg.get("blocked_domains", [])}
@@ -124,10 +124,7 @@ def _run_web_filter(cfg: dict[str, Any], out_dir: str) -> dict[str, Any]:
             def _urlkeep(b: pa.Table) -> pa.Table:
                 flagged = extract_domains(b, ucol)
                 dom = flagged.column("domain")
-                bl = ray.get(blocked_ref)
-                is_blocked = (pc.fill_null(
-                    pc.is_in(dom, value_set=bl), False) if len(bl)
-                    else pa.array([False] * b.num_rows, pa.bool_()))
+                is_blocked = blocklist_mask(dom, ray.get(blocked_ref))
                 return b.filter(pc.and_(pc.is_valid(dom),
                                         pc.invert(is_blocked)))
 
@@ -184,7 +181,10 @@ def _run_web_filter(cfg: dict[str, Any], out_dir: str) -> dict[str, Any]:
     # returns None exactly when the dataset is empty)
     sig = ds.map_batches(_signals, batch_format="pyarrow")
     sums = sig.sum(flag_cols + ["all_keep", "n_rows"])
-    if sums is None:
+    # empty dataset: Ray returns None OR a dict of per-column Nones (the
+    # latter reachable from ordinary data once url_rules filters
+    # everything) — normalize both to zeros
+    if sums is None or sums.get("sum(n_rows)") is None:
         sums = {f"sum({c})": 0 for c in flag_cols + ["all_keep", "n_rows"]}
     rows_in = int(sums["sum(n_rows)"])
     rows_out = int(sums["sum(all_keep)"])

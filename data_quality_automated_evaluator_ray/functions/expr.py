@@ -88,6 +88,29 @@ def _mod(left, right):
     return pc.subtract(left, prod)
 
 
+def _literal_value(e: ast.AST):
+    """Constant-fold an in-list element: plain literals plus signed
+    numeric literals (``-1`` parses as UnaryOp(USub, Constant), and
+    rejecting it would silently push the whole transformation chain onto
+    the pandas path, losing the ANSI NULL in-list semantics). NULL
+    members are refused — ANSI ``x IN (1, NULL)`` three-valued logic is a
+    SQL engine's job, not this compiler's."""
+    if (isinstance(e, ast.UnaryOp) and isinstance(e.op, (ast.USub, ast.UAdd))
+            and isinstance(e.operand, ast.Constant)
+            and isinstance(e.operand.value, (int, float))
+            and not isinstance(e.operand.value, bool)):
+        v = e.operand.value
+        return -v if isinstance(e.op, ast.USub) else v
+    if isinstance(e, ast.Constant) and (
+            isinstance(e.value, (int, float, str, bool))):
+        return e.value
+    if isinstance(e, ast.Constant) and e.value is None:
+        raise UnsupportedExpression("None inside an in-list (ANSI IN with "
+                                    "NULL members needs a real SQL engine)")
+    raise UnsupportedExpression(
+        f"in-list element {type(e).__name__} (literals only)")
+
+
 class _Compiler(ast.NodeVisitor):
     def __init__(self, batch: pa.Table):
         self.batch = batch
@@ -154,12 +177,7 @@ class _Compiler(ast.NodeVisitor):
         oracle-parity convention wins where the two disagree."""
         if not isinstance(comparator, (ast.List, ast.Tuple)):
             raise UnsupportedExpression("in-list must be a literal list")
-        values = [self.visit_Constant(e) if isinstance(e, ast.Constant)
-                  else self._bad_elt(e) for e in comparator.elts]
-        if any(v is None for v in values):
-            raise UnsupportedExpression("None inside an in-list (ANSI IN "
-                                        "with NULL members needs a real "
-                                        "SQL engine)")
+        values = [_literal_value(e) for e in comparator.elts]
         if not _is_arr(left):
             r = left in values
             return (not r) if negate else r
@@ -168,11 +186,6 @@ class _Compiler(ast.NodeVisitor):
             part = pc.invert(part)
         return pc.if_else(pc.is_valid(left), part,
                           pa.scalar(None, pa.bool_()))
-
-    @staticmethod
-    def _bad_elt(e: ast.AST):
-        raise UnsupportedExpression(
-            f"in-list element {type(e).__name__} (literals only)")
 
     def visit_Call(self, node: ast.Call):
         if (not isinstance(node.func, ast.Name)
@@ -223,15 +236,25 @@ def _validate(node: ast.AST) -> None:
     in_lists: set[int] = set()
     for n in ast.walk(node):
         if isinstance(n, ast.Compare):
-            for op, comp in zip(n.ops, n.comparators):
+            for i, (op, comp) in enumerate(zip(n.ops, n.comparators)):
                 if isinstance(op, (ast.In, ast.NotIn)):
+                    if i != len(n.ops) - 1:
+                        # `a in [..] == b` would eval a null right operand;
+                        # fail at COMPILE so the pandas path takes over
+                        raise UnsupportedExpression(
+                            "comparison chained after an in-list")
                     if not isinstance(comp, (ast.List, ast.Tuple)):
                         raise UnsupportedExpression(
                             "in-list must be a literal list")
-                    if not all(isinstance(e, ast.Constant)
-                               for e in comp.elts):
+                    vals = [_literal_value(e) for e in comp.elts]
+                    kinds = {bool if isinstance(v, bool)
+                             else float if isinstance(v, (int, float))
+                             else type(v) for v in vals}
+                    if len(kinds) != 1:
+                        # mixed types build an invalid Arrow value_set at
+                        # eval time; pandas eval handles them — fall back
                         raise UnsupportedExpression(
-                            "in-list elements must be literals")
+                            "mixed-type in-list elements")
                     in_lists.add(id(comp))
     for n in ast.walk(node):
         if not isinstance(n, _OK_NODES):

@@ -603,9 +603,12 @@ def dedup_keep_best(ds: "ray.data.Dataset", *, text_col: str = "text",
 
     if comp.count() == 0:  # clean corpus: every doc is its own winner
         def _all_keep(b: pa.Table) -> pa.Table:
+            # same int64 id/component dtype as the ranked path — the
+            # output schema must not depend on whether duplicates exist
+            ids = pc.cast(b.column(id_col), pa.int64())
             return pa.table({
-                id_col: b.column(id_col),
-                "component": b.column(id_col),
+                id_col: ids,
+                "component": ids,
                 "quality_score": b.column("quality_score"),
                 "keep": pa.array(np.ones(b.num_rows, bool), pa.bool_())})
 
@@ -625,11 +628,14 @@ def dedup_keep_best(ds: "ray.data.Dataset", *, text_col: str = "text",
     def _attach(part: pd.DataFrame) -> pd.DataFrame:
         left = part[part["__side"] == 0][[id_col, "quality_score"]]
         right = part[part["__side"] == 1][[id_col, "component"]]
+        # nullable Int64 keeps missing-as-NA WITHOUT a float64 round trip
+        # — float64 rounds ids above 2^53 and would silently merge
+        # distinct hash-derived ids into one component
+        right = right.assign(component=right["component"].astype("Int64"))
         out = left.merge(right, on=id_col, how="left")
-        c = out["component"].to_numpy(np.float64)  # NaN = singleton
-        out["component"] = np.where(np.isnan(c),
-                                    out[id_col].to_numpy(np.float64),
-                                    c).astype(np.int64)
+        out["component"] = out["component"] \
+            .fillna(pd.Series(out[id_col], dtype="Int64")) \
+            .astype(np.int64)
         return out
 
     attached = partitioned_groupby(unioned, [id_col], _attach,

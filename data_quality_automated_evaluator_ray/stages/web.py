@@ -46,12 +46,31 @@ def extract_domains(batch: pa.Table, url_col: str, *,
     parsed from ``url_col``. Unparseable URLs (no scheme, empty host,
     single-label host) yield NULL — a row that cannot be attributed to a
     domain cannot pass a domain policy. Pure Arrow kernels, zero-copy."""
+    clash = {host_col, domain_col} & set(batch.column_names)
+    if clash:
+        raise ValueError(
+            f"extract_domains output column(s) {sorted(clash)} already "
+            f"exist in the batch — pass host_col=/domain_col= overrides "
+            f"(appending duplicates would poison every later "
+            f"column-by-name lookup)")
     u = pc.cast(batch.column(url_col), pa.string())
     host = pc.utf8_lower(
         pc.struct_field(pc.extract_regex(u, _HOST_PATTERN), "host"))
     domain = pc.struct_field(pc.extract_regex(host, _DOMAIN_PATTERN), "d")
     return batch.append_column(host_col, host) \
         .append_column(domain_col, domain)
+
+
+def blocklist_mask(domain: "pa.Array | pa.ChunkedArray",
+                   blocked: pa.Array) -> "pa.Array | pa.ChunkedArray":
+    """``is_blocked`` for a registrable-domain column: broadcast ``is_in``
+    with null → False (an unparseable URL is not *blocked* — it fails the
+    parseability policy separately). The ONE definition of blocklist
+    semantics — ``url_curate`` and config.py's shuffle-free ``url_rules``
+    path both call it, so the two cannot drift."""
+    if not len(blocked):
+        return pa.array(np.zeros(len(domain), bool), pa.bool_())
+    return pc.fill_null(pc.is_in(domain, value_set=blocked), False)
 
 
 def url_curate(ds: "ray.data.Dataset", *, url_col: str = "url",
@@ -78,11 +97,8 @@ def url_curate(ds: "ray.data.Dataset", *, url_col: str = "url",
 
     def _flag(b: pa.Table) -> pa.Table:
         b = extract_domains(b, url_col)
-        blocked_arr = ray.get(blocked_ref)  # zero-copy plasma read
         dom = b.column("domain")
-        blocked = (pc.fill_null(pc.is_in(dom, value_set=blocked_arr), False)
-                   if len(blocked_arr)
-                   else pa.array(np.zeros(b.num_rows, bool), pa.bool_()))
+        blocked = blocklist_mask(dom, ray.get(blocked_ref))
         return pa.table({id_col: pc.cast(b.column(id_col), pa.int64()),
                          url_col: pc.cast(b.column(url_col), pa.string()),
                          "host": b.column("host"),

@@ -44,6 +44,7 @@ SUPPORTED = [
     "3",                  # constant broadcast
     "s in ['u', 'v']",    # literal in-list (no nulls here: pandas agrees)
     "a not in [1, 2, 3]",
+    "a in [-1, 2, -3]",   # signed literals fold (UnaryOp(USub, Constant))
     "abs(a - b) > 5",
 ]
 
@@ -68,6 +69,9 @@ UNSUPPORTED = [
     "s.str.upper()",          # method call
     "a in [1, b]",            # non-literal in-list element
     "a in b",                 # membership against a column, not a list
+    "a in [1, 'x']",          # mixed-type in-list (invalid Arrow value_set)
+    "a in [1, None]",         # ANSI IN with NULL member
+    "a in [1, 2] == flag",    # comparison chained after an in-list
     "[a, b] == [a, b]",       # list literal outside an in-list
     "f(a)",                   # call
     "abs(a, 2)",              # wrong arity

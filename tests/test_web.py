@@ -110,3 +110,91 @@ def test_extract_domains_matches_urllib_property():
         assert got == want, (url, got, want)
 
     check()
+
+
+def test_extract_domains_refuses_column_collision():
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from data_quality_automated_evaluator_ray.stages.web import (
+        extract_domains)
+
+    b = pa.table({"url": pa.array(["https://a.com/x"]),
+                  "domain": pa.array(["pre-existing"])})
+    with _pytest.raises(ValueError, match="already[\\s\\S]*exist"):
+        extract_domains(b, "url")
+    # overrides route around the clash
+    out = extract_domains(b, "url", host_col="h2", domain_col="d2")
+    assert out.column("d2").to_pylist() == ["a.com"]
+
+
+def test_web_filter_url_rules_filters_everything(ray_session, tmp_path):
+    """A non-empty source whose every URL is blocked must produce a clean
+    zero-row summary, not a crash: Ray's sum() on the emptied dataset
+    returns per-column Nones (the round-5 review repro)."""
+    import json
+
+    import pandas as pd
+
+    from data_quality_automated_evaluator_ray.config import (load_config,
+                                                             run_config)
+
+    df = pd.DataFrame({"doc_id": [0, 1, 2],
+                       "url": ["https://bad.com/a", "https://m.bad.com/b",
+                               "unparseable"],
+                       "text": ["the cat sat on the mat with the dog"] * 3})
+    src = tmp_path / "p.parquet"
+    df.to_parquet(src, index=False)
+    cfg = {"pipeline": "web_filter",
+           "source": {"path": str(src), "format": "parquet"},
+           "url_rules": {"blocked_domains": ["bad.com"]},
+           "rule_sets": {"gopher": {"min_words": 3, "min_stopwords": 1}},
+           "output": {"dir": str(tmp_path / "out")}}
+    p = tmp_path / "c.json"
+    p.write_text(json.dumps(cfg))
+    s = run_config(load_config(str(p)))
+    assert s["url_rows_in"] == 3 and s["url_rows_dropped"] == 3
+    assert s["rows_in"] == 0 and s["rows_out"] == 0
+    assert s["keep_rate"] == 0.0
+
+
+def test_dedup_keep_best_large_ids(ray_session):
+    """doc_ids above 2^53 (64-bit content hashes) must stay distinct
+    through the component attach — the float64 NaN-fill round trip would
+    merge 2^53 and 2^53+1 into one component and silently drop a unique
+    document (round-5 review repro)."""
+    import pandas as pd
+
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.dedup import (
+        dedup_keep_best)
+
+    a, b = 2 ** 53, 2 ** 53 + 1
+    df = pd.DataFrame({
+        "doc_id": [a, b],
+        "text": ["alpha bravo charlie delta echo foxtrot",
+                 "one two three four five six seven"],
+    })
+    out = dedup_keep_best(ray.data.from_pandas(df)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # force the non-fast-path too: add a near-dup pair so components exist
+    dup = "the quick brown fox jumps over the lazy dog " * 4
+    df2 = pd.DataFrame({
+        "doc_id": [a, b, 1, 2],
+        "text": [dup, dup.replace("quick", "speedy", 1),
+                 "alpha bravo charlie delta echo foxtrot",
+                 "one two three four five six seven"],
+    })
+    out2 = dedup_keep_best(ray.data.from_pandas(df2)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    for o in (out,):
+        assert o["doc_id"].tolist() == [a, b]
+        assert o["component"].tolist() == [a, b]   # distinct, not merged
+        assert o["keep"].all()
+    assert out2["doc_id"].tolist() == [1, 2, a, b]
+    # the two large-id docs form one real cluster; singletons 1 and 2 keep
+    assert out2.set_index("doc_id")["keep"][[1, 2]].all()
+    assert out2.set_index("doc_id")["component"][a] == \
+        out2.set_index("doc_id")["component"][b] == a
+    assert out2.set_index("doc_id")["keep"][[a, b]].sum() == 1
