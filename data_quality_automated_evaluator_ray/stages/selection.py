@@ -154,7 +154,8 @@ def fertility_token_budget_select(ds: "ray.data.Dataset", budget: int, *,
                                   part_col: str = "lang",
                                   id_col: str = "doc_id",
                                   text_col: str = "text",
-                                  n_merges: int = 8, range_g: int = 64
+                                  n_merges: int = 8, range_g: int = 64,
+                                  min_count: int = 1
                                   ) -> "ray.data.Dataset":
     """Token-budget selection where a document's cost is its count of
     TRAINED-tokenizer tokens (after ``n_merges`` learned BPE merges), not
@@ -176,12 +177,20 @@ def fertility_token_budget_select(ds: "ray.data.Dataset", budget: int, *,
     invocation for nothing). Word lookups run as ONE ``pc.index_in`` hash
     pass per batch (A/B: 5.4× the factorize-plus-Python-dict path at
     sf0.1); Arrow strings are length-prefixed, so embedded NULs stay
-    exact."""
+    exact.
+
+    100-TB note: ``min_count`` bounds the driver-side vocab table the way
+    published tokenizer training does (the histogram is Zipfian; pruning
+    singletons caps it). A pruned word is OOV to the lookup table and
+    costs ``len(word)`` tokens — the byte/char-level fallback real BPE
+    tokenizers apply to unseen words, and an upper bound on what any
+    merge sequence could produce. With the default ``min_count=1`` the
+    vocab is corpus-complete and missing words fail loud."""
     from .tokenizer import _merge_loop, word_histogram
 
     if budget < 0:
         raise ValueError("budget must be non-negative")
-    hist = word_histogram(ds, text_col=text_col)
+    hist = word_histogram(ds, text_col=text_col, min_count=min_count)
     if hist.empty:
         # empty or wordless corpus: no vocab to train (the merge loop
         # fails loud on zero pairs by design) — every doc has zero words,
@@ -195,6 +204,7 @@ def fertility_token_budget_select(ds: "ray.data.Dataset", budget: int, *,
                               n_merges)
     lut_ref = ray.put((pa.array(words_np.tolist(), pa.string()),
                        ntok.astype(np.int64)))
+    strict = min_count <= 1  # corpus-complete vocab: OOV is a real bug
 
     def _narrow(batch: pa.Table) -> pa.Table:
         words, counts = ray.get(lut_ref)  # zero-copy plasma read
@@ -213,11 +223,22 @@ def fertility_token_budget_select(ds: "ray.data.Dataset", budget: int, *,
             par = par[nonempty.to_numpy(zero_copy_only=False)]
             if len(par):
                 idx = pc.index_in(flat, value_set=words)
-                if idx.null_count:  # fail loud: vocab is corpus-complete
-                    raise KeyError(
-                        pc.filter(flat, pc.is_null(idx)).to_pylist()[:3])
-                per_word = counts[
-                    idx.to_numpy(zero_copy_only=False).astype(np.int64)]
+                oov = pc.is_null(idx)
+                if idx.null_count and strict:
+                    # min_count=1 vocab is corpus-complete: OOV = real bug
+                    raise KeyError(pc.filter(flat, oov).to_pylist()[:3])
+                filled = pc.fill_null(idx, 0) \
+                    .to_numpy(zero_copy_only=False).astype(np.int64)
+                per_word = (counts[filled] if len(counts)
+                            else np.zeros(len(par), np.int64))
+                if idx.null_count:
+                    # pruned-vocab OOV fallback: chars-per-word, the
+                    # byte/char-level cost real tokenizers assign unseen
+                    # words (and an upper bound on any merge sequence)
+                    lens = pc.utf8_length(flat) \
+                        .to_numpy(zero_copy_only=False).astype(np.int64)
+                    per_word = np.where(
+                        oov.to_numpy(zero_copy_only=False), lens, per_word)
                 per_row = np.bincount(par, weights=per_word.astype(
                     np.float64), minlength=int(valid.sum())).astype(np.int64)
                 tokens[np.flatnonzero(valid)] = per_row

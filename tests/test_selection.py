@@ -670,3 +670,46 @@ def test_fertility_token_budget_select(ray_session):
     w = fertility_token_budget_select(wordless, 100).to_pandas()
     assert len(w) == 2 and (w["tokens"] == 0).all() \
         and (w["cum_tokens"] == 0).all()
+
+
+def test_fertility_budget_pruned_vocab_oov_fallback(ray_session):
+    """min_count > 1 prunes the driver vocab (the 100-TB bound); pruned
+    words are OOV and cost len(word) tokens — the byte/char fallback —
+    while frequent words keep their trained cost. min_count=1 stays
+    fail-loud-on-OOV (corpus-complete vocab)."""
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.selection import (
+        fertility_token_budget_select)
+    from data_quality_automated_evaluator_ray.stages.tokenizer import (
+        _merge_loop, word_histogram)
+
+    # "the" appears 4x (survives min_count=2); each zz* word once (pruned)
+    df = pd.DataFrame({
+        "doc_id": [1, 2],
+        "lang": ["en", "en"],
+        "text": ["the the zzlong the", "the zzlonger"],
+    })
+    ds = ray.data.from_pandas(df)
+    out = fertility_token_budget_select(ds, budget=10**9, n_merges=2,
+                                        min_count=2) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    hist = word_histogram(ray.data.from_pandas(df))
+    kept = hist[hist["f"] >= 2]
+    words = kept["word"].to_numpy(dtype=object)
+    _, ntok = _merge_loop(words, kept["f"].to_numpy(np.int64), 2)
+    the_cost = int(dict(zip(words.tolist(), ntok.tolist()))["the"])
+    assert out.set_index("doc_id")["tokens"].to_dict() == {
+        1: 3 * the_cost + len("zzlong"),
+        2: the_cost + len("zzlonger")}
+
+    # every-word-pruned corpus: all costs are char counts
+    all_pruned = fertility_token_budget_select(ds, budget=10**9,
+                                               n_merges=2, min_count=99) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert all_pruned["tokens"].tolist() == [
+        3 * 3 + len("zzlong"), 3 + len("zzlonger")]
