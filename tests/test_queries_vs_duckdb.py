@@ -100,7 +100,8 @@ def test_query_matches_oracle(ray_session, ddb, name):
                       "qf_code_corpus", "partition_metrics_code_corpus",
                       "c4_clean_code_corpus", "fineweb_quality_code_corpus",
                       "ccnet_buckets_code_corpus", "stack_filter_code_corpus",
-                      "bloom_dedup_code_corpus", "fim_transform_code_corpus")
+                      "bloom_dedup_code_corpus", "fim_transform_code_corpus",
+                      "paragraph_quality_code_corpus")
           else SF)
     ray_df = _to_pandas(fn(sf))
     sql_df = ddb.execute(sql).df()

@@ -1483,3 +1483,51 @@ def test_dedup_keep_best_semantics(ray_session):
     out5 = dedup_keep_best(ray.data.from_pandas(df).repartition(3)) \
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(out, out5)
+
+
+def test_paragraph_attributes_offsets(ray_session):
+    """Per-paragraph spans must index the ORIGINAL text exactly:
+    text[start:end] == paragraph for every row, 1-based contiguous
+    para_idx, empty paragraphs as zero-length spans, null text emits no
+    rows, unicode offsets in characters. Block-count invariant."""
+    import pandas as pd
+
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.text import (
+        paragraph_attributes)
+
+    texts = ["first para\n\nsecond one\nwith a line\n\nthird",
+             "no blank lines at all",
+             "",                       # one empty paragraph
+             "a\n\n\n\nb",             # consecutive separators: empty span
+             "héllo ⚡\n\nwörld",      # unicode char offsets
+             None]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    out = paragraph_attributes(ray.data.from_pandas(df)) \
+        .to_pandas().sort_values(["doc_id", "para_idx"]) \
+        .reset_index(drop=True)
+
+    assert 5 not in set(out["doc_id"])         # null text: no rows
+    by_doc = dict(zip(df["doc_id"], df["text"]))
+    for _, r in out.iterrows():
+        t = by_doc[int(r["doc_id"])]
+        para = t[int(r["start_char"]):int(r["end_char"])]
+        assert "\n\n" not in para
+        assert len(para) == int(r["n_chars_para"])
+    # doc 0: three spans, contiguous 1-based idx, separators cost 2 chars
+    g = out[out["doc_id"] == 0]
+    assert g["para_idx"].tolist() == [1, 2, 3]
+    assert g["start_char"].tolist() == [0, 12, 36]
+    assert by_doc[0][36:41] == "third"
+    # doc 3: middle paragraph is the empty span between the separators
+    g3 = out[out["doc_id"] == 3]
+    assert g3["n_chars_para"].tolist() == [1, 0, 1]
+    # doc 2: a single zero-length span
+    g2 = out[out["doc_id"] == 2]
+    assert len(g2) == 1 and g2["n_chars_para"].iloc[0] == 0
+
+    out4 = paragraph_attributes(ray.data.from_pandas(df).repartition(4)) \
+        .to_pandas().sort_values(["doc_id", "para_idx"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, out4)
