@@ -192,16 +192,21 @@ def fertility_token_budget_select(ds: "ray.data.Dataset", budget: int, *,
         raise ValueError("budget must be non-negative")
     hist = word_histogram(ds, text_col=text_col, min_count=min_count)
     if hist.empty:
-        # empty or wordless corpus: no vocab to train (the merge loop
-        # fails loud on zero pairs by design) — every doc has zero words,
-        # so an EMPTY lookup table gives the right cost-0 tokens and the
-        # scan keeps wordless docs exactly like token_budget_select does
+        # nothing survives the histogram — either a genuinely empty/
+        # wordless corpus (docs cost 0, kept like token_budget_select's)
+        # or min_count pruned EVERY word (docs then cost their char
+        # counts via the OOV fallback below, NOT 0) — an empty lookup
+        # table produces both behaviors
         words_np = np.array([], dtype=object)
         ntok = np.array([], dtype=np.int64)
     else:
         words_np = hist["word"].to_numpy(dtype=object)
+        # pruned vocab may run out of mergeable pairs before n_merges
+        # (e.g. only single-char words survive) — early stop is correct
+        # there; the unpruned path keeps the fixed-depth fail-loud
+        # contract the SQL oracle needs
         _, ntok = _merge_loop(words_np, hist["f"].to_numpy(np.int64),
-                              n_merges)
+                              n_merges, allow_early_stop=min_count > 1)
     lut_ref = ray.put((pa.array(words_np.tolist(), pa.string()),
                        ntok.astype(np.int64)))
     strict = min_count <= 1  # corpus-complete vocab: OOV is a real bug

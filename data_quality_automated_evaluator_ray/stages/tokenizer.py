@@ -40,24 +40,31 @@ def word_histogram(ds: "ray.data.Dataset", *, text_col: str = "text",
                    min_count: int = 1,
                    num_partitions: int = 64) -> pd.DataFrame:
     """Corpus-wide (word, f) counts — combiner-first, one narrow shuffle,
-    ≤|vocab| rows to the driver. ``min_count`` prunes the long tail before
-    it ships (at web scale the histogram is Zipfian; pruning singletons
-    bounds the driver table the way published tokenizer training does)."""
+    ≤|pruned vocab| rows to the driver. ``min_count`` prunes INSIDE the
+    per-partition aggregation (each hash partition holds every occurrence
+    of its words, so per-partition counts are already global and the
+    filter is exact) — the long tail never reaches the driver, which is
+    the point of pruning at web scale (the histogram is Zipfian; dropping
+    singletons bounds the driver table the way published tokenizer
+    training does)."""
     def _partial(batch: pa.Table) -> pa.Table:
         toks, counts = _whitespace_token_counts(batch.column(text_col))
         return pa.table({"word": pa.array(toks, pa.string()),
                          "f": pa.array(counts, pa.int64())})
 
+    def _agg(part: pd.DataFrame) -> pd.DataFrame:
+        out = part.groupby("word", as_index=False, sort=False) \
+            .agg(f=("f", "sum"))
+        return out[out["f"] >= min_count] if min_count > 1 else out
+
     partials = ds.map_batches(_partial, batch_format="pyarrow")
     merged = partitioned_groupby(
-        partials, ["word"],
-        lambda part: part.groupby("word", as_index=False, sort=False)
-        .agg(f=("f", "sum")),
+        partials, ["word"], _agg,
         num_partitions=num_partitions).to_pandas()
     if merged.empty:
         return pd.DataFrame({"word": pd.Series(dtype=object),
                              "f": pd.Series(dtype="int64")})
-    return merged[merged["f"] >= min_count].reset_index(drop=True)
+    return merged.reset_index(drop=True)
 
 
 def _flat_symbols(words: np.ndarray) -> "tuple[np.ndarray, np.ndarray]":
@@ -73,19 +80,26 @@ def _flat_symbols(words: np.ndarray) -> "tuple[np.ndarray, np.ndarray]":
 
 
 def _merge_loop(words: np.ndarray, freqs: np.ndarray,
-                n_merges: int) -> "tuple[pd.DataFrame, np.ndarray]":
+                n_merges: int, *, allow_early_stop: bool = False
+                ) -> "tuple[pd.DataFrame, np.ndarray]":
     """The merge loop → ((rank, left_sym, right_sym, pair_count) rows,
     per-word token count after all merges).
 
     Raises ValueError (fail loud, engine policy) if the histogram runs out
     of mergeable pairs before ``n_merges`` — the unrolled SQL oracle has a
-    fixed depth and cannot stop early."""
+    fixed depth and cannot stop early. ``allow_early_stop=True`` returns
+    the partial state instead (fewer merge rows, token counts as of the
+    last completed merge) — for consumers WITHOUT a fixed-depth oracle,
+    e.g. a min_count-pruned vocab whose single-char words can exhaust
+    pairs immediately."""
     syms, wid = _flat_symbols(words)
     out = []
     for rank in range(1, n_merges + 1):
         valid = np.flatnonzero(wid[:-1] == wid[1:]) if len(syms) > 1 \
             else np.array([], dtype=np.int64)
         if not len(valid):
+            if allow_early_stop:
+                break
             raise ValueError(
                 f"corpus ran out of mergeable pairs after {rank - 1} "
                 f"merges (n_merges={n_merges})")

@@ -713,3 +713,30 @@ def test_fertility_budget_pruned_vocab_oov_fallback(ray_session):
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert all_pruned["tokens"].tolist() == [
         3 * 3 + len("zzlong"), 3 + len("zzlonger")]
+
+
+def test_fertility_budget_pruned_vocab_exhausts_merges(ray_session):
+    """A pruned vocab of single-char words has ZERO mergeable pairs; the
+    merge loop must early-stop (allow_early_stop) instead of raising, and
+    surviving words cost their 1-token trained cost while pruned words
+    cost len(word) — the round-5 review repro."""
+    import pandas as pd
+
+    import ray.data
+
+    from data_quality_automated_evaluator_ray.stages.selection import (
+        fertility_token_budget_select)
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2],
+        "lang": ["en", "en"],
+        "text": ["a a zzlong", "a zzlonger b b"],
+    })
+    out = fertility_token_budget_select(
+        ray.data.from_pandas(df), budget=10**9, n_merges=2, min_count=2) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # vocab after pruning: 'a' (f=3), 'b' (f=2) — unmergeable single chars
+    # cost 1 token each; pruned zz* words cost their char counts
+    assert out.set_index("doc_id")["tokens"].to_dict() == {
+        1: 2 * 1 + len("zzlong"),
+        2: 1 + len("zzlonger") + 2 * 1}
